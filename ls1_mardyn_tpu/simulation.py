@@ -1,0 +1,167 @@
+"""Simulation driver: one jitted timestep + host-side orchestration.
+
+The L6 equivalent of the reference's Simulation class
+(/root/reference/src/Simulation.{h,cpp}).  The whole inner loop
+(Simulation::simulate, Simulation.cpp:979-1177) collapses into ONE
+jitted function `step`:
+
+  upd_preF -> rebin (container update) -> cell-pair forces (+LRC)
+  -> upd_postF (kinetic sums) -> global values (T, p, betas)
+  -> velocity-scaling thermostat
+
+Host code only triggers steps, reads back scalars at an interval, and
+runs plugins/IO -- there is no per-molecule host loop anywhere.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ls1_mardyn_tpu.models.interaction import PairParams
+from ls1_mardyn_tpu.ops.cellforce import compute_forces_cells
+from ls1_mardyn_tpu.ops.cells import (
+    CellGridSpec,
+    bin_particles,
+    neighbor_table,
+    wrap_positions,
+)
+from ls1_mardyn_tpu.ops.globals import GlobalValues, calculate_global_values
+from ls1_mardyn_tpu.ops.integrator import upd_post_force, upd_pre_force
+from ls1_mardyn_tpu.ops.thermostat import apply_velocity_scaling
+from ls1_mardyn_tpu.state import Forces, Macroscopic, MoleculeState
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Static per-run configuration (hashable, closed over by jit)."""
+
+    dt: float
+    target_temperature: float = 0.0
+    thermostat: bool = True  # False => NVE
+    cell_cap: int = 64
+    cells_in_cutoff: int = 1
+    cell_chunk: int = 0
+    upot_corr: float = 0.0  # long-range correction (ops/lrc.py)
+    virial_corr: float = 0.0
+
+
+class SingleChipSimulation:
+    """Single-device simulation (the DomainDecompBase 'alibi
+    decomposition' analogue, Simulation.cpp:1354-1356); the multi-chip
+    driver lives in ls1_mardyn_tpu/parallel/."""
+
+    def __init__(
+        self,
+        mol: MoleculeState,
+        pp: PairParams,
+        box,
+        config: SimConfig,
+        force_fn: Optional[Callable] = None,
+    ):
+        self.pp = pp
+        self.config = config
+        self.box = tuple(float(b) for b in np.asarray(box))
+        cutoff = float(np.sqrt(np.asarray(pp.rc2)))
+        self.spec = CellGridSpec.create(
+            self.box, cutoff / config.cells_in_cutoff, cap=config.cell_cap
+        )
+        nbr_ids, nbr_shift = neighbor_table(self.spec)
+        self._nbr_ids = jnp.asarray(nbr_ids)
+        self._nbr_shift = jnp.asarray(nbr_shift, mol.r.dtype)
+        self.volume = float(np.prod(self.box))
+        self._force_fn = force_fn or self._cell_forces
+        self.mol = mol
+        self.forces: Optional[Forces] = None
+        self.macro: Optional[Macroscopic] = None
+        self._step_jit = jax.jit(self._step, donate_argnums=(0, 1))
+        self._init_jit = jax.jit(self._init_forces)
+
+    # -- jitted bodies ----------------------------------------------------
+    def _cell_forces(self, mol: MoleculeState):
+        bins = bin_particles(mol.r, mol.valid, self.spec)
+        forces, macro = compute_forces_cells(
+            mol,
+            self.pp,
+            self.spec,
+            bins,
+            self._nbr_ids,
+            self._nbr_shift,
+            cell_chunk=self.config.cell_chunk,
+        )
+        return forces, macro, bins.overflow
+
+    def _init_forces(self, mol: MoleculeState):
+        mol = dataclasses.replace(mol, r=wrap_positions(mol.r, self.box))
+        return mol, *self._force_fn(mol)
+
+    def _step(
+        self, mol: MoleculeState, forces: Forces
+    ) -> Tuple[MoleculeState, Forces, Macroscopic, GlobalValues, jnp.ndarray]:
+        cfg = self.config
+        # 1. first half-kick + drift (Leapfrog transition 3->1->2)
+        mol = upd_pre_force(mol, forces, self.pp, cfg.dt)
+        # 2. periodic wraparound (DomainDecompBase::handleDomainLeaving...)
+        mol = dataclasses.replace(mol, r=wrap_positions(mol.r, self.box))
+        # 3+4. container update + force traversal
+        forces, macro, overflow = self._force_fn(mol)
+        # long-range correction (Simulation.cpp:1048-1049 + Domain's
+        # _UpotCorr/_VirialCorr fold, Domain.cpp:179-182)
+        macro = Macroscopic(
+            upot6lj=macro.upot6lj,
+            upot_xpoles=macro.upot_xpoles + cfg.upot_corr,
+            virial=macro.virial + cfg.virial_corr,
+            my_rf=macro.my_rf,
+        )
+        # 5. second half-kick + kinetic sums (Leapfrog transition 2->3)
+        mol, mv2, iw2 = upd_post_force(mol, forces, self.pp, cfg.dt)
+        # 6. global values (Domain::calculateGlobalValues)
+        summv2 = jnp.sum(mv2)
+        sum_iw2 = jnp.sum(iw2)
+        nmol = mol.num_valid()
+        rdof = jnp.sum(
+            jnp.where(mol.valid, self.pp.rot_dof[mol.cid], 0).astype(jnp.int32)
+        )
+        gv = calculate_global_values(
+            macro,
+            summv2,
+            sum_iw2,
+            nmol,
+            rdof,
+            self.volume,
+            cfg.target_temperature,
+            nve=not cfg.thermostat,
+        )
+        # 7. thermostat (Simulation.cpp:1108-1136)
+        if cfg.thermostat and cfg.target_temperature > 0:
+            mol = apply_velocity_scaling(mol, gv.beta_trans, gv.beta_rot)
+        return mol, forces, macro, gv, overflow
+
+    # -- host API ---------------------------------------------------------
+    def prepare_start(self):
+        """Initial force evaluation (Simulation::prepare_start,
+        Simulation.cpp:764-918)."""
+        self.mol, self.forces, self.macro, _overflow = self._init_jit(self.mol)
+
+    def run(self, steps: int, callback=None, check_overflow_every: int = 0):
+        """Advance `steps` timesteps. The device round-trips only when a
+        callback or overflow check forces a readback."""
+        if self.forces is None:
+            self.prepare_start()
+        gv = None
+        for k in range(steps):
+            self.mol, self.forces, self.macro, gv, overflow = self._step_jit(
+                self.mol, self.forces
+            )
+            if check_overflow_every and (k % check_overflow_every == 0):
+                if bool(overflow):
+                    raise RuntimeError(
+                        "cell capacity exceeded; increase SimConfig.cell_cap"
+                    )
+            if callback is not None:
+                callback(k, self.mol, gv)
+        return gv

@@ -1,0 +1,121 @@
+"""Golden equivalence tests: cell-list force path vs N^2 oracle on the
+reference's shipped Vectorization* scenes.
+
+This reproduces the reference's key numerics harness,
+VectorizedCellProcessorTest::testLennardJonesVectorization /
+testElectrostaticVectorization (/root/reference/src/particleContainer/
+adapter/tests/VectorizedCellProcessorTest.cpp:136-215): run the simple
+reference path and the fast path on the same scene and assert
+per-molecule F/M/Vi and global Upot/virial agree.
+Cutoff = 35.0 as in the reference test (:150).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ls1_mardyn_tpu.io.ascii_reader import read_inp
+from ls1_mardyn_tpu.models.oracle import compute_forces_n2_jit
+from ls1_mardyn_tpu.ops.cellforce import compute_forces_cells
+from ls1_mardyn_tpu.ops.cells import CellGridSpec, bin_particles, neighbor_table
+from ls1_mardyn_tpu.scene import build_scene
+
+CUTOFF = 35.0
+
+SCENES = [
+    "VectorizationLennardJones1CLJ.inp",
+    "VectorizationLennardJones.inp",
+    "VectorizationCharge.inp",
+    "VectorizationDipole.inp",
+    "VectorizationQuadrupole.inp",
+    "VectorizationChargeDipole.inp",
+    "VectorizationChargeQuadrupole.inp",
+    "VectorizationDipoleQuadrupole.inp",
+    "VectorizationWater.inp",
+    "VectorizationMultiComponentMultiPotentials_50_molecules.inp",
+]
+
+
+@pytest.mark.parametrize("scene", SCENES)
+def test_cell_path_matches_oracle(ref_input_dir, scene):
+    data = read_inp(f"{ref_input_dir}/{scene}")
+    # subsample to keep CPU compile time manageable while covering all
+    # interaction types (the reference runs all 250; our Pallas/TPU CI
+    # tier covers full scenes)
+    n = min(len(data.mid), 80)
+    for f in ("mid", "cid", "r", "v", "q", "L"):
+        setattr(data, f, getattr(data, f)[:n])
+    mol, pp, table, box = build_scene(data, cutoff=CUTOFF)
+
+    f_ref, m_ref = compute_forces_n2_jit(mol, pp, box)
+
+    spec = CellGridSpec.create(np.asarray(box), CUTOFF, cap=96)
+    nbr_ids, nbr_shift = neighbor_table(spec)
+
+    @jax.jit
+    def run(mol):
+        bins = bin_particles(mol.r, mol.valid, spec)
+        return compute_forces_cells(
+            mol, pp, spec, bins,
+            jnp.asarray(nbr_ids), jnp.asarray(nbr_shift, mol.r.dtype),
+            cell_chunk=1,
+        )
+
+    f_cell, m_cell = run(mol)
+
+    scale = np.abs(np.asarray(f_ref.F)).max() + 1e-30
+    np.testing.assert_allclose(
+        np.asarray(f_cell.F) / scale, np.asarray(f_ref.F) / scale, atol=1e-12
+    )
+    mscale = np.abs(np.asarray(f_ref.M)).max() + 1e-30
+    np.testing.assert_allclose(
+        np.asarray(f_cell.M) / mscale, np.asarray(f_ref.M) / mscale, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        float(m_cell.upot), float(m_ref.upot), rtol=1e-10, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        float(m_cell.total_virial),
+        float(m_ref.total_virial),
+        rtol=1e-10,
+        atol=1e-12,
+    )
+    vscale = np.abs(np.asarray(f_ref.Vi)).max() + 1e-30
+    np.testing.assert_allclose(
+        np.asarray(f_cell.Vi) / vscale, np.asarray(f_ref.Vi) / vscale, atol=1e-12
+    )
+
+
+def test_binning_roundtrip():
+    """Every valid molecule lands in exactly one slot of its cell."""
+    rng = np.random.default_rng(7)
+    n = 500
+    box = (10.0, 10.0, 10.0)
+    r = rng.uniform(0, 10, size=(n, 3))
+    valid = np.ones(n, bool)
+    valid[450:] = False
+    spec = CellGridSpec.create(box, cutoff=2.5, cap=64)
+    bins = jax.jit(bin_particles, static_argnames="spec")(
+        jnp.asarray(r), jnp.asarray(valid), spec
+    )
+    slots = np.asarray(bins.slots)
+    assert not bool(bins.overflow)
+    filled = slots[slots >= 0]
+    assert len(filled) == 450
+    assert len(np.unique(filled)) == 450
+    # each molecule is in the right cell
+    cell_len = np.array(spec.cell_len)
+    for c in range(spec.n_cells):
+        for s in slots[c][slots[c] >= 0]:
+            c3 = np.floor(r[s] / cell_len).astype(int)
+            cid = (c3[0] * spec.dims[1] + c3[1]) * spec.dims[2] + c3[2]
+            assert cid == c
+
+
+def test_binning_overflow_flag():
+    n = 40
+    r = np.full((n, 3), 1.0)  # all in one cell
+    spec = CellGridSpec.create((10.0, 10.0, 10.0), cutoff=2.5, cap=16)
+    bins = bin_particles(jnp.asarray(r), jnp.ones(n, bool), spec)
+    assert bool(bins.overflow)
