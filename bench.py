@@ -1,0 +1,73 @@
+"""Headline benchmark: 1CLJ Argon molecule-updates/second per chip.
+
+Mirrors the reference's own headline metric, "Molecule-updates per
+second" (N_global * steps / wallclock, /root/reference/src/
+MarDyn.cpp:262-266), on the BASELINE.md workload: single-site LJ fluid,
+N >= 4M, NVT.  Prints ONE JSON line.
+
+Baseline target (BASELINE.json): 1e9 updates/s on a v5e-8 slice ==
+1.25e8 updates/s/chip; vs_baseline = value / 1.25e8.
+
+Env overrides: LS1_BENCH_N, LS1_BENCH_STEPS, LS1_BENCH_RHO.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ls1_mardyn_tpu.io.generators import cubic_grid
+    from ls1_mardyn_tpu.ops.cells import CellGridSpec
+    from ls1_mardyn_tpu.ops.pallas_path import PallasLJPath
+    from ls1_mardyn_tpu.scene import build_scene
+    from ls1_mardyn_tpu.simulation import SimConfig, SingleChipSimulation
+
+    n = int(os.environ.get("LS1_BENCH_N", 4_194_304))
+    steps = int(os.environ.get("LS1_BENCH_STEPS", 20))
+    rho = float(os.environ.get("LS1_BENCH_RHO", 0.8))
+    rc = 2.5
+    temperature = 1.1
+
+    L = (n / rho) ** (1.0 / 3.0)
+    data = cubic_grid(n, [L, L, L], temperature, seed=7)
+    mol, pp, table, box = build_scene(data, cutoff=rc, dtype=jnp.float32)
+
+    # cell grid: pick a power-of-two-ish dim with cell edge >= rc
+    nd = max(4, int(np.floor(L / rc)))
+    nd -= nd % 4  # keep nx divisible by the x-tile
+    spec = CellGridSpec(dims=(nd, nd, nd), box=tuple(float(b) for b in np.asarray(box)), cap=32)
+    assert min(spec.cell_len) >= rc, (spec.cell_len, rc)
+
+    cfg = SimConfig(dt=0.002, target_temperature=temperature, thermostat=True)
+    path = PallasLJPath(table, spec, tx=4)
+    sim = SingleChipSimulation(mol, pp, box, cfg, force_fn=path)
+    sim.prepare_start()
+    # warmup (compile + cache)
+    sim.run(3)
+    jax.block_until_ready(sim.mol.r)
+
+    t0 = time.perf_counter()
+    sim.run(steps)
+    jax.block_until_ready(sim.mol.r)
+    dt = time.perf_counter() - t0
+
+    n_chips = jax.device_count()
+    mups = n * steps / dt / n_chips
+    out = {
+        "metric": "1CLJ molecule-updates/s/chip (N=%d, rho=%.2f, rc=%.1f, NVT)" % (n, rho, rc),
+        "value": mups,
+        "unit": "updates/s/chip",
+        "vs_baseline": mups / 1.25e8,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

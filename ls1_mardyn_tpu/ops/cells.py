@@ -63,6 +63,7 @@ class CellBins:
     counts: jnp.ndarray  # [n_cells] int32
     overflow: jnp.ndarray  # bool scalar: True if any cell exceeded cap
     cell_of: jnp.ndarray  # [N] int32 linear cell id per molecule
+    slot_of: jnp.ndarray  # [N] int32 flat slot (cell*cap+rank) per molecule
 
 
 def wrap_positions(r: jnp.ndarray, box) -> jnp.ndarray:
@@ -75,31 +76,48 @@ def wrap_positions(r: jnp.ndarray, box) -> jnp.ndarray:
 
 def bin_particles(r: jnp.ndarray, valid: jnp.ndarray, spec: CellGridSpec) -> CellBins:
     """Rebin molecules into cells (sort-based; replaces
-    LinkedCells::update)."""
+    LinkedCells::update).
+
+    Scatter-free on purpose: TPU scatters serialize, so the dense slot
+    table is built entirely from sorts, searchsorted, and gathers
+    (SURVEY.md section 7 'scatter-heavy rebinning' hard part).
+    """
     n = r.shape[0]
     dims = jnp.asarray(spec.dims, jnp.int32)
     cell_len = jnp.asarray(spec.cell_len, r.dtype)
     c3 = jnp.clip(jnp.floor(r / cell_len).astype(jnp.int32), 0, dims - 1)
-    cell = (c3[:, 0] * dims[1] + c3[:, 1]) * dims[2] + c3[:, 2]
+    # z-major linear id (matches the Pallas kernels' [nz, ny, nx] rows)
+    cell = (c3[:, 2] * dims[1] + c3[:, 1]) * dims[0] + c3[:, 0]
     # invalid molecules go to a virtual overflow cell
     cell = jnp.where(valid, cell, spec.n_cells)
 
-    order = jnp.argsort(cell)  # stable
+    order = jnp.argsort(cell).astype(jnp.int32)  # stable
     sorted_cell = cell[order]
-    counts = jax.ops.segment_sum(
-        jnp.ones((n,), jnp.int32), cell, num_segments=spec.n_cells + 1
+    # per-cell [start, end) ranges via binary search on the sorted keys
+    cell_ids = jnp.arange(spec.n_cells + 1, dtype=jnp.int32)
+    starts = jnp.searchsorted(sorted_cell, cell_ids, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_cell, cell_ids, side="right").astype(jnp.int32)
+    counts = ends - starts
+    # dense slot table by gather: slots[c, k] = order[starts[c] + k]
+    k = jnp.arange(spec.cap, dtype=jnp.int32)[None, :]
+    src = starts[: spec.n_cells, None] + k
+    filled = k < counts[: spec.n_cells, None]
+    slots = jnp.where(filled, order[jnp.clip(src, 0, n - 1)], -1)
+    # inverse map molecule -> flat slot, also gather-only
+    inv = jnp.argsort(order).astype(jnp.int32)  # sorted position of molecule m
+    rank = inv - starts[cell]
+    slot_of = cell * spec.cap + jnp.clip(rank, 0, spec.cap - 1)
+    slot_of = jnp.where(
+        valid & (rank < spec.cap), slot_of, spec.n_cells * spec.cap
     )
-    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
-    rank = jnp.arange(n, dtype=jnp.int32) - starts[sorted_cell]
-    in_range = rank < spec.cap
-    flat = jnp.full((spec.n_cells + 1) * spec.cap, -1, jnp.int32)
-    dest = sorted_cell * spec.cap + jnp.clip(rank, 0, spec.cap - 1)
-    flat = flat.at[jnp.where(in_range, dest, (spec.n_cells + 1) * spec.cap - 1)].set(
-        jnp.where(in_range, order.astype(jnp.int32), -1), mode="drop"
-    )
-    slots = flat.reshape(spec.n_cells + 1, spec.cap)[: spec.n_cells]
     overflow = jnp.max(counts[: spec.n_cells]) > spec.cap
-    return CellBins(slots=slots, counts=counts[: spec.n_cells], overflow=overflow, cell_of=cell)
+    return CellBins(
+        slots=slots,
+        counts=counts[: spec.n_cells],
+        overflow=overflow,
+        cell_of=cell,
+        slot_of=slot_of,
+    )
 
 
 def neighbor_table(spec: CellGridSpec):
@@ -114,7 +132,7 @@ def neighbor_table(spec: CellGridSpec):
     """
     nx, ny, nz = spec.dims
     bx, by, bz = spec.box
-    cx, cy, cz = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij")
+    cz, cy, cx = np.meshgrid(np.arange(nz), np.arange(ny), np.arange(nx), indexing="ij")
     coords = np.stack([cx.ravel(), cy.ravel(), cz.ravel()], -1)  # [n_cells,3]
     offs = np.stack(
         np.meshgrid(*[[-1, 0, 1]] * 3, indexing="ij"), -1
@@ -126,7 +144,7 @@ def neighbor_table(spec: CellGridSpec):
     # translated by a whole box length so distances come out right:
     # image position = p + floor(raw/dims) * L
     shift = np.floor_divide(nc, dims).astype(np.float64) * np.array([bx, by, bz])
-    ids = (wrapped[..., 0] * ny + wrapped[..., 1]) * nz + wrapped[..., 2]
+    ids = (wrapped[..., 2] * ny + wrapped[..., 1]) * nx + wrapped[..., 0]
     # With dims <= 2 on an axis, distinct offsets reach the same cell
     # through different periodic images (different shifts); both are
     # genuine candidates and the cutoff mask selects the right ones.

@@ -1,0 +1,265 @@
+"""Pallas TPU kernel: single-site Lennard-Jones cell-pair forces.
+
+The performance path replacing the reference's hand-vectorized AVX
+kernels (VectorizedCellProcessor / VCP1CLJRMM,
+/root/reference/src/particleContainer/adapter/VCP1CLJRMM.cpp and
+adapter/vectorization/) with a TPU-native design:
+
+  Layout: x-major cell rows, lane-major (slots on the 128-lane axis --
+  the only layout XLA:TPU stores unpadded in HBM):
+      i view  [nz, ny, 4, nx*cap]
+      j view  [nz, ny, 4, (nx+2*HX)*cap]   HX(=2)-cell x halo; the
+              innermost halo cell is the periodic image (pre-shifted by
+              +-Lx), the outer cell is empty padding so every
+              dynamic-slice lane offset is 128-aligned (Mosaic
+              requirement)
+  planes = (x, y, z, valid).
+
+  Each program owns one (z, y) row and reads the 9 neighbor j-rows
+  (dz, dy in {-1,0,1}) via wrapped BlockSpec index maps; periodic y/z
+  image shifts are applied in-kernel from the program ids (no y/z halo
+  storage at all).  An fori_loop walks x tiles of TX cells with
+  TX*cap == 128 lanes.  The i tile is transposed lanes->sublanes with
+  an identity matmul on the MXU (the canonical Mosaic-friendly
+  transpose); the pair matrix is then the natural broadcast
+  [txc, 1] - [1, win] with i on sublanes and j on lanes, so every VPU
+  op runs on full (8, 128) tiles.  Forces reduce over lanes to
+  [txc, 1] and are transposed back the same way for the lane-major
+  output row.
+
+  No Newton-3rd-law halving: each ordered pair is evaluated from both
+  sides (recompute beats the scatter of a force back-exchange on TPU,
+  SURVEY.md section 7); energies/virial are halved in-kernel.  The
+  reference's colored C08 traversal disappears: colors only serialized
+  OpenMP writes, and here every program writes only its own row.
+
+  Validity is in-band (plane 3); masked pairs contribute exact zeros
+  (dr2 guarded before any large intermediate is formed).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# 9 neighbor rows in (dz, dy); index 4 is the center row (the i-source)
+_OFFS = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1), (1, -1), (1, 0), (1, 1)]
+_CENTER = 4
+HX = 2  # x-halo cells per side in the j view (alignment padding)
+NPLANE = 4
+
+
+def _lj_row_kernel(
+    i_ref,
+    *refs,
+    nx: int,
+    cap: int,
+    tx: int,
+    ny: int,
+    nz: int,
+    box: Tuple[float, float, float],
+    eps24: float,
+    sig2: float,
+    shift6: float,
+    rc2: float,
+    out_dtype,
+):
+    row_refs = refs[:9]
+    f_ref = refs[9]
+    _bx, by, bz = box
+    txc = tx * cap
+    win = (tx + 2 * HX) * cap
+    n_tiles = nx // tx
+
+    pz = pl.program_id(0)
+    py = pl.program_id(1)
+
+    e24 = jnp.asarray(eps24, out_dtype)
+    s2 = jnp.asarray(sig2, out_dtype)
+    sh6 = jnp.asarray(shift6, out_dtype)
+    cut2 = jnp.asarray(rc2, out_dtype)
+
+    # identity for MXU transposes (lanes <-> sublanes)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (txc, txc), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (txc, txc), 1)
+    ident = (ii == jj).astype(out_dtype)
+
+    lane4 = jax.lax.broadcasted_iota(jnp.int32, (1, NPLANE), 1)
+    oh = [(lane4 == c).astype(out_dtype) for c in range(NPLANE)]
+    sub4 = jax.lax.broadcasted_iota(jnp.int32, (NPLANE, 1), 0)
+    ohr = [(sub4 == c).astype(out_dtype) for c in range(NPLANE)]
+
+    # self pair in the center row: the j window starts HX cells left of
+    # the i tile -> same slot at j_local == i_local + HX*cap
+    il = jax.lax.broadcasted_iota(jnp.int32, (txc, win), 0)
+    jl = jax.lax.broadcasted_iota(jnp.int32, (txc, win), 1)
+    not_self = jl != il + HX * cap
+
+    lane_txc = jax.lax.broadcasted_iota(jnp.int32, (1, txc), 1)
+    lane0 = (lane_txc == 0).astype(out_dtype)
+    lane1 = (lane_txc == 1).astype(out_dtype)
+
+    def tile(t, _):
+        off = pl.multiple_of(t * txc, txc)
+        ti = i_ref[0, 0, :, pl.ds(off, txc)]  # [4, txc] lane-major
+        # transpose to sublane-major [txc, 4] on the MXU
+        G = jax.lax.dot_general(
+            ident, ti, (((1,), (1,)), ((), ())), preferred_element_type=out_dtype
+        )
+        xi = jnp.sum(G * oh[0], axis=1, keepdims=True)  # [txc, 1]
+        yi = jnp.sum(G * oh[1], axis=1, keepdims=True)
+        zi = jnp.sum(G * oh[2], axis=1, keepdims=True)
+        wi = jnp.sum(G * oh[3], axis=1, keepdims=True)
+
+        fx = jnp.zeros((txc, 1), out_dtype)
+        fy = jnp.zeros((txc, 1), out_dtype)
+        fz = jnp.zeros((txc, 1), out_dtype)
+        u6_t = jnp.zeros((), out_dtype)
+        vir_t = jnp.zeros((), out_dtype)
+
+        for k, (dz, dy) in enumerate(_OFFS):
+            H = row_refs[k][0, 0, :, pl.ds(off, win)]  # [4, win]
+            zidx = pz + dz
+            yidx = py + dy
+            sy = jnp.where(yidx < 0, -by, jnp.where(yidx >= ny, by, 0.0)).astype(
+                out_dtype
+            )
+            sz = jnp.where(zidx < 0, -bz, jnp.where(zidx >= nz, bz, 0.0)).astype(
+                out_dtype
+            )
+            xj = jnp.sum(H * ohr[0], axis=0, keepdims=True)  # [1, win]
+            yj = jnp.sum(H * ohr[1], axis=0, keepdims=True) + sy
+            zj = jnp.sum(H * ohr[2], axis=0, keepdims=True) + sz
+            wj = jnp.sum(H * ohr[3], axis=0, keepdims=True)
+
+            dx = xi - xj  # [txc, win]
+            dyv = yi - yj
+            dzv = zi - zj
+            dr2 = dx * dx + dyv * dyv + dzv * dzv
+            mask = (dr2 < cut2) & (wi * wj > 0.5)
+            if k == _CENTER:
+                mask = mask & not_self
+            mf = mask.astype(out_dtype)
+            invdr2 = mf / jnp.where(mask, dr2, 1.0)
+            lj6 = s2 * invdr2
+            lj6 = lj6 * lj6 * lj6
+            lj12 = lj6 * lj6
+            lj12m6 = lj12 - lj6
+            # PotForceLJ (potforce.h:18-31): u6 = eps24*(lj12-lj6)+shift6
+            u6_t = u6_t + jnp.sum(e24 * lj12m6 + sh6 * mf)
+            fac = e24 * (lj12 + lj12m6) * invdr2
+            vir_t = vir_t + jnp.sum(fac * dr2)
+            fx = fx + jnp.sum(fac * dx, axis=1, keepdims=True)
+            fy = fy + jnp.sum(fac * dyv, axis=1, keepdims=True)
+            fz = fz + jnp.sum(fac * dzv, axis=1, keepdims=True)
+
+        # transpose force columns back to lane vectors [1, txc]
+        def to_lane(v):
+            return jax.lax.dot_general(
+                v, ident, (((0,), (0,)), ((), ())), preferred_element_type=out_dtype
+            )  # [1, txc]
+
+        fxl, fyl, fzl = to_lane(fx), to_lane(fy), to_lane(fz)
+        # scalars ride in plane 3: u6 at lane 0, virial at lane 1 of
+        # each tile; halved for double-sided pair counting (virial per
+        # pair = 0.5*drm.f on each molecule -> sum(fac*dr2)/2 total)
+        scal = (0.5 * u6_t) * lane0 + (0.5 * vir_t) * lane1
+        out4 = ohr[0] * fxl + ohr[1] * fyl + ohr[2] * fzl + ohr[3] * scal
+        f_ref[0, 0, :, pl.ds(off, txc)] = out4
+        return _
+
+    jax.lax.fori_loop(0, n_tiles, tile, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nx", "ny", "nz", "cap", "tx", "box", "eps24", "sig2", "shift6", "rc2",
+        "interpret",
+    ),
+)
+def lj_cell_forces_pallas(
+    r_i: jnp.ndarray,  # [nz, ny, 4, nx*cap]
+    r_j: jnp.ndarray,  # [nz, ny, 4, (nx+2*HX)*cap]
+    *,
+    nx: int,
+    ny: int,
+    nz: int,
+    cap: int,
+    tx: int,
+    box: Tuple[float, float, float],
+    eps24: float,
+    sig2: float,
+    shift6: float,
+    rc2: float,
+    interpret: bool = False,
+):
+    """Returns (out [nz, ny, 4, nx*cap]: force planes 0..2, scalar plane
+    3 with u6/virial one-hots per tile; u6lj scalar; virial scalar)."""
+    Wj = (nx + 2 * HX) * cap
+    assert r_i.shape == (nz, ny, NPLANE, nx * cap), r_i.shape
+    assert r_j.shape == (nz, ny, NPLANE, Wj), r_j.shape
+    assert nx % tx == 0
+    if not interpret:
+        assert (tx * cap) % 128 == 0, (
+            "compiled TPU kernel needs tx*cap to be a multiple of 128 "
+            f"(got tx={tx}, cap={cap})"
+        )
+    out_dtype = r_i.dtype
+
+    i_spec = pl.BlockSpec(
+        (1, 1, NPLANE, nx * cap), lambda z, y: (z, y, 0, 0), memory_space=pltpu.VMEM
+    )
+    j_specs = [
+        pl.BlockSpec(
+            (1, 1, NPLANE, Wj),
+            functools.partial(
+                lambda z, y, dz, dy: ((z + dz) % nz, (y + dy) % ny, 0, 0),
+                dz=dz,
+                dy=dy,
+            ),
+            memory_space=pltpu.VMEM,
+        )
+        for dz, dy in _OFFS
+    ]
+    out_spec = pl.BlockSpec(
+        (1, 1, NPLANE, nx * cap), lambda z, y: (z, y, 0, 0), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(
+        _lj_row_kernel,
+        nx=nx,
+        cap=cap,
+        tx=tx,
+        ny=ny,
+        nz=nz,
+        box=box,
+        eps24=eps24,
+        sig2=sig2,
+        shift6=shift6,
+        rc2=rc2,
+        out_dtype=out_dtype,
+    )
+    win = (tx + 2 * HX) * cap
+    n_pairs = nz * ny * nx * cap * 9 * win
+    out = pl.pallas_call(
+        kernel,
+        grid=(nz, ny),
+        in_specs=[i_spec] + j_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((nz, ny, NPLANE, nx * cap), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=26 * n_pairs,
+            bytes_accessed=(9 * Wj + 2 * nx * cap) * NPLANE * nz * ny * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(r_i, *([r_j] * 9))
+    scal = out[:, :, 3, :].reshape(nz, ny, nx // tx, tx * cap)
+    u6 = jnp.sum(scal[..., 0])
+    vir = jnp.sum(scal[..., 1])
+    return out, u6, vir

@@ -1,0 +1,113 @@
+"""Force-path adapter for the Pallas 1CLJ kernel.
+
+Replaces the reference's reduced-memory-mode pipeline
+(VCP1CLJRMM + ParticleCellRMM, /root/reference/src/particleContainer/
+adapter/VCP1CLJRMM.cpp): flat molecule arrays are gathered into the
+kernel's row-major cell layout each step (the rebinning the reference
+does in LinkedCells::update + updateMoleculeCaches), the kernel runs,
+and forces scatter back by the same index table.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ls1_mardyn_tpu.models.interaction import PairParams
+from ls1_mardyn_tpu.ops.cells import CellGridSpec, bin_particles
+from ls1_mardyn_tpu.ops.pallas_lj import lj_cell_forces_pallas
+from ls1_mardyn_tpu.state import Forces, Macroscopic, MoleculeState
+
+
+class PallasLJPath:
+    """force_fn for SingleChipSimulation; single-component single-LJ-site
+    molecules only (the reference's RMM restriction, MoleculeRMM.h:13)."""
+
+    def __init__(self, table, spec: CellGridSpec, tx: int = 0, interpret: bool = False):
+        assert table.K == 1 and len(table.components[0].ljcenters) == 1, (
+            "PallasLJPath requires a single 1CLJ component (RMM mode)"
+        )
+        assert not table.has_electrostatics()
+        self.spec = spec
+        nx = spec.dims[0]
+        if tx <= 0:
+            # prefer tx*cap == 128 (required for the compiled TPU
+            # kernel's lane alignment); interpret mode takes anything
+            pref = max(1, 128 // spec.cap)
+            tx = pref if nx % pref == 0 else next(
+                t for t in (4, 2, 1) if nx % t == 0
+            )
+        assert nx % tx == 0, (nx, tx)
+        self.tx = tx
+        self.interpret = interpret
+        self.eps24 = float(table.eps24[0, 0, 0, 0])
+        self.sig2 = float(table.sig2[0, 0, 0, 0])
+        self.shift6 = float(table.shift6[0, 0, 0, 0])
+        self.rc2 = float(table.lj_cutoff ** 2)
+
+    def __call__(self, mol: MoleculeState) -> Tuple[Forces, Macroscopic, jnp.ndarray]:
+        spec = self.spec
+        nx, ny, nz = spec.dims
+        cap = spec.cap
+        n = mol.capacity
+        dtype = mol.r.dtype
+        Lx = spec.box[0]
+
+        bins = bin_particles(mol.r, mol.valid, spec)
+        idx = bins.slots.reshape(nz, ny, nx * cap)
+        safe = jnp.clip(idx, 0, n - 1)
+        ok = (idx >= 0) & mol.valid[safe]
+        # one packed row-gather (TPU gathers like contiguous rows; three
+        # strided column gathers measured 6x slower)
+        pack = jnp.concatenate(
+            [mol.r, mol.valid.astype(dtype)[:, None]], axis=1
+        )  # [N, 4]
+        g = jnp.where(ok[..., None], pack[safe], 0.0)  # [nz, ny, nx*cap, 4]
+
+        from ls1_mardyn_tpu.ops.pallas_lj import HX
+
+        shift_vec = jnp.zeros((4,), dtype).at[0].set(Lx)
+
+        def with_halo(a):
+            """x halo of HX cells per side; only the innermost halo cell
+            carries the periodic image (pre-shifted by +-Lx), the outer
+            HX-1 are empty padding (validity stays 0 there)."""
+            pad = jnp.zeros(a.shape[:2] + ((HX - 1) * cap, 4), a.dtype)
+            left = a[:, :, (nx - 1) * cap :, :] - shift_vec
+            # subtracting the shift flips validity 1->1 only in col 0;
+            # cols 1..3 untouched because shift_vec is one-hot on x
+            right = a[:, :, :cap, :] + shift_vec
+            return jnp.concatenate([pad, left, a, right, pad], axis=2)
+
+        r_i = jnp.moveaxis(g, -1, 2)  # [nz, ny, 4, nx*cap]
+        r_j = jnp.moveaxis(with_halo(g), -1, 2)  # [nz, ny, 4, (nx+2*HX)*cap]
+
+        f, u6, vir = lj_cell_forces_pallas(
+            r_i,
+            r_j,
+            nx=nx,
+            ny=ny,
+            nz=nz,
+            cap=cap,
+            tx=self.tx,
+            box=spec.box,
+            eps24=self.eps24,
+            sig2=self.sig2,
+            shift6=self.shift6,
+            rc2=self.rc2,
+            interpret=self.interpret,
+        )
+        # gather back to flat arrays via the inverse slot map (each
+        # valid molecule occupies exactly one slot; gathers beat TPU
+        # scatters by a wide margin)
+        fxyz = jnp.moveaxis(f[:, :, :3, :], 2, -1).reshape(-1, 3)
+        src = jnp.clip(bins.slot_of, 0, fxyz.shape[0] - 1)
+        F = jnp.where(mol.valid[:, None], fxyz[src], 0.0)
+        zeros = jnp.zeros((n, 3), dtype)
+        forces = Forces(F=F, M=zeros, Vi=zeros)
+        zero = jnp.zeros((), dtype)
+        macro = Macroscopic(upot6lj=u6, upot_xpoles=zero, virial=vir, my_rf=zero)
+        return forces, macro, bins.overflow

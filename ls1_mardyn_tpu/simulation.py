@@ -78,7 +78,10 @@ class SingleChipSimulation:
         self.mol = mol
         self.forces: Optional[Forces] = None
         self.macro: Optional[Macroscopic] = None
-        self._step_jit = jax.jit(self._step, donate_argnums=(0, 1))
+        # NOTE: no donate_argnums -- buffer donation through the axon
+        # remote-TPU backend triggers pathological copies (measured 4x
+        # step time); state is small relative to HBM anyway.
+        self._step_jit = jax.jit(self._step)
         self._init_jit = jax.jit(self._init_forces)
 
     # -- jitted bodies ----------------------------------------------------

@@ -5,8 +5,7 @@ multi-chip logic on xla_force_host_platform_device_count devices)."""
 
 import os
 
-# must happen before jax import
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Request 8 virtual CPU devices before the CPU client initializes.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +14,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The environment's sitecustomize registers a remote-TPU ("axon") PJRT
+# plugin at interpreter startup and forces jax_platforms="axon,cpu",
+# overriding the JAX_PLATFORMS env var.  Select the local CPU via the
+# config instead (works because backends are created lazily).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402

@@ -104,13 +104,18 @@ def test_binning_roundtrip():
     filled = slots[slots >= 0]
     assert len(filled) == 450
     assert len(np.unique(filled)) == 450
-    # each molecule is in the right cell
+    # each molecule is in the right cell (z-major linear ids)
     cell_len = np.array(spec.cell_len)
     for c in range(spec.n_cells):
         for s in slots[c][slots[c] >= 0]:
             c3 = np.floor(r[s] / cell_len).astype(int)
-            cid = (c3[0] * spec.dims[1] + c3[1]) * spec.dims[2] + c3[2]
+            cid = (c3[2] * spec.dims[1] + c3[1]) * spec.dims[0] + c3[0]
             assert cid == c
+    # inverse map consistency
+    slot_of = np.asarray(bins.slot_of)
+    flat = slots.reshape(-1)
+    for m in range(450):
+        assert flat[slot_of[m]] == m
 
 
 def test_binning_overflow_flag():
