@@ -67,6 +67,7 @@ def _lj_row_kernel(
     sig2: float,
     shift6: float,
     rc2: float,
+    z_halo: bool,
     out_dtype,
 ):
     row_refs = refs[:9]
@@ -129,9 +130,14 @@ def _lj_row_kernel(
             sy = jnp.where(yidx < 0, -by, jnp.where(yidx >= ny, by, 0.0)).astype(
                 out_dtype
             )
-            sz = jnp.where(zidx < 0, -bz, jnp.where(zidx >= nz, bz, 0.0)).astype(
-                out_dtype
-            )
+            if z_halo:
+                # halo rows are explicit (multi-chip slab exchange has
+                # already applied any global-z periodic shift)
+                sz = jnp.zeros((), out_dtype)
+            else:
+                sz = jnp.where(
+                    zidx < 0, -bz, jnp.where(zidx >= nz, bz, 0.0)
+                ).astype(out_dtype)
             xj = jnp.sum(H * ohr[0], axis=0, keepdims=True)  # [1, win]
             yj = jnp.sum(H * ohr[1], axis=0, keepdims=True) + sy
             zj = jnp.sum(H * ohr[2], axis=0, keepdims=True) + sz
@@ -180,7 +186,7 @@ def _lj_row_kernel(
     jax.jit,
     static_argnames=(
         "nx", "ny", "nz", "cap", "tx", "box", "eps24", "sig2", "shift6", "rc2",
-        "interpret",
+        "interpret", "z_halo",
     ),
 )
 def lj_cell_forces_pallas(
@@ -198,12 +204,18 @@ def lj_cell_forces_pallas(
     shift6: float,
     rc2: float,
     interpret: bool = False,
+    z_halo: bool = False,
 ):
     """Returns (out [nz, ny, 4, nx*cap]: force planes 0..2, scalar plane
-    3 with u6/virial one-hots per tile; u6lj scalar; virial scalar)."""
+    3 with u6/virial one-hots per tile; u6lj scalar; virial scalar).
+
+    z_halo=True: r_j carries two explicit z halo rows (multi-chip slab
+    decomposition) -- r_j is [nz+2, ny, ...], neighbor row dz maps to
+    r_j[z+dz+1], and no periodic z shift is applied in-kernel."""
     Wj = (nx + 2 * HX) * cap
+    nzj = nz + 2 if z_halo else nz
     assert r_i.shape == (nz, ny, NPLANE, nx * cap), r_i.shape
-    assert r_j.shape == (nz, ny, NPLANE, Wj), r_j.shape
+    assert r_j.shape == (nzj, ny, NPLANE, Wj), r_j.shape
     assert nx % tx == 0
     if not interpret:
         assert (tx * cap) % 128 == 0, (
@@ -215,14 +227,14 @@ def lj_cell_forces_pallas(
     i_spec = pl.BlockSpec(
         (1, 1, NPLANE, nx * cap), lambda z, y: (z, y, 0, 0), memory_space=pltpu.VMEM
     )
+    if z_halo:
+        jmap = lambda z, y, dz, dy: (z + dz + 1, (y + dy) % ny, 0, 0)
+    else:
+        jmap = lambda z, y, dz, dy: ((z + dz) % nz, (y + dy) % ny, 0, 0)
     j_specs = [
         pl.BlockSpec(
             (1, 1, NPLANE, Wj),
-            functools.partial(
-                lambda z, y, dz, dy: ((z + dz) % nz, (y + dy) % ny, 0, 0),
-                dz=dz,
-                dy=dy,
-            ),
+            functools.partial(jmap, dz=dz, dy=dy),
             memory_space=pltpu.VMEM,
         )
         for dz, dy in _OFFS
@@ -242,6 +254,7 @@ def lj_cell_forces_pallas(
         sig2=sig2,
         shift6=shift6,
         rc2=rc2,
+        z_halo=z_halo,
         out_dtype=out_dtype,
     )
     win = (tx + 2 * HX) * cap

@@ -1,0 +1,412 @@
+"""Slab domain decomposition over a 1-D device mesh.
+
+The TPU-native equivalent of the reference's MPI spatial decomposition
+stack (/root/reference/src/parallel/DomainDecomposition.{h,cpp} +
+DomainDecompMPIBase::exchangeMoleculesMPI +
+IndirectNeighbourCommunicationScheme + CommunicationPartner):
+
+  - the z axis of the cell grid is split into P contiguous slabs, one
+    per device; each device owns a fixed-capacity local molecule array
+    (capacity + validity masks replace the reference's dynamic
+    std::vectors and byte-packed CommunicationBuffers)
+  - LEAVING molecules (MessageType LEAVING_ONLY,
+    CommunicationPartner.h:16-21): after the drift, molecules whose
+    wrapped z falls in a neighbor slab are compacted into fixed-size
+    padded payloads and exchanged with jax.lax.ppermute (+1 and -1
+    rings); merge = concat + validity sort (no scatters)
+  - HALO copies (MessageType HALO_COPIES): the dense boundary cell rows
+    of the Pallas views are ppermuted to the neighbors, pre-shifted by
+    +-Lz on the global boundary, giving the force kernel explicit z
+    halo rows (z_halo mode); y/x periodicity stays in-kernel
+  - global values: one fused psum of
+    (u6lj, virial, summv2, sumIw2, N, rotDOF) -- exactly the
+    agglomerated CollectiveCommunication pattern
+    (src/parallel/CollectiveCommunication.h:14-60)
+  - force back-exchange is unnecessary: each ordered pair is computed
+    on the owner of molecule i (full-shell zonal method, no
+    requiresForceExchange -- ZonalMethods/FullShell.h)
+
+The whole multi-chip step is ONE jitted shard_map program; XLA
+schedules the ppermutes on ICI and overlaps them with local compute
+(the role of NonBlockingMPIMultiStepHandler falls out for free).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ls1_mardyn_tpu.models.interaction import PairParams
+from ls1_mardyn_tpu.ops.cells import CellGridSpec, bin_particles
+from ls1_mardyn_tpu.ops.globals import calculate_global_values
+from ls1_mardyn_tpu.ops.integrator import upd_post_force, upd_pre_force
+from ls1_mardyn_tpu.ops.pallas_lj import HX, lj_cell_forces_pallas
+from ls1_mardyn_tpu.ops.thermostat import apply_velocity_scaling
+from ls1_mardyn_tpu.state import Macroscopic, MoleculeState
+
+AXIS = "dd"  # domain-decomposition mesh axis
+
+
+@dataclasses.dataclass(frozen=True)
+class SlabConfig:
+    """Static multi-chip configuration."""
+
+    n_devices: int
+    nz_local: int  # z cell rows per device
+    ny: int
+    nx: int
+    cap: int
+    box: Tuple[float, float, float]
+    n_local_cap: int  # molecule capacity per device
+    migrate_cap: int  # max molecules leaving through one face per step
+    tx: int
+    dt: float
+    target_temperature: float
+    thermostat: bool
+    eps24: float
+    sig2: float
+    shift6: float
+    rc2: float
+    interpret: bool = False
+    upot_corr: float = 0.0
+    virial_corr: float = 0.0
+
+    @property
+    def slab_h(self) -> float:
+        return self.box[2] / self.n_devices
+
+    @property
+    def local_spec(self) -> CellGridSpec:
+        return CellGridSpec(
+            dims=(self.nx, self.ny, self.nz_local),
+            box=(self.box[0], self.box[1], self.slab_h),
+            cap=self.cap,
+        )
+
+
+def _pack_payload(mol: MoleculeState, sel_idx: jnp.ndarray, ok: jnp.ndarray):
+    """Gather molecules into a fixed-size padded payload (the ppermute
+    replacement for CommunicationBuffer's byte packing -- dense f32,
+    ids ride as float (exact below 2^24)."""
+    i = jnp.clip(sel_idx, 0, mol.capacity - 1)
+    dtype = mol.r.dtype
+    cols = jnp.concatenate(
+        [
+            mol.r[i],
+            mol.v[i],
+            mol.q[i],
+            mol.L[i],
+            mol.cid[i].astype(dtype)[:, None],
+            mol.mid[i].astype(dtype)[:, None],
+            ok.astype(dtype)[:, None],
+        ],
+        axis=1,
+    )  # [mig_cap, 16]
+    return jnp.where(ok[:, None], cols, 0.0)
+
+
+def _unpack_payload(buf: jnp.ndarray):
+    r = buf[:, 0:3]
+    v = buf[:, 3:6]
+    q = buf[:, 6:10]
+    L = buf[:, 10:13]
+    cid = buf[:, 13].astype(jnp.int32)
+    mid = buf[:, 14].astype(jnp.int32)
+    valid = buf[:, 15] > 0.5
+    q = jnp.where(valid[:, None], q, jnp.zeros_like(q).at[:, 0].set(1.0))
+    return r, v, q, L, cid, mid, valid
+
+
+class SlabSimulation:
+    """Multi-chip driver: same API shape as SingleChipSimulation but the
+    step is a shard_map over a 1-D mesh (the 'dd' axis)."""
+
+    def __init__(
+        self,
+        cfg: SlabConfig,
+        pp: PairParams,
+        mesh: Optional[Mesh] = None,
+    ):
+        self.cfg = cfg
+        self.pp = pp
+        if mesh is None:
+            devs = np.array(jax.devices()[: cfg.n_devices])
+            mesh = Mesh(devs, (AXIS,))
+        assert mesh.shape[AXIS] == cfg.n_devices
+        self.mesh = mesh
+        self.volume = float(np.prod(cfg.box))
+        self._step_sharded = jax.jit(
+            jax.shard_map(
+                self._device_step,
+                mesh=self.mesh,
+                in_specs=(P(AXIS), P(AXIS)),
+                out_specs=(P(AXIS), P(AXIS), P(), P()),
+                check_vma=False,
+            )
+        )
+        self._force_sharded = jax.jit(
+            jax.shard_map(
+                self._device_forces_entry,
+                mesh=self.mesh,
+                in_specs=(P(AXIS),),
+                out_specs=(P(AXIS), P(), P()),
+                check_vma=False,
+            )
+        )
+
+    # -- scene distribution (host side) -----------------------------------
+    def distribute(self, mol_global: MoleculeState) -> MoleculeState:
+        """Split a global molecule state into per-device slabs, stacked
+        on a leading axis of size P * n_local_cap and sharded over the
+        mesh (the role of initial readPhaseSpace partitioning,
+        Simulation.cpp:732-736)."""
+        cfg = self.cfg
+        P_ = cfg.n_devices
+        z = np.asarray(mol_global.r)[:, 2]
+        owner = np.clip((z / cfg.slab_h).astype(int), 0, P_ - 1)
+        parts = []
+        for p in range(P_):
+            sel = np.where((owner == p) & np.asarray(mol_global.valid))[0]
+            if len(sel) > cfg.n_local_cap:
+                raise ValueError(
+                    f"device {p}: {len(sel)} molecules > capacity {cfg.n_local_cap}"
+                )
+            pad = cfg.n_local_cap - len(sel)
+            take = lambda a: np.concatenate(
+                [np.asarray(a)[sel], np.zeros((pad,) + a.shape[1:], np.asarray(a).dtype)]
+            )
+            q = take(mol_global.q)
+            q[len(sel):, 0] = 1.0
+            parts.append(
+                dict(
+                    r=take(mol_global.r),
+                    v=take(mol_global.v),
+                    q=q,
+                    L=take(mol_global.L),
+                    cid=take(mol_global.cid),
+                    mid=take(mol_global.mid),
+                    valid=np.concatenate([np.ones(len(sel), bool), np.zeros(pad, bool)]),
+                )
+            )
+        stacked = {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
+        dtype = mol_global.r.dtype
+        sh = NamedSharding(self.mesh, P(AXIS))
+        dev = lambda a, dt: jax.device_put(jnp.asarray(a, dt), sh)
+        return MoleculeState(
+            r=dev(stacked["r"], dtype),
+            v=dev(stacked["v"], dtype),
+            q=dev(stacked["q"], dtype),
+            L=dev(stacked["L"], dtype),
+            cid=dev(stacked["cid"], jnp.int32),
+            mid=dev(stacked["mid"], jnp.int32),
+            valid=dev(stacked["valid"], jnp.bool_),
+        )
+
+    def gather_global(self, mol: MoleculeState) -> MoleculeState:
+        """All-device view back on host (diagnostics/checkpointing)."""
+        return jax.tree.map(lambda a: np.asarray(a), mol)
+
+    # -- per-device step bodies (run inside shard_map) ---------------------
+    def _rank(self):
+        return jax.lax.axis_index(AXIS)
+
+    def _migrate(self, mol: MoleculeState) -> Tuple[MoleculeState, jnp.ndarray]:
+        """Exchange molecules that left the local slab with the +-1
+        neighbors (LEAVING_ONLY exchange).  Assumes dt is small enough
+        that nobody crosses more than one slab per step (the reference
+        makes the same assumption per cell, LinkedCells.h)."""
+        cfg = self.cfg
+        rank = self._rank()
+        Pn = cfg.n_devices
+        # owner slab from the (already wrapped) z coordinate; +-1 ring
+        # distance handles the periodic wrap at rank 0 / P-1
+        owner = jnp.clip(
+            jnp.floor(mol.r[:, 2] / cfg.slab_h).astype(jnp.int32), 0, Pn - 1
+        )
+        d = jnp.mod(owner - rank, Pn)
+        go_up = mol.valid & (d == 1)
+        go_down = mol.valid & (d == Pn - 1)
+        too_far = mol.valid & (d != 0) & ~go_up & ~go_down
+
+        def pick(leave):
+            # compact leaver indices to the front via argsort on ~leave
+            ordr = jnp.argsort(~leave)[: cfg.migrate_cap].astype(jnp.int32)
+            ok = leave[ordr]
+            return ordr, ok
+
+        up_idx, up_ok = pick(go_up)
+        dn_idx, dn_ok = pick(go_down)
+        overflow = (
+            (jnp.sum(go_up) > cfg.migrate_cap)
+            | (jnp.sum(go_down) > cfg.migrate_cap)
+            | jnp.any(too_far)
+        )
+        buf_up = _pack_payload(mol, up_idx, up_ok)
+        buf_dn = _pack_payload(mol, dn_idx, dn_ok)
+        perm_up = [(i, (i + 1) % Pn) for i in range(Pn)]
+        perm_dn = [(i, (i - 1) % Pn) for i in range(Pn)]
+        recv_from_below = jax.lax.ppermute(buf_up, AXIS, perm_up)
+        recv_from_above = jax.lax.ppermute(buf_dn, AXIS, perm_dn)
+
+        # drop the leavers locally
+        keep = mol.valid & ~(go_up | go_down)
+        # merge: concat local + received, validity-sort, truncate
+        rr, rv, rq, rL, rcid, rmid, rvalid = _unpack_payload(
+            jnp.concatenate([recv_from_below, recv_from_above], axis=0)
+        )
+        cat = lambda a, b: jnp.concatenate([a, b], axis=0)
+        r = cat(mol.r, rr)
+        v = cat(mol.v, rv)
+        q = cat(mol.q, rq)
+        L = cat(mol.L, rL)
+        cid = cat(mol.cid, rcid)
+        mid = cat(mol.mid, rmid)
+        valid = cat(keep, rvalid)
+        # valid first (stable), then truncate to capacity
+        ordr = jnp.argsort(~valid)[: cfg.n_local_cap]
+        overflow = overflow | (jnp.sum(valid) > cfg.n_local_cap)
+        sel = lambda a: a[ordr]
+        out = MoleculeState(
+            r=sel(r), v=sel(v), q=sel(q), L=sel(L),
+            cid=sel(cid), mid=sel(mid), valid=sel(valid),
+        )
+        return out, overflow
+
+    def _local_views(self, mol: MoleculeState):
+        """Bin locally and build the kernel views with explicit z halo
+        rows ppermuted from the neighbors (HALO_COPIES exchange)."""
+        cfg = self.cfg
+        spec = cfg.local_spec
+        rank = self._rank()
+        Pn = cfg.n_devices
+        dtype = mol.r.dtype
+        z0 = rank.astype(dtype) * cfg.slab_h
+        # bin on slab-local z
+        r_loc = jnp.concatenate(
+            [mol.r[:, :2], mol.r[:, 2:3] - z0], axis=1
+        )
+        bins = bin_particles(r_loc, mol.valid, spec)
+        nx, ny, nzl, cap = cfg.nx, cfg.ny, cfg.nz_local, cfg.cap
+        idx = bins.slots.reshape(nzl, ny, nx * cap)
+        safe = jnp.clip(idx, 0, mol.capacity - 1)
+        ok = (idx >= 0) & mol.valid[safe]
+        pack = jnp.concatenate([mol.r, mol.valid.astype(dtype)[:, None]], axis=1)
+        g = jnp.where(ok[..., None], pack[safe], 0.0)  # [nzl, ny, nx*cap, 4]
+
+        Lx = cfg.box[0]
+        shift_vec = jnp.zeros((4,), dtype).at[0].set(Lx)
+
+        def with_xhalo(a):
+            pad = jnp.zeros(a.shape[:2] + ((HX - 1) * cap, 4), a.dtype)
+            left = a[:, :, (nx - 1) * cap :, :] - shift_vec
+            right = a[:, :, :cap, :] + shift_vec
+            return jnp.concatenate([pad, left, a, right, pad], axis=2)
+
+        gj = with_xhalo(g)  # [nzl, ny, Wj_lanes, 4]
+        # z halo: send top row up, bottom row down; apply the global
+        # periodic z shift on the wrapping link
+        Lz = cfg.box[2]
+        zshift = jnp.zeros((4,), dtype).at[2].set(Lz)
+        perm_up = [(i, (i + 1) % Pn) for i in range(Pn)]
+        perm_dn = [(i, (i - 1) % Pn) for i in range(Pn)]
+        halo_below = jax.lax.ppermute(gj[-1:], AXIS, perm_up)  # from rank-1
+        halo_above = jax.lax.ppermute(gj[:1], AXIS, perm_dn)  # from rank+1
+        halo_below = jnp.where(
+            (rank == 0) & (halo_below[..., 3:] > 0.5), halo_below - zshift, halo_below
+        )
+        halo_above = jnp.where(
+            (rank == Pn - 1) & (halo_above[..., 3:] > 0.5),
+            halo_above + zshift,
+            halo_above,
+        )
+        r_j = jnp.moveaxis(
+            jnp.concatenate([halo_below, gj, halo_above], axis=0), -1, 2
+        )  # [nzl+2, ny, 4, Wj]
+        r_i = jnp.moveaxis(g, -1, 2)
+        return r_i, r_j, bins
+
+    def _device_forces(self, mol: MoleculeState):
+        cfg = self.cfg
+        r_i, r_j, bins = self._local_views(mol)
+        f, u6, vir = lj_cell_forces_pallas(
+            r_i,
+            r_j,
+            nx=cfg.nx,
+            ny=cfg.ny,
+            nz=cfg.nz_local,
+            cap=cfg.cap,
+            tx=cfg.tx,
+            box=cfg.box,
+            eps24=cfg.eps24,
+            sig2=cfg.sig2,
+            shift6=cfg.shift6,
+            rc2=cfg.rc2,
+            interpret=cfg.interpret,
+            z_halo=True,
+        )
+        fxyz = jnp.moveaxis(f[:, :, :3, :], 2, -1).reshape(-1, 3)
+        src = jnp.clip(bins.slot_of, 0, fxyz.shape[0] - 1)
+        F = jnp.where(mol.valid[:, None], fxyz[src], 0.0)
+        return F, u6, vir, bins.overflow
+
+    def _device_forces_entry(self, mol: MoleculeState):
+        F, u6, vir, _ovf = self._device_forces(mol)
+        u6g, virg = jax.lax.psum(jnp.stack([u6, vir]), AXIS)
+        return F, u6g, virg
+
+    def _device_step(self, mol: MoleculeState, F_prev: jnp.ndarray):
+        cfg = self.cfg
+        from ls1_mardyn_tpu.state import Forces
+        from ls1_mardyn_tpu.ops.cells import wrap_positions
+
+        dtype = mol.r.dtype
+        zeros3 = jnp.zeros_like(F_prev)
+        forces_prev = Forces(F=F_prev, M=zeros3, Vi=zeros3)
+        mol = upd_pre_force(mol, forces_prev, self.pp, cfg.dt)
+        mol = dataclasses.replace(mol, r=wrap_positions(mol.r, cfg.box))
+        mol, mig_overflow = self._migrate(mol)
+        F, u6, vir, bin_overflow = self._device_forces(mol)
+        forces = Forces(F=F, M=zeros3, Vi=zeros3)
+        mol, mv2, iw2 = upd_post_force(mol, forces, self.pp, cfg.dt)
+
+        # one fused psum: (u6, vir, summv2, sumIw2, N, rotDOF) --
+        # the agglomerated CollectiveCommunication analogue
+        nloc = jnp.sum(mol.valid).astype(dtype)
+        rdof = jnp.sum(
+            jnp.where(mol.valid, self.pp.rot_dof[mol.cid], 0)
+        ).astype(dtype)
+        packed = jnp.stack([u6, vir, jnp.sum(mv2), jnp.sum(iw2), nloc, rdof])
+        u6g, virg, summv2, sumiw2, ng, rdofg = jax.lax.psum(packed, AXIS)
+
+        zero = jnp.zeros((), dtype)
+        macro = Macroscopic(
+            upot6lj=u6g,
+            upot_xpoles=zero + cfg.upot_corr,
+            virial=virg + cfg.virial_corr,
+            my_rf=zero,
+        )
+        gv = calculate_global_values(
+            macro,
+            summv2,
+            sumiw2,
+            ng,
+            rdofg,
+            self.volume,
+            cfg.target_temperature,
+            nve=not cfg.thermostat,
+        )
+        if cfg.thermostat and cfg.target_temperature > 0:
+            mol = apply_velocity_scaling(mol, gv.beta_trans, gv.beta_rot)
+        overflow = (
+            jax.lax.psum(
+                (mig_overflow | bin_overflow).astype(jnp.int32), AXIS
+            )
+            > 0
+        )
+        return mol, F, gv, overflow

@@ -1,0 +1,147 @@
+"""Multi-chip slab decomposition tests on the virtual 8-device CPU mesh.
+
+The analogue of the reference's DomainDecompositionTest /
+sequential-vs-parallel validation cross-check (SURVEY.md section 4:
+compare the PAR run against the SEQ base on identical inputs).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from ls1_mardyn_tpu.io.generators import cubic_grid
+from ls1_mardyn_tpu.ops.cells import CellGridSpec
+from ls1_mardyn_tpu.ops.pallas_path import PallasLJPath
+from ls1_mardyn_tpu.parallel.decomposition import SlabConfig, SlabSimulation
+from ls1_mardyn_tpu.scene import build_scene
+from ls1_mardyn_tpu.simulation import SimConfig, SingleChipSimulation
+
+P = 8
+
+
+def _scene(nz=8, nx=4, ny=4, rho=0.5, T=1.0, cell=2.6, rc=2.5, seed=11):
+    box = (nx * cell, ny * cell, nz * cell)
+    n = int(rho * box[0] * box[1] * box[2])
+    data = cubic_grid(n, list(box), T, seed=seed)
+    mol, pp, table, gbox = build_scene(data, cutoff=rc, dtype=jnp.float64)
+    return mol, pp, table, box, rc, n, T
+
+
+def _slab_sim(mol, pp, table, box, rc, n, T, dims, dt=0.002, thermostat=True):
+    nx, ny, nz = dims
+    cfg = SlabConfig(
+        n_devices=P,
+        nz_local=nz // P,
+        ny=ny,
+        nx=nx,
+        cap=32,
+        box=box,
+        n_local_cap=2 * n // P + 64,
+        migrate_cap=64,
+        tx=4,
+        dt=dt,
+        target_temperature=T,
+        thermostat=thermostat,
+        eps24=float(table.eps24[0, 0, 0, 0]),
+        sig2=float(table.sig2[0, 0, 0, 0]),
+        shift6=float(table.shift6[0, 0, 0, 0]),
+        rc2=rc * rc,
+        interpret=True,
+    )
+    mesh = Mesh(np.array(jax.devices()[:P]), ("dd",))
+    return SlabSimulation(cfg, pp, mesh=mesh)
+
+
+def test_sharded_forces_match_single_chip():
+    mol, pp, table, box, rc, n, T = _scene()
+    sim = _slab_sim(mol, pp, table, box, rc, n, T, (4, 4, 8))
+
+    # single-chip reference via the (oracle-validated) Pallas path
+    spec = CellGridSpec(dims=(4, 4, 8), box=box, cap=32)
+    path = PallasLJPath(table, spec, tx=4, interpret=True)
+    f_ref, m_ref, _ = jax.jit(path.__call__)(mol)
+
+    mol_sh = sim.distribute(mol)
+    F_sh, u6, vir = sim._force_sharded(mol_sh)
+
+    # compare per molecule id
+    mids_sh = np.asarray(mol_sh.mid)
+    valid_sh = np.asarray(mol_sh.valid)
+    F_by_id = {}
+    Fs = np.asarray(F_sh)
+    for i in np.where(valid_sh)[0]:
+        F_by_id[mids_sh[i]] = Fs[i]
+    mids = np.asarray(mol.mid)
+    F_ref = np.asarray(f_ref.F)
+    scale = np.abs(F_ref).max()
+    for i in range(n):
+        np.testing.assert_allclose(
+            F_by_id[mids[i]] / scale, F_ref[i] / scale, atol=1e-12
+        )
+    np.testing.assert_allclose(float(u6), float(m_ref.upot6lj), rtol=1e-12)
+    np.testing.assert_allclose(float(vir), float(m_ref.virial), rtol=1e-12)
+
+
+def test_sharded_steps_match_single_chip():
+    """Run 5 NVT steps on both paths; global T and Upot must agree
+    (trajectories identical modulo summation order)."""
+    mol, pp, table, box, rc, n, T = _scene()
+    sim = _slab_sim(mol, pp, table, box, rc, n, T, (4, 4, 8))
+    mol_sh = sim.distribute(mol)
+    F, _, _ = sim._force_sharded(mol_sh)
+    for _ in range(5):
+        mol_sh, F, gv, overflow = sim._step_sharded(mol_sh, F)
+    assert not bool(overflow)
+
+    spec = CellGridSpec(dims=(4, 4, 8), box=box, cap=32)
+    path = PallasLJPath(table, spec, tx=4, interpret=True)
+    cfg1 = SimConfig(dt=0.002, target_temperature=T, thermostat=True)
+    ssim = SingleChipSimulation(mol, pp, box, cfg1, force_fn=path)
+    gv1 = ssim.run(5)
+
+    np.testing.assert_allclose(
+        float(gv.temperature), float(gv1.temperature), rtol=1e-10
+    )
+    np.testing.assert_allclose(float(gv.upot), float(gv1.upot), rtol=1e-9)
+    assert int(float(gv.n)) == n
+
+
+def test_migration_across_slabs():
+    """Molecules pushed across slab boundaries (incl. the periodic z
+    wrap) must arrive at the right owner with state intact."""
+    mol, pp, table, box, rc, n, T = _scene()
+    sim = _slab_sim(mol, pp, table, box, rc, n, T, (4, 4, 8), thermostat=False)
+    mol_sh = sim.distribute(mol)
+    # give every molecule a strong +z velocity so many cross upward,
+    # including over the periodic wrap at the top slab
+    v = np.array(mol_sh.v)
+    v[:, 2] = 2.0  # dt=0.002 -> dz=0.004 per step; boundary particles cross
+    mol_sh = dataclasses.replace(
+        mol_sh,
+        v=jax.device_put(jnp.asarray(v), mol_sh.v.sharding),
+    )
+    F, _, _ = sim._force_sharded(mol_sh)
+    ids_before = set(
+        np.asarray(mol_sh.mid)[np.asarray(mol_sh.valid)].tolist()
+    )
+    total_before = len(ids_before)
+    for _ in range(20):
+        mol_sh, F, gv, overflow = sim._step_sharded(mol_sh, F)
+    assert not bool(overflow)
+    valid = np.asarray(mol_sh.valid)
+    ids_after = np.asarray(mol_sh.mid)[valid]
+    # no molecule lost or duplicated (assertDisjunctivity analogue,
+    # DomainDecompBase.h:165)
+    assert len(ids_after) == total_before
+    assert set(ids_after.tolist()) == ids_before
+    # every molecule is inside its owner's slab
+    z = np.asarray(mol_sh.r)[:, 2]
+    slab_h = box[2] / P
+    ncap = sim.cfg.n_local_cap
+    for p in range(P):
+        zs = z[p * ncap : (p + 1) * ncap][valid[p * ncap : (p + 1) * ncap]]
+        assert ((zs >= p * slab_h - 1e-9) & (zs < (p + 1) * slab_h + 1e-9)).all()
