@@ -25,9 +25,8 @@ def main():
 
     from ls1_mardyn_tpu.io.generators import cubic_grid
     from ls1_mardyn_tpu.ops.cells import CellGridSpec
-    from ls1_mardyn_tpu.ops.pallas_path import PallasLJPath
+    from ls1_mardyn_tpu.ops.rmm import RMMSimulation
     from ls1_mardyn_tpu.scene import build_scene
-    from ls1_mardyn_tpu.simulation import SimConfig, SingleChipSimulation
 
     n = int(os.environ.get("LS1_BENCH_N", 4_194_304))
     steps = int(os.environ.get("LS1_BENCH_STEPS", 20))
@@ -39,23 +38,30 @@ def main():
     data = cubic_grid(n, [L, L, L], temperature, seed=7)
     mol, pp, table, box = build_scene(data, cutoff=rc, dtype=jnp.float32)
 
-    # cell grid: pick a power-of-two-ish dim with cell edge >= rc
+    # cell grid: cell edge just above rc.  (A tighter grid tuned for
+    # ~75%% slot occupancy overflows on the perfect-lattice start --
+    # cells aliasing 3 lattice planes per axis collect 54 molecules --
+    # so stay at cutoff-sized cells; occupancy tuning needs an
+    # equilibrated configuration.)
     nd = max(4, int(np.floor(L / rc)))
     nd -= nd % 4  # keep nx divisible by the x-tile
     spec = CellGridSpec(dims=(nd, nd, nd), box=tuple(float(b) for b in np.asarray(box)), cap=32)
     assert min(spec.cell_len) >= rc, (spec.cell_len, rc)
 
-    cfg = SimConfig(dt=0.002, target_temperature=temperature, thermostat=True)
-    path = PallasLJPath(table, spec, tx=4)
-    sim = SingleChipSimulation(mol, pp, box, cfg, force_fn=path)
-    sim.prepare_start()
-    # warmup (compile + cache)
-    sim.run(3)
-    jax.block_until_ready(sim.mol.r)
+    sim = RMMSimulation(
+        table, pp, box, spec, dt=0.002, target_temperature=temperature,
+        thermostat=True, tx=4, rebin_every=8,
+    )
+    sim.init_from_molecules(mol)
+    # warmup (compile + cache both step and rebin); NB block_until_ready
+    # does not reliably block through the axon remote backend, so sync
+    # via an actual scalar readback
+    gv = sim.run(9)
+    float(gv.upot)
 
     t0 = time.perf_counter()
-    sim.run(steps)
-    jax.block_until_ready(sim.mol.r)
+    gv = sim.run(steps)
+    float(gv.upot)
     dt = time.perf_counter() - t0
 
     n_chips = jax.device_count()

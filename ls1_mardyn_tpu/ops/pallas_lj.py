@@ -50,7 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 # 9 neighbor rows in (dz, dy); index 4 is the center row (the i-source)
 _OFFS = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1), (1, -1), (1, 0), (1, 1)]
 _CENTER = 4
-HX = 2  # x-halo cells per side in the j view (alignment padding)
+HX = 1  # x-halo cells per side in the j view
 NPLANE = 4
 
 

@@ -1,0 +1,246 @@
+"""Reduced-memory-mode (RMM) dense-state simulation for 1CLJ fluids.
+
+The TPU re-design of the reference's reduced memory mode
+(/root/reference/src/molecules/MoleculeRMM.h + LeapfrogRMM +
+VCP1CLJRMM: single-site LJ, position+velocity only, integration fused
+into cell-processor sweeps, src/Simulation.cpp:819-854):
+
+Here the PRIMARY state lives directly in the kernel's dense cell layout
+  planes [nz, ny, 8, nx*cap]  =  (x, y, z, valid, vx, vy, vz, mid)
+so the per-step pipeline is pure elementwise plane math + the Pallas
+cell kernel -- no gather/scatter, no sort.  Rebinning (the reference's
+LinkedCells::update) runs only every `rebin_every` steps: the cell edge
+exceeds the cutoff by a skin, and with MD displacements of ~1e-3 sigma
+per step the cell assignment stays valid for many steps (verlet-skin
+argument; LinkedCells.h:150-153 'skipParticleUpdate' plays the same
+trick).  Positions are wrapped only at rebin time so stale slots remain
+geometrically consistent between rebins.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ls1_mardyn_tpu.models.interaction import PairParams
+from ls1_mardyn_tpu.ops.cells import CellGridSpec, bin_particles, wrap_positions
+from ls1_mardyn_tpu.ops.globals import GlobalValues, calculate_global_values
+from ls1_mardyn_tpu.ops.pallas_lj import HX, lj_cell_forces_pallas
+from ls1_mardyn_tpu.state import MoleculeState
+
+NP_RMM = 8  # planes: x, y, z, valid, vx, vy, vz, mid
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class RMMState:
+    planes: jnp.ndarray  # [nz, ny, 8, nx*cap]
+    forces: jnp.ndarray  # [nz, ny, 3, nx*cap] from the previous evaluation
+    u6: jnp.ndarray
+    vir: jnp.ndarray
+
+
+class RMMSimulation:
+    """Single-chip dense-state 1CLJ NVT/NVE driver (flagship bench)."""
+
+    def __init__(
+        self,
+        table,
+        pp: PairParams,
+        box,
+        spec: CellGridSpec,
+        dt: float,
+        target_temperature: float = 0.0,
+        thermostat: bool = True,
+        tx: int = 4,
+        rebin_every: int = 8,
+        interpret: bool = False,
+        upot_corr: float = 0.0,
+        virial_corr: float = 0.0,
+    ):
+        assert table.K == 1 and len(table.components[0].ljcenters) == 1
+        self.spec = spec
+        self.box = tuple(float(b) for b in np.asarray(box))
+        self.dt = float(dt)
+        self.volume = float(np.prod(self.box))
+        self.mass = float(table.mass[0])
+        self.target_temperature = float(target_temperature)
+        self.thermostat = thermostat
+        self.tx = tx
+        self.rebin_every = rebin_every
+        self.interpret = interpret
+        self.upot_corr = float(upot_corr)
+        self.virial_corr = float(virial_corr)
+        self.eps24 = float(table.eps24[0, 0, 0, 0])
+        self.sig2 = float(table.sig2[0, 0, 0, 0])
+        self.shift6 = float(table.shift6[0, 0, 0, 0])
+        self.rc2 = float(table.lj_cutoff ** 2)
+        self._step_jit = jax.jit(self._step)
+        self._rebin_jit = jax.jit(self._rebin)
+        self._forces_jit = jax.jit(self._forces)
+        self.state: RMMState = None
+        self._k = 0
+
+    # -- layout helpers ---------------------------------------------------
+    def _kernel(self, planes):
+        nx, ny, nz = self.spec.dims
+        cap = self.spec.cap
+        dtype = planes.dtype
+        r_i = planes[:, :, :4, :]
+        Lx = self.box[0]
+        shift = jnp.zeros((4, 1), dtype).at[0, 0].set(Lx)
+        pad = jnp.zeros((nz, ny, 4, (HX - 1) * cap), dtype)
+        left = r_i[:, :, :, (nx - 1) * cap :] - shift
+        right = r_i[:, :, :, :cap] + shift
+        parts = [left, r_i, right]
+        if HX > 1:
+            parts = [pad, left, r_i, right, pad]
+        r_j = jnp.concatenate(parts, axis=3)
+        return lj_cell_forces_pallas(
+            r_i,
+            r_j,
+            nx=nx,
+            ny=ny,
+            nz=nz,
+            cap=cap,
+            tx=self.tx,
+            box=self.box,
+            eps24=self.eps24,
+            sig2=self.sig2,
+            shift6=self.shift6,
+            rc2=self.rc2,
+            interpret=self.interpret,
+        )
+
+    def _forces(self, planes):
+        f, u6, vir = self._kernel(planes)
+        return f[:, :, :3, :], u6, vir
+
+    # -- jitted step ------------------------------------------------------
+    def _step(self, st: RMMState) -> Tuple[RMMState, GlobalValues]:
+        dt = self.dt
+        inv2m = 0.5 * dt / self.mass
+        p = st.planes
+        w = p[:, :, 3:4, :]
+        v = p[:, :, 4:7, :] + inv2m * st.forces * w
+        r = p[:, :, 0:3, :] + dt * v * w
+        planes = jnp.concatenate([r, p[:, :, 3:4, :], v, p[:, :, 7:8, :]], axis=2)
+
+        fout, u6, vir = self._kernel(planes)
+        f = fout[:, :, :3, :]
+
+        v = v + inv2m * f * w
+        planes = jnp.concatenate([r, p[:, :, 3:4, :], v, p[:, :, 7:8, :]], axis=2)
+
+        from ls1_mardyn_tpu.state import Macroscopic
+
+        dtype = p.dtype
+        summv2 = self.mass * jnp.sum(v * v * w)
+        nmol = jnp.sum(w)
+        zero = jnp.zeros((), dtype)
+        macro = Macroscopic(
+            upot6lj=u6,
+            upot_xpoles=zero + self.upot_corr,
+            virial=vir + self.virial_corr,
+            my_rf=zero,
+        )
+        gv = calculate_global_values(
+            macro,
+            summv2,
+            zero,
+            nmol,
+            zero,
+            self.volume,
+            self.target_temperature,
+            nve=not self.thermostat,
+        )
+        if self.thermostat and self.target_temperature > 0:
+            v = v * gv.beta_trans
+            planes = jnp.concatenate(
+                [r, p[:, :, 3:4, :], v, p[:, :, 7:8, :]], axis=2
+            )
+        return RMMState(planes=planes, forces=f, u6=u6, vir=vir), gv
+
+    # -- rebin (every k steps) --------------------------------------------
+    def _rebin(self, st: RMMState):
+        nx, ny, nz = self.spec.dims
+        cap = self.spec.cap
+        p = st.planes
+        dtype = p.dtype
+        flat = p.transpose(0, 1, 3, 2).reshape(-1, NP_RMM)  # [slots, 8]
+        r = wrap_positions(flat[:, 0:3], self.box)
+        valid = flat[:, 3] > 0.5
+        bins = bin_particles(r, valid, self.spec)
+        idx = bins.slots.reshape(-1)
+        safe = jnp.clip(idx, 0, flat.shape[0] - 1)
+        ok = (idx >= 0) & valid[safe]
+        packed = jnp.concatenate(
+            [r, valid.astype(dtype)[:, None], flat[:, 4:8]], axis=1
+        )
+        g = jnp.where(ok[:, None], packed[safe], 0.0)
+        planes = g.reshape(nz, ny, nx * cap, NP_RMM).transpose(0, 1, 3, 2)
+        # forces follow their molecules through the rebin
+        fflat = st.forces.transpose(0, 1, 3, 2).reshape(-1, 3)
+        f = jnp.where(ok[:, None], fflat[safe], 0.0)
+        forces = f.reshape(nz, ny, nx * cap, 3).transpose(0, 1, 3, 2)
+        return RMMState(planes=planes, forces=forces, u6=st.u6, vir=st.vir), bins.overflow
+
+    # -- host API ---------------------------------------------------------
+    def init_from_molecules(self, mol: MoleculeState):
+        spec = self.spec
+        nx, ny, nz = spec.dims
+        cap = spec.cap
+        dtype = mol.r.dtype
+        bins = bin_particles(mol.r, mol.valid, spec)
+        idx = bins.slots.reshape(-1)
+        safe = jnp.clip(idx, 0, mol.capacity - 1)
+        ok = (idx >= 0) & mol.valid[safe]
+        packed = jnp.concatenate(
+            [
+                mol.r,
+                mol.valid.astype(dtype)[:, None],
+                mol.v,
+                mol.mid.astype(dtype)[:, None],
+            ],
+            axis=1,
+        )
+        g = jnp.where(ok[:, None], packed[safe], 0.0)
+        planes = g.reshape(nz, ny, nx * cap, NP_RMM).transpose(0, 1, 3, 2)
+        if bool(bins.overflow):
+            raise RuntimeError("cell capacity exceeded at init")
+        f, u6, vir = self._forces_jit(planes)
+        self.state = RMMState(planes=planes, forces=f, u6=u6, vir=vir)
+        self._k = 0
+
+    def run(self, steps: int, callback=None):
+        gv = None
+        for _ in range(steps):
+            if self._k and (self._k % self.rebin_every == 0):
+                self.state, overflow = self._rebin_jit(self.state)
+            self.state, gv = self._step_jit(self.state)
+            self._k += 1
+            if callback is not None:
+                callback(self._k, self.state, gv)
+        return gv
+
+    def to_molecules(self) -> MoleculeState:
+        """Flatten dense state back to molecule arrays (checkpointing)."""
+        p = np.asarray(self.state.planes)
+        nz, ny, C, W = p.shape
+        flat = p.transpose(0, 1, 3, 2).reshape(-1, C)
+        valid = flat[:, 3] > 0.5
+        r = flat[valid, 0:3]
+        v = flat[valid, 4:7]
+        mid = flat[valid, 7].astype(np.int64)
+        n = len(r)
+        return MoleculeState.from_numpy(
+            r=np.asarray(wrap_positions(jnp.asarray(r), self.box)),
+            v=v,
+            mid=mid.astype(np.int32),
+            dtype=self.state.planes.dtype,
+        )
