@@ -1,0 +1,78 @@
+"""Command-line interface.
+
+Mirrors the reference binary's UX (/root/reference/src/MarDyn.cpp:35-57,
+134-279):  `python -m ls1_mardyn_tpu [options] <config.xml>` with
+--steps/-N, --final-checkpoint, --loop-abort-time, --logfile,
+--verbose/-v, --legacy-cell-processor (force the general path), and
+--tests (run the pytest suite).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax.numpy as jnp
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="ls1-mardyn-tpu",
+        description="TPU-native molecular dynamics (ls1-MarDyn capability set)",
+    )
+    p.add_argument("config", nargs="?", help="XML config file")
+    p.add_argument("-N", "--steps", type=int, default=None,
+                   help="override number of timesteps")
+    p.add_argument("--final-checkpoint", metavar="FILE", default=None,
+                   help="write a checkpoint after the last step")
+    p.add_argument("--loop-abort-time", type=float, default=0.0,
+                   help="abort the loop after this many wall seconds")
+    p.add_argument("--logfile", default=None, help="log file prefix")
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("--legacy-cell-processor", action="store_true",
+                   help="use the general cell traversal even for 1CLJ")
+    p.add_argument("--precision", choices=("f32", "f64"), default="f32")
+    p.add_argument("--print-every", type=int, default=100)
+    p.add_argument("--tests", action="store_true", help="run the unit tests")
+    p.add_argument("--test-dir", default="tests", help="test directory")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from ls1_mardyn_tpu.utils.logger import init_logger
+
+    log = init_logger(verbose=args.verbose, logfile=args.logfile)
+
+    if args.tests:
+        import pytest
+
+        return pytest.main(["-x", "-q", args.test_dir])
+
+    if not args.config:
+        build_parser().print_help()
+        return 1
+
+    from ls1_mardyn_tpu.driver import MDSimulation
+
+    dtype = jnp.float64 if args.precision == "f64" else jnp.float32
+    if args.precision == "f64":
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+    sim = MDSimulation.from_xml(
+        args.config,
+        dtype=dtype,
+        force_mode="cells" if args.legacy_cell_processor else "auto",
+    )
+    sim.run(
+        steps=args.steps,
+        print_every=args.print_every,
+        final_checkpoint=args.final_checkpoint,
+        loop_abort_time=args.loop_abort_time,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

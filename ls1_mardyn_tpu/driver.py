@@ -1,0 +1,268 @@
+"""Top-level MD driver: XML config -> scene -> jitted step loop ->
+plugins/observables/checkpoints.
+
+The L6/L7 equivalent of the reference's Simulation class + main loop
+(/root/reference/src/Simulation.{h,cpp}: initConfigXML :675-750,
+prepare_start :764-918, simulate :920-1202) re-structured for a jitted
+engine: the device executes whole steps; the host orchestrates plugins,
+logging, checkpoint triggers, and timers.
+"""
+
+from __future__ import annotations
+
+import math
+import time as _time
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ls1_mardyn_tpu.io.ascii_reader import PhaseSpaceData, read_inp, write_inp
+from ls1_mardyn_tpu.io.generators import cubic_grid
+from ls1_mardyn_tpu.io.xml_config import XMLConfig, read_xml_config
+from ls1_mardyn_tpu.models.components import ComponentTable
+from ls1_mardyn_tpu.models.interaction import PairParams
+from ls1_mardyn_tpu.ops.cells import CellGridSpec
+from ls1_mardyn_tpu.ops.lrc import HomogeneousLRC, NoLRC
+from ls1_mardyn_tpu.ops.pallas_path import PallasLJPath
+from ls1_mardyn_tpu.plugins.base import PluginFactory
+from ls1_mardyn_tpu.simulation import SimConfig, SingleChipSimulation
+from ls1_mardyn_tpu.state import MoleculeState
+from ls1_mardyn_tpu.utils.logger import global_log
+from ls1_mardyn_tpu.utils.timers import TimerProfiler
+
+
+class MDSimulation:
+    """User-facing simulation: build from an XML config (reference
+    schema) or assemble programmatically."""
+
+    def __init__(
+        self,
+        config: XMLConfig,
+        dtype=jnp.float32,
+        force_mode: str = "auto",  # auto | pallas | cells
+        cell_cap: int = 0,
+    ):
+        self.config = config
+        self.dtype = dtype
+        self.timers = TimerProfiler()
+        for t in (
+            "SIMULATION_LOOP",
+            "SIMULATION_DECOMPOSITION",
+            "SIMULATION_COMPUTATION",
+            "SIMULATION_FORCE_CALCULATION",
+            "SIMULATION_IO",
+        ):
+            self.timers.register(t)
+
+        data = self._load_phasespace(config)
+        self.phase_space = data
+        self.table = ComponentTable(
+            data.components,
+            mixing_xi=data.mixing_xi,
+            mixing_eta=data.mixing_eta,
+            eps_rf=config.eps_rf if config.eps_rf else data.eps_rf,
+            cutoff=config.cutoff,
+            lj_cutoff=config.lj_cutoff,
+        )
+        self.pp = PairParams.from_table(self.table, dtype=dtype)
+        self.box = np.asarray(data.box, float)
+        self.volume = float(np.prod(self.box))
+        self.lj_cutoff = config.lj_cutoff
+        n = len(data.mid)
+        self.mol = MoleculeState.from_numpy(
+            r=data.r, v=data.v, q=data.q, L=data.L,
+            cid=data.cid, mid=data.mid.astype(np.int32),
+            dtype=dtype,
+        )
+
+        # long-range correction (Simulation.cpp:514-552 longrange switch)
+        ncomp = np.bincount(data.cid, minlength=self.table.K)
+        if config.longrange.lower() in ("homogeneous", ""):
+            self.lrc = HomogeneousLRC(self.table, ncomp, self.volume)
+        else:
+            self.lrc = NoLRC()
+
+        # container sizing
+        if not cell_cap:
+            rho_cell = n / self.volume * config.lj_cutoff ** 3
+            cell_cap = max(32, int(2 ** math.ceil(math.log2(max(rho_cell * 3, 8)))))
+        thermo = config.ensemble_type.upper() == "NVT" and config.temperature > 0
+        sim_cfg = SimConfig(
+            dt=config.timestep,
+            target_temperature=config.temperature,
+            thermostat=thermo,
+            cell_cap=cell_cap,
+            cells_in_cutoff=config.cells_in_cutoff,
+            upot_corr=self.lrc.upot_corr,
+            virial_corr=self.lrc.virial_corr,
+        )
+
+        force_fn = None
+        if force_mode in ("auto", "pallas"):
+            is_1clj = (
+                self.table.K == 1
+                and len(self.table.components[0].ljcenters) == 1
+                and not self.table.has_electrostatics()
+            )
+            if is_1clj:
+                import jax
+
+                spec = CellGridSpec.create(
+                    tuple(self.box), config.lj_cutoff / config.cells_in_cutoff,
+                    cap=cell_cap,
+                )
+                nx = spec.dims[0]
+                interpret = jax.default_backend() != "tpu"
+                try:
+                    path = PallasLJPath(self.table, spec, interpret=interpret)
+                    force_fn = path
+                    global_log.info(
+                        "force path: Pallas 1CLJ kernel (RMM class), grid %s",
+                        spec.dims,
+                    )
+                except AssertionError:
+                    force_fn = None
+            elif force_mode == "pallas":
+                raise ValueError("pallas force path requires a single 1CLJ component")
+        if force_fn is None:
+            global_log.info("force path: general multi-site cell traversal")
+
+        self.engine = SingleChipSimulation(
+            self.mol, self.pp, self.box, sim_cfg, force_fn=force_fn
+        )
+        self.last_globals = None
+        self.time = float(data.current_time)
+        self.step = 0
+        self._plugins = []
+        for spec_ in list(config.output_plugins) + list(config.plugins):
+            try:
+                self._plugins.append(PluginFactory.create(spec_.name, spec_.params))
+            except KeyError:
+                global_log.warning("ignoring unknown plugin %r", spec_.name)
+        for p in self._plugins:
+            p.init(self)
+
+    # -- construction helpers ----------------------------------------------
+    @staticmethod
+    def from_xml(path: str, **kw) -> "MDSimulation":
+        return MDSimulation(read_xml_config(path), **kw)
+
+    def _load_phasespace(self, cfg: XMLConfig) -> PhaseSpaceData:
+        if cfg.phasespace_file:
+            if cfg.phasespace_file_type.upper() != "ASCII":
+                raise NotImplementedError(
+                    f"phasespacepoint type {cfg.phasespace_file_type}"
+                )
+            data = read_inp(cfg.phasespace_file)
+            if cfg.components:
+                # XML components override the file header's
+                data.components = cfg.components
+                data.mixing_xi = cfg.mixing_xi
+                data.mixing_eta = cfg.mixing_eta
+            if cfg.box is not None and (cfg.box > 0).all():
+                data.box = cfg.box
+            return data
+        if cfg.generator is not None:
+            if cfg.generator.name != "CubicGridGenerator":
+                raise NotImplementedError(f"generator {cfg.generator.name}")
+            p = cfg.generator.params
+            rho = float(p.get("density", 0.5))
+            n = int(float(p.get("numMolecules", 0)) or rho * np.prod(cfg.box))
+            return cubic_grid(
+                n, cfg.box, cfg.temperature, components=cfg.components or None
+            )
+        raise ValueError("config has neither phasespacepoint file nor generator")
+
+    # -- plugin-facing accessors -------------------------------------------
+    def molecules(self) -> MoleculeState:
+        return self.engine.mol
+
+    def forces_array(self):
+        return self.engine.forces.F if self.engine.forces else None
+
+    def write_checkpoint(self, path: str):
+        """ASCII checkpoint compatible with the reference's .inp format
+        (restart by pointing phasespacepoint at it)."""
+        mol = self.engine.mol
+        valid = np.asarray(mol.valid)
+        data = PhaseSpaceData(
+            components=self.table.components,
+            mixing_xi=self.table.mixing_xi,
+            mixing_eta=self.table.mixing_eta,
+            eps_rf=self.table.eps_rf,
+            box=self.box,
+            temperature=self.config.temperature,
+            current_time=self.time,
+            mid=np.asarray(mol.mid)[valid].astype(np.int64),
+            cid=np.asarray(mol.cid)[valid],
+            r=np.asarray(mol.r)[valid],
+            v=np.asarray(mol.v)[valid],
+            q=np.asarray(mol.q)[valid],
+            L=np.asarray(mol.L)[valid],
+        )
+        with self.timers["SIMULATION_IO"]:
+            write_inp(path, data)
+        global_log.info("wrote checkpoint %s (N=%d)", path, int(valid.sum()))
+
+    # -- main loop (Simulation::simulate, Simulation.cpp:920-1202) ----------
+    def run(
+        self,
+        steps: Optional[int] = None,
+        print_every: int = 100,
+        final_checkpoint: Optional[str] = None,
+        loop_abort_time: float = 0.0,
+    ):
+        steps = steps if steps is not None else self.config.steps
+        eng = self.engine
+        if eng.forces is None:
+            with self.timers["SIMULATION_FORCE_CALCULATION"]:
+                eng.prepare_start()
+        t_start = _time.time()
+        loop_timer = self.timers["SIMULATION_LOOP"]
+        loop_timer.start()
+        for k in range(1, steps + 1):
+            self.step += 1
+            for p in self._plugins:
+                p.before_event_new_timestep(self, self.step)
+                p.before_forces(self, self.step)
+            eng.mol, eng.forces, eng.macro, gv, overflow = eng._step_jit(
+                eng.mol, eng.forces
+            )
+            self.last_globals = gv
+            self.time += self.config.timestep
+            for p in self._plugins:
+                p.after_forces(self, self.step)
+                p.end_step(self, self.step)
+            if print_every and self.step % print_every == 0:
+                # per-step summary line (Simulation.cpp:1231-1234)
+                global_log.info(
+                    "Simstep = %d\tT = %g\tU_pot = %g\tp = %g",
+                    self.step,
+                    float(gv.temperature),
+                    float(gv.upot),
+                    float(gv.pressure),
+                )
+                if bool(overflow):
+                    raise RuntimeError(
+                        "cell capacity exceeded; increase cell_cap"
+                    )
+            if loop_abort_time and (_time.time() - t_start) > loop_abort_time:
+                global_log.warning("loop abort time reached at step %d", self.step)
+                break
+        loop_timer.stop()
+        for p in self._plugins:
+            p.finish(self)
+        if final_checkpoint:
+            self.write_checkpoint(final_checkpoint)
+        # speed report (MarDyn.cpp:262-270)
+        el = max(loop_timer.elapsed, 1e-12)
+        n = int(float(self.last_globals.n)) if self.last_globals else 0
+        global_log.info(
+            "Simulation loop took: %.3f s (%.3f steps/s)", el, steps / el
+        )
+        global_log.info(
+            "Molecule-updates per second: %.3e", n * steps / el
+        )
+        global_log.info("\n%s", self.timers.report())
+        return self.last_globals

@@ -1,0 +1,12 @@
+"""Plugin system (L5).
+
+Mirrors the reference's PluginBase hook interface and PluginFactory
+registry (/root/reference/src/plugins/PluginBase.h:63-146,
+PluginFactory.cpp:79-128): plugins hook into the step at
+before_event_new_timestep -> before_forces -> after_forces -> end_step,
+plus init/finish.  (site_wise_forces has no per-site host loop here;
+plugins that need per-site access receive the jitted force arrays.)
+"""
+
+from ls1_mardyn_tpu.plugins.base import PluginBase, PluginFactory  # noqa: F401
+from ls1_mardyn_tpu.plugins import writers  # noqa: F401  (registers defaults)
