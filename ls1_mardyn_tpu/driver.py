@@ -131,6 +131,27 @@ class MDSimulation:
         self.engine = SingleChipSimulation(
             self.mol, self.pp, self.box, sim_cfg, force_fn=force_fn
         )
+        # muVT: grand-canonical moves in the afterForces slot
+        self.gc = None
+        if config.ensemble_type == "muVT":
+            from ls1_mardyn_tpu.ensemble.grand_canonical import (
+                ChemicalPotential,
+                GrandCanonicalEnsemble,
+            )
+
+            cps = []
+            for spec_ in config.chemical_potentials:
+                p_ = spec_.params
+                cps.append(
+                    ChemicalPotential(
+                        mu=float(p_.get("mu", 0.0)),
+                        component=int(p_.get("cid", 1)) - 1,
+                        interval=int(float(p_.get("interval", 100))),
+                    )
+                )
+            self.gc = GrandCanonicalEnsemble(
+                cps, config.temperature, self.box
+            )
         self.last_globals = None
         self.time = float(data.current_time)
         self.step = 0
@@ -226,11 +247,14 @@ class MDSimulation:
             for p in self._plugins:
                 p.before_event_new_timestep(self, self.step)
                 p.before_forces(self, self.step)
+            eng._step_count += 1
             eng.mol, eng.forces, eng.macro, gv, overflow = eng._step_jit(
-                eng.mol, eng.forces
+                eng.mol, eng.forces, jnp.asarray(eng._step_count, jnp.int32)
             )
             self.last_globals = gv
             self.time += self.config.timestep
+            if self.gc is not None:
+                eng.mol = self.gc.step(eng.mol, self.pp, self.step)
             for p in self._plugins:
                 p.after_forces(self, self.step)
                 p.end_step(self, self.step)

@@ -68,6 +68,7 @@ class XMLConfig:
     plugins: List[PluginSpec] = dataclasses.field(default_factory=list)
     refunits: Dict[str, tuple] = dataclasses.field(default_factory=dict)
     thermostat_type: Optional[str] = None
+    chemical_potentials: List[PluginSpec] = dataclasses.field(default_factory=list)
     config_dir: str = "."
 
 
@@ -249,6 +250,12 @@ def read_xml_config(path: str) -> XMLConfig:
     if ens is not None:
         cfg.ensemble_type = ens.get("type", "NVT")
         cfg.temperature = _get(ens, "temperature", 0.0)
+        # muVT chemical potentials (extension: the reference's muVT is
+        # not fully XML-configurable, Simulation.cpp:218-219)
+        for cpel in ens.findall("chemicalpotential"):
+            cfg.chemical_potentials.append(
+                PluginSpec(name="ChemicalPotential", params=_params_dict(cpel))
+            )
         dom = ens.find("domain")
         if dom is not None and dom.get("type") == "box":
             cfg.box = np.array(

@@ -48,6 +48,62 @@ def apply_velocity_scaling_componentwise(
     return dataclasses.replace(mol, v=v, L=L)
 
 
+@dataclasses.dataclass(frozen=True)
+class TemperatureControlRegion:
+    """One slab/box control region (TemperatureControl.cpp 'ControlRegion'):
+    molecules inside [lower, upper) are velocity-scaled toward target_T
+    every `frequency` steps."""
+
+    lower: Tuple[float, float, float]
+    upper: Tuple[float, float, float]
+    target_temperature: float
+    frequency: int = 1
+    exponent: float = 0.4
+    component: int = -1  # -1 == all components
+
+
+def apply_temperature_control(
+    mol: MoleculeState,
+    pp: PairParams,
+    regions: Tuple[TemperatureControlRegion, ...],
+    step: jnp.ndarray,
+) -> MoleculeState:
+    """Region thermostats (src/thermostats/TemperatureControl.{h,cpp}
+    DoLoopsOverMolecules: per-region kinetic sampling + scaling), as
+    masked reductions + masked multiplies."""
+    v = mol.v
+    L = mol.L
+    dtype = v.dtype
+    mass = pp.mass[mol.cid]
+    for reg in regions:
+        lo = jnp.asarray(reg.lower, dtype)
+        hi = jnp.asarray(reg.upper, dtype)
+        inside = jnp.all((mol.r >= lo) & (mol.r < hi), axis=-1) & mol.valid
+        if reg.component >= 0:
+            inside = inside & (mol.cid == reg.component)
+        active = (step % reg.frequency) == 0
+        m = inside.astype(dtype)
+        summv2 = jnp.sum(mass * jnp.sum(v * v, axis=-1) * m)
+        nreg = jnp.sum(m)
+        denom = jnp.maximum(3.0 * nreg, 1.0)
+        t_reg = summv2 / denom
+        # beta = (T_target / T_region)^0.4, the same damped form as the
+        # global thermostat (Domain.cpp:244)
+        beta = jnp.where(
+            (nreg > 0) & (summv2 > 0) & active,
+            jnp.power(
+                jnp.asarray(reg.target_temperature, dtype)
+                / jnp.maximum(t_reg, 1e-30),
+                reg.exponent,
+            ),
+            1.0,
+        )
+        scale = jnp.where(inside, beta, 1.0)[:, None]
+        v = v * scale
+        L = L * scale
+    return dataclasses.replace(mol, v=v, L=L)
+
+
 def thermostat_kinetic_sums(
     mol: MoleculeState,
     pp: PairParams,

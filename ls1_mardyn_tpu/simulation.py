@@ -32,7 +32,12 @@ from ls1_mardyn_tpu.ops.cells import (
 )
 from ls1_mardyn_tpu.ops.globals import GlobalValues, calculate_global_values
 from ls1_mardyn_tpu.ops.integrator import upd_post_force, upd_pre_force
-from ls1_mardyn_tpu.ops.thermostat import apply_velocity_scaling
+from ls1_mardyn_tpu.ops.thermostat import (
+    apply_temperature_control,
+    apply_velocity_scaling,
+    apply_velocity_scaling_componentwise,
+    thermostat_kinetic_sums,
+)
 from ls1_mardyn_tpu.state import Forces, Macroscopic, MoleculeState
 
 
@@ -48,6 +53,13 @@ class SimConfig:
     cell_chunk: int = 0
     upot_corr: float = 0.0  # long-range correction (ops/lrc.py)
     virial_corr: float = 0.0
+    # component-wise thermostats (Domain.h:424-431): component ->
+    # thermostat id, and per-thermostat target temperatures; None =>
+    # one global thermostat
+    component_thermostat: Optional[Tuple[int, ...]] = None
+    thermostat_temps: Optional[Tuple[float, ...]] = None
+    # region thermostats (src/thermostats/TemperatureControl.{h,cpp})
+    temp_control_regions: Tuple = ()
 
 
 class SingleChipSimulation:
@@ -78,6 +90,7 @@ class SingleChipSimulation:
         self.mol = mol
         self.forces: Optional[Forces] = None
         self.macro: Optional[Macroscopic] = None
+        self._step_count = 0
         # NOTE: no donate_argnums -- buffer donation through the axon
         # remote-TPU backend triggers pathological copies (measured 4x
         # step time); state is small relative to HBM anyway.
@@ -103,7 +116,7 @@ class SingleChipSimulation:
         return mol, *self._force_fn(mol)
 
     def _step(
-        self, mol: MoleculeState, forces: Forces
+        self, mol: MoleculeState, forces: Forces, step: jnp.ndarray
     ) -> Tuple[MoleculeState, Forces, Macroscopic, GlobalValues, jnp.ndarray]:
         cfg = self.config
         # 1. first half-kick + drift (Leapfrog transition 3->1->2)
@@ -139,9 +152,31 @@ class SingleChipSimulation:
             cfg.target_temperature,
             nve=not cfg.thermostat,
         )
-        # 7. thermostat (Simulation.cpp:1108-1136)
-        if cfg.thermostat and cfg.target_temperature > 0:
+        # 7. thermostat (Simulation.cpp:1108-1140)
+        if cfg.thermostat and cfg.component_thermostat is not None:
+            tmap = jnp.asarray(cfg.component_thermostat, jnp.int32)
+            n_th = len(cfg.thermostat_temps)
+            s2, siw2, nt, rd = thermostat_kinetic_sums(
+                mol, self.pp, mv2, iw2, tmap, n_th
+            )
+            Ti = jnp.asarray(cfg.thermostat_temps, mol.r.dtype)
+            bt = jnp.where(
+                (Ti > 0) & (s2 > 0),
+                jnp.power(3.0 * nt * Ti / jnp.maximum(s2, 1e-30), 0.4),
+                1.0,
+            )
+            br = jnp.where(
+                (Ti > 0) & (siw2 > 0),
+                jnp.power(rd * Ti / jnp.maximum(siw2, 1e-30), 0.4),
+                1.0,
+            )
+            mol = apply_velocity_scaling_componentwise(mol, tmap, bt, br)
+        elif cfg.thermostat and cfg.target_temperature > 0:
             mol = apply_velocity_scaling(mol, gv.beta_trans, gv.beta_rot)
+        if cfg.temp_control_regions:
+            mol = apply_temperature_control(
+                mol, self.pp, cfg.temp_control_regions, step
+            )
         return mol, forces, macro, gv, overflow
 
     # -- host API ---------------------------------------------------------
@@ -157,8 +192,9 @@ class SingleChipSimulation:
             self.prepare_start()
         gv = None
         for k in range(steps):
+            self._step_count += 1
             self.mol, self.forces, self.macro, gv, overflow = self._step_jit(
-                self.mol, self.forces
+                self.mol, self.forces, jnp.asarray(self._step_count, jnp.int32)
             )
             if check_overflow_every and (k % check_overflow_every == 0):
                 if bool(overflow):
