@@ -35,6 +35,7 @@ class PairParams:
     # geometry [K, S, ...]
     lj_pos: jnp.ndarray
     charge_pos: jnp.ndarray
+    charge_q: jnp.ndarray  # [K, NC] raw site charges (Ewald k-space)
     dip_pos: jnp.ndarray
     dip_e: jnp.ndarray
     quad_pos: jnp.ndarray
@@ -76,6 +77,7 @@ class PairParams:
         return PairParams(
             lj_pos=a(t.lj_pos),
             charge_pos=a(t.charge_pos),
+            charge_q=a(t.charge_q),
             dip_pos=a(t.dip_pos),
             dip_e=a(t.dip_e),
             quad_pos=a(t.quad_pos),
@@ -141,6 +143,7 @@ def molecule_pair(
     pp: PairParams,
     mask_lj: jnp.ndarray,
     mask_elec: jnp.ndarray,
+    screen_alpha: float = 0.0,
 ):
     """All interactions of ordered molecule pair (i, j).
 
@@ -191,7 +194,13 @@ def molecule_pair(
 
     # --- charge_i x {charge, quadrupole, dipole}_j (potforce.h:330-381) --
     drs, dr2 = _pair_expand(drm, sites_i["charge"], sites_j["charge"])
-    f, u = pot.charge_charge(drs, dr2, pp.qq[cid_i, cid_j])
+    if screen_alpha:
+        # Ewald real-space part (ops/ewald.py provides the k-space rest)
+        f, u = pot.charge_charge_screened(
+            drs, dr2, pp.qq[cid_i, cid_j], screen_alpha
+        )
+    else:
+        f, u = pot.charge_charge(drs, dr2, pp.qq[cid_i, cid_j])
     f = f * mel[..., None, None, None]
     uX = uX + jnp.sum(u, axis=(-2, -1)) * mel
     add_force(f, sites_i["charge"])

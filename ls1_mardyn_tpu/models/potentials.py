@@ -26,6 +26,7 @@ through ``where`` (standard JAX safe-math pattern).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _EPS = 1e-30
@@ -62,6 +63,22 @@ def charge_charge(dr, dr2, q1q2per4pie0):
     invdr = jnp.sqrt(invdr2)
     u = q1q2per4pie0 * invdr
     fac = u * invdr2
+    return fac[..., None] * dr, u
+
+
+def charge_charge_screened(dr, dr2, q1q2per4pie0, alpha):
+    """erfc-screened Coulomb (the real-space part of Ewald summation;
+    replaces PotForce2Charge when a reciprocal solver handles the
+    long-range tail):
+      u = qq erfc(a r)/r,  f = qq (erfc(a r)/r + 2a/sqrt(pi) e^{-a^2r^2}) /r^2 * dr
+    """
+    invdr2 = 1.0 / jnp.maximum(dr2, _EPS)
+    invdr = jnp.sqrt(invdr2)
+    r = dr2 * invdr
+    erfc = jax.scipy.special.erfc(alpha * r)
+    u = q1q2per4pie0 * erfc * invdr
+    two_a_pi = 2.0 * alpha / jnp.sqrt(jnp.pi)
+    fac = (u + q1q2per4pie0 * two_a_pi * jnp.exp(-alpha * alpha * dr2)) * invdr2
     return fac[..., None] * dr, u
 
 

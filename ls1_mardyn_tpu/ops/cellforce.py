@@ -37,6 +37,7 @@ def compute_forces_cells(
     nbr_ids: jnp.ndarray,  # [n_cells, 27]
     nbr_shift: jnp.ndarray,  # [n_cells, 27, 3]
     cell_chunk: int = 0,
+    screen_alpha: float = 0.0,
 ) -> Tuple[Forces, Macroscopic]:
     n = mol.capacity
     cap = spec.cap
@@ -91,6 +92,7 @@ def compute_forces_cells(
             pp,
             mask_lj,
             mask_el,
+            screen_alpha=screen_alpha,
         )
         return dict(
             idx=i_idx,
