@@ -30,6 +30,102 @@ def maxwell_velocities(
     return v
 
 
+def mkesfera(
+    radius_liq: float,
+    rho_liq: float,
+    rho_vap: float,
+    box: Sequence[float],
+    temperature: float,
+    components: Optional[Sequence[Component]] = None,
+    seed: int = 42,
+) -> PhaseSpaceData:
+    """Liquid droplet in vapor (MkesferaGenerator analogue,
+    /root/reference/src/io/MkesferaGenerator.cpp): a sphere of liquid
+    density centered in the box, vapor elsewhere."""
+    box = np.asarray(box, float)
+    center = box / 2.0
+    n_total_liq = int(rho_liq * np.prod(box))
+    base = cubic_grid(n_total_liq, box, temperature, components, seed=seed)
+    d = base.r - center
+    inside = (d * d).sum(1) < radius_liq ** 2
+    rng = np.random.default_rng(seed + 1)
+    keep = inside | (rng.uniform(size=len(base.r)) < rho_vap / rho_liq)
+    return _subset(base, keep)
+
+
+def mktcts(
+    rho_liq: float,
+    rho_vap: float,
+    box: Sequence[float],
+    temperature: float,
+    liq_fraction: float = 0.5,
+    axis: int = 1,
+    components: Optional[Sequence[Component]] = None,
+    seed: int = 42,
+) -> PhaseSpaceData:
+    """Two-phase liquid slab + vapor (MkTcTSGenerator analogue,
+    /root/reference/src/io/MkTcTSGenerator.cpp): liquid occupies the
+    central `liq_fraction` of the box along `axis`."""
+    box = np.asarray(box, float)
+    n_total = int(rho_liq * np.prod(box))
+    base = cubic_grid(n_total, box, temperature, components, seed=seed)
+    L = box[axis]
+    lo = L * (0.5 - liq_fraction / 2)
+    hi = L * (0.5 + liq_fraction / 2)
+    in_liq = (base.r[:, axis] >= lo) & (base.r[:, axis] < hi)
+    rng = np.random.default_rng(seed + 1)
+    keep = in_liq | (rng.uniform(size=len(base.r)) < rho_vap / rho_liq)
+    return _subset(base, keep)
+
+
+def replicate(data: PhaseSpaceData, nx: int, ny: int, nz: int) -> PhaseSpaceData:
+    """Replicate an equilibrated cell (ReplicaGenerator analogue,
+    /root/reference/src/io/ReplicaGenerator.cpp)."""
+    reps = []
+    n0 = len(data.mid)
+    box = np.asarray(data.box, float)
+    for i in range(nx):
+        for j in range(ny):
+            for k in range(nz):
+                shift = np.array([i, j, k]) * box
+                reps.append(data.r + shift)
+    n_rep = nx * ny * nz
+    out = PhaseSpaceData(
+        components=data.components,
+        mixing_xi=data.mixing_xi,
+        mixing_eta=data.mixing_eta,
+        eps_rf=data.eps_rf,
+        box=box * np.array([nx, ny, nz]),
+        temperature=data.temperature,
+        current_time=data.current_time,
+        mid=np.arange(1, n0 * n_rep + 1, dtype=np.int64),
+        cid=np.tile(data.cid, n_rep),
+        r=np.concatenate(reps),
+        v=np.tile(data.v, (n_rep, 1)),
+        q=np.tile(data.q, (n_rep, 1)),
+        L=np.tile(data.L, (n_rep, 1)),
+    )
+    return out
+
+
+def _subset(data: PhaseSpaceData, keep: np.ndarray) -> PhaseSpaceData:
+    return PhaseSpaceData(
+        components=data.components,
+        mixing_xi=data.mixing_xi,
+        mixing_eta=data.mixing_eta,
+        eps_rf=data.eps_rf,
+        box=data.box,
+        temperature=data.temperature,
+        current_time=data.current_time,
+        mid=np.arange(1, int(keep.sum()) + 1, dtype=np.int64),
+        cid=data.cid[keep],
+        r=data.r[keep],
+        v=data.v[keep],
+        q=data.q[keep],
+        L=data.L[keep],
+    )
+
+
 def cubic_grid(
     num_molecules: int,
     box: Sequence[float],

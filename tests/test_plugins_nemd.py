@@ -1,0 +1,139 @@
+"""NEMD/boundary plugins + generators + in-memory checkpointing."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ls1_mardyn_tpu.driver import MDSimulation
+from ls1_mardyn_tpu.io.generators import cubic_grid, mkesfera, mktcts, replicate
+from ls1_mardyn_tpu.io.xml_config import XMLConfig, PluginSpec
+
+
+def _cfg(n=216, rho=0.4, T=1.0, plugins=(), box=None):
+    L = (n / rho) ** (1 / 3)
+    cfg = XMLConfig(
+        timestep=0.002,
+        temperature=T,
+        box=np.array(box if box is not None else [L, L, L]),
+        cutoff=2.5,
+        lj_cutoff=2.5,
+        generator=PluginSpec(
+            name="CubicGridGenerator", params={"numMolecules": str(n)}
+        ),
+        plugins=[PluginSpec(name=nm, params=dict(pr)) for nm, pr in plugins],
+    )
+    return cfg
+
+
+def test_generators_shapes():
+    d1 = mkesfera(3.0, 0.7, 0.05, [12, 12, 12], 1.0)
+    assert 0 < len(d1.mid) < 0.7 * 12 ** 3
+    center = np.array([6.0, 6.0, 6.0])
+    inside = ((d1.r - center) ** 2).sum(1) < 9.0
+    # droplet denser than vapor
+    assert inside.mean() > 0.3
+
+    d2 = mktcts(0.7, 0.02, [8, 20, 8], 0.9)
+    in_liq = (d2.r[:, 1] >= 5.0) & (d2.r[:, 1] < 15.0)
+    assert in_liq.mean() > 0.9
+
+    d3 = cubic_grid(100, [6, 6, 6], 1.0)
+    d4 = replicate(d3, 2, 2, 1)
+    assert len(d4.mid) == 400
+    assert np.allclose(d4.box, [12, 12, 6])
+    assert len(set(d4.mid.tolist())) == 400
+
+
+def test_mirror_keeps_molecules_below(tmp_path):
+    os.chdir(tmp_path)
+    cfg = _cfg(plugins=[("Mirror", {"position": "4.0", "axis": "1",
+                                    "direction": "1"})])
+    sim = MDSimulation(cfg)
+    sim.run(steps=30, print_every=0)
+    mol = sim.molecules()
+    y = np.asarray(mol.r)[np.asarray(mol.valid), 1]
+    assert (y <= 4.0 + 1e-5).all()
+
+
+def test_fix_region_freezes(tmp_path):
+    os.chdir(tmp_path)
+    cfg = _cfg(plugins=[
+        ("FixRegion", {"xmin": "0", "xmax": "1e30", "ymin": "0",
+                       "ymax": "2.0", "zmin": "0", "zmax": "1e30"})
+    ])
+    sim = MDSimulation(cfg)
+    r0 = np.array(sim.molecules().r)
+    frozen0 = np.asarray(sim.molecules().r)[:, 1] < 2.0
+    sim.run(steps=20, print_every=0)
+    r1 = np.asarray(sim.molecules().r)
+    moved = np.abs(r1 - r0).max(axis=1)
+    # frozen molecules move far less than free ones (one pre-freeze kick
+    # can still displace them in the very first step)
+    valid = np.asarray(sim.molecules().valid)
+    assert moved[frozen0 & valid].mean() < 0.2 * moved[~frozen0 & valid].mean()
+
+
+def test_com_aligner(tmp_path):
+    os.chdir(tmp_path)
+    cfg = _cfg(plugins=[("COMaligner", {"interval": "5"})])
+    sim = MDSimulation(cfg)
+    # push everything +x so COM drifts, aligner should pull it back
+    import dataclasses
+    import jax.numpy as jnp
+
+    mol = sim.engine.mol
+    sim.engine.mol = dataclasses.replace(mol, v=mol.v + jnp.asarray([0.5, 0, 0]))
+    sim.run(steps=20, print_every=0)
+    mol = sim.molecules()
+    valid = np.asarray(mol.valid)
+    com = np.asarray(mol.r)[valid].mean(axis=0)
+    np.testing.assert_allclose(com, sim.box / 2, atol=0.35)
+
+
+def test_spatial_profile_writes(tmp_path):
+    os.chdir(tmp_path)
+    cfg = _cfg(plugins=[("SpatialProfile", {"axis": "y", "bins": "20",
+                                            "samplefrequency": "2",
+                                            "writefrequency": "10",
+                                            "outputprefix": "prof"})])
+    sim = MDSimulation(cfg)
+    sim.run(steps=10, print_every=0)
+    files = [f for f in os.listdir(".") if f.startswith("prof")]
+    assert files
+    txt = open(files[0]).read()
+    assert "rho" in txt and len(txt.splitlines()) >= 22
+
+
+def test_in_memory_checkpoint_restore(tmp_path):
+    os.chdir(tmp_path)
+    cfg = _cfg(plugins=[("InMemoryCheckpointing",
+                         {"writefrequency": "5", "restartAtIteration": "12"})])
+    sim = MDSimulation(cfg)
+    snaps = {}
+
+    class Spy:
+        write_frequency = 1
+
+        def init(self, s): pass
+        def finish(self, s): pass
+        def before_event_new_timestep(self, s, k): pass
+        def before_forces(self, s, k): pass
+        def after_forces(self, s, k): pass
+
+        def end_step(self, s, k):
+            snaps[k] = np.array(s.molecules().r)
+
+    sim._plugins.append(Spy())
+    sim.run(steps=16, print_every=0)
+    # after restore at step 12 (to the step-10 snapshot), step 12's state
+    # must equal what step 11's successor-of-10 looked like: positions at
+    # step 12 replay step 11 (10 + 1 step + 1 more at 12... direction
+    # check): the trajectory after 12 diverges from a no-restore run only
+    # through the restore; at minimum the restore must not lose molecules
+    mol = sim.molecules()
+    assert int(mol.num_valid()) == 216
+    assert np.isfinite(np.asarray(mol.r)).all()
+    # the state right after restoring (step 12) equals the snapshot
+    # advanced by one step, i.e. equals snaps[11]
+    np.testing.assert_allclose(snaps[12], snaps[11], atol=1e-12)
