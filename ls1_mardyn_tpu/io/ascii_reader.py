@@ -56,11 +56,28 @@ class PhaseSpaceData:
 
 
 class _Tokens:
+    """Tokenizer that remembers byte offsets so the bulk record section
+    can be handed to the native scanner (ls1_mardyn_tpu/native)."""
+
     def __init__(self, text: str):
-        # strip comment lines starting with '#'
-        lines = [ln for ln in text.splitlines() if not ln.lstrip().startswith("#")]
-        self.toks = " ".join(lines).split()
+        self.toks = []
+        self.ends = []  # byte offset just past each token
+        off = 0
+        for ln in text.splitlines(keepends=True):
+            if not ln.lstrip().startswith("#"):
+                base = off
+                col = 0
+                for t in ln.split():
+                    col = ln.index(t, col)
+                    self.toks.append(t)
+                    self.ends.append(base + col + len(t))
+                    col += len(t)
+            off += len(ln)
         self.pos = 0
+
+    def consumed_offset(self) -> int:
+        """Byte offset just past the last consumed token."""
+        return self.ends[self.pos - 1] if self.pos else 0
 
     def next(self) -> str:
         t = self.toks[self.pos]
@@ -83,7 +100,12 @@ class _Tokens:
 def read_inp(path: str) -> PhaseSpaceData:
     with open(path) as f:
         text = f.read()
-    tk = _Tokens(text)
+    # tokenize only the header region (records are scanned natively);
+    # fall back to the full text for header-only files
+    head = text[: 1 << 22]
+    tk = _Tokens(head)
+    if len(tk.toks) < 4:
+        tk = _Tokens(text)
 
     magic = tk.next()
     if magic != "mardyn":
@@ -213,7 +235,29 @@ def read_inp(path: str) -> PhaseSpaceData:
     L = np.zeros((n, 3))
 
     ncols = {"ICRVQDV": 18, "ICRVQD": 15, "ICRV": 8, "IRV": 7}[mol_format]
-    raw = np.array([tk.next_f() for _ in range(n * ncols)]).reshape(n, ncols)
+    raw = None
+    if n > 0:
+        from ls1_mardyn_tpu.native import get_psio
+
+        lib = get_psio()
+        if lib is not None:
+            import ctypes
+
+            out = np.empty(n * ncols, dtype=np.float64)
+            got = lib.psio_read_records(
+                path.encode(),
+                tk.consumed_offset(),
+                n,
+                ncols,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            )
+            if got == n * ncols:
+                raw = out.reshape(n, ncols)
+    if raw is None:
+        if len(tk.toks) - tk.pos < n * ncols:
+            off = tk.consumed_offset()
+            tk = _Tokens(text[off:])
+        raw = np.array([tk.next_f() for _ in range(n * ncols)]).reshape(n, ncols)
     mid[:] = raw[:, 0].astype(np.int64)
     if mol_format == "IRV":
         cid[:] = 0
@@ -300,6 +344,35 @@ def write_inp(path: str, data: PhaseSpaceData, mol_format: str = "ICRVQD"):
         n = len(data.mid)
         f.write(f"NumberOfMolecules\t{n}\n")
         f.write(f"MoleculeFormat\t{mol_format}\n")
+        f.flush()
+        from ls1_mardyn_tpu.native import get_psio
+
+        lib = get_psio()
+        if lib is not None and n > 0:
+            import ctypes
+
+            cols = [data.mid.astype(np.float64)[:, None]]
+            int_cols = [0]
+            if mol_format != "IRV":
+                cols.append((data.cid + 1).astype(np.float64)[:, None])
+                int_cols.append(1)
+            cols += [data.r, data.v]
+            if mol_format in ("ICRVQD", "ICRVQDV"):
+                cols += [data.q, data.L]
+            if mol_format == "ICRVQDV":
+                cols.append(np.zeros((n, 3)))
+            rec = np.ascontiguousarray(np.concatenate(cols, axis=1))
+            ic = np.asarray(int_cols, dtype=np.int64)
+            rc_ = lib.psio_write_records(
+                path.encode(),
+                n,
+                rec.shape[1],
+                rec.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                ic.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+                len(int_cols),
+            )
+            if rc_ == 0:
+                return
         for i in range(n):
             rec = [str(int(data.mid[i]))]
             if mol_format != "IRV":
