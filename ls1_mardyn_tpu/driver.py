@@ -171,6 +171,20 @@ class MDSimulation:
 
     def _load_phasespace(self, cfg: XMLConfig) -> PhaseSpaceData:
         if cfg.phasespace_file:
+            if cfg.phasespace_file_type.lower() == "binary":
+                from ls1_mardyn_tpu.io.binary_io import read_binary_checkpoint
+
+                data = read_binary_checkpoint(
+                    cfg.phasespace_file,
+                    cfg.phasespace_header,
+                    components=cfg.components or None,
+                    mixing_xi=cfg.mixing_xi,
+                    mixing_eta=cfg.mixing_eta,
+                    eps_rf=cfg.eps_rf,
+                )
+                if cfg.box is not None and (cfg.box > 0).all():
+                    data.box = cfg.box
+                return data
             if cfg.phasespace_file_type.upper() != "ASCII":
                 raise NotImplementedError(
                     f"phasespacepoint type {cfg.phasespace_file_type}"
@@ -202,9 +216,10 @@ class MDSimulation:
     def forces_array(self):
         return self.engine.forces.F if self.engine.forces else None
 
-    def write_checkpoint(self, path: str):
-        """ASCII checkpoint compatible with the reference's .inp format
-        (restart by pointing phasespacepoint at it)."""
+    def write_checkpoint(self, path: str, binary: bool = False):
+        """Checkpoint compatible with the reference's formats: ASCII
+        .inp, or the binary record format + XML header when binary=True
+        (writes <path> and <path>.header.xml)."""
         mol = self.engine.mol
         valid = np.asarray(mol.valid)
         data = PhaseSpaceData(
@@ -223,7 +238,12 @@ class MDSimulation:
             L=np.asarray(mol.L)[valid],
         )
         with self.timers["SIMULATION_IO"]:
-            write_inp(path, data)
+            if binary:
+                from ls1_mardyn_tpu.io.binary_io import write_binary_checkpoint
+
+                write_binary_checkpoint(path, path + ".header.xml", data)
+            else:
+                write_inp(path, data)
         global_log.info("wrote checkpoint %s (N=%d)", path, int(valid.sum()))
 
     # -- main loop (Simulation::simulate, Simulation.cpp:920-1202) ----------

@@ -55,6 +55,7 @@ class XMLConfig:
     mixing_xi: Optional[np.ndarray] = None
     mixing_eta: Optional[np.ndarray] = None
     phasespace_file: Optional[str] = None
+    phasespace_header: Optional[str] = None  # binary checkpoints
     phasespace_file_type: str = "ASCII"
     generator: Optional[PluginSpec] = None
     cutoff: float = 0.0  # electrostatics cutoff <radius>
@@ -285,12 +286,24 @@ def read_xml_config(path: str) -> XMLConfig:
         psp = ens.find("phasespacepoint")
         if psp is not None:
             f = psp.find("file")
-            if f is not None and f.text:
+            if f is not None:
                 cfg.phasespace_file_type = f.get("type", "ASCII")
-                fname = f.text.strip()
-                if not os.path.isabs(fname):
-                    fname = os.path.join(base_dir, fname)
-                cfg.phasespace_file = fname
+                if cfg.phasespace_file_type.lower() == "binary":
+                    # <file type="binary"><header>..</header><data>..</data>
+                    # (BinaryReader::readXML, BinaryReader.cpp:48-62)
+                    hdr = (f.findtext("header") or "").strip()
+                    dat = (f.findtext("data") or "").strip()
+                    if not os.path.isabs(hdr):
+                        hdr = os.path.join(base_dir, hdr)
+                    if not os.path.isabs(dat):
+                        dat = os.path.join(base_dir, dat)
+                    cfg.phasespace_header = hdr
+                    cfg.phasespace_file = dat
+                elif f.text:
+                    fname = f.text.strip()
+                    if not os.path.isabs(fname):
+                        fname = os.path.join(base_dir, fname)
+                    cfg.phasespace_file = fname
             gen = psp.find("generator")
             if gen is not None:
                 cfg.generator = PluginSpec(
