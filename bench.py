@@ -38,25 +38,25 @@ def main():
     data = cubic_grid(n, [L, L, L], temperature, seed=7)
     mol, pp, table, box = build_scene(data, cutoff=rc, dtype=jnp.float32)
 
-    # cell grid: cell edge just above rc.  (A tighter grid tuned for
-    # ~75%% slot occupancy overflows on the perfect-lattice start --
-    # cells aliasing 3 lattice planes per axis collect 54 molecules --
-    # so stay at cutoff-sized cells; occupancy tuning needs an
-    # equilibrated configuration.)
-    nd = max(4, int(np.floor(L / rc)))
+    # cell grid: cell edge >= rc + verlet skin so rebinning can run
+    # every `rebin_every` steps (skin/2 > max drift).  Tighter grids
+    # overflow on the perfect-lattice start (3-plane aliasing), so the
+    # skin also buys occupancy safety.
+    skin = 0.2
+    nd = max(4, int(np.floor(L / (rc + skin))))
     nd -= nd % 4  # keep nx divisible by the x-tile
     spec = CellGridSpec(dims=(nd, nd, nd), box=tuple(float(b) for b in np.asarray(box)), cap=32)
     assert min(spec.cell_len) >= rc, (spec.cell_len, rc)
 
     sim = RMMSimulation(
         table, pp, box, spec, dt=0.002, target_temperature=temperature,
-        thermostat=True, tx=4, rebin_every=8,
+        thermostat=True, tx=4, rebin_every=16, sample_every=16,
     )
     sim.init_from_molecules(mol)
-    # warmup (compile + cache both step and rebin); NB block_until_ready
-    # does not reliably block through the axon remote backend, so sync
-    # via an actual scalar readback
-    gv = sim.run(9)
+    # warmup (compile + cache both step variants and rebin); NB
+    # block_until_ready does not reliably block through the axon remote
+    # backend, so sync via an actual scalar readback
+    gv = sim.run(17)
     float(gv.upot)
 
     t0 = time.perf_counter()

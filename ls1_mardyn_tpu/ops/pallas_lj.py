@@ -68,6 +68,7 @@ def _lj_row_kernel(
     shift6: float,
     rc2: float,
     z_halo: bool,
+    compute_macro: bool,
     out_dtype,
 ):
     row_refs = refs[:9]
@@ -157,9 +158,10 @@ def _lj_row_kernel(
             lj12 = lj6 * lj6
             lj12m6 = lj12 - lj6
             # PotForceLJ (potforce.h:18-31): u6 = eps24*(lj12-lj6)+shift6
-            u6_t = u6_t + jnp.sum(e24 * lj12m6 + sh6 * mf)
             fac = e24 * (lj12 + lj12m6) * invdr2
-            vir_t = vir_t + jnp.sum(fac * dr2)
+            if compute_macro:
+                u6_t = u6_t + jnp.sum(e24 * lj12m6 + sh6 * mf)
+                vir_t = vir_t + jnp.sum(fac * dr2)
             fx = fx + jnp.sum(fac * dx, axis=1, keepdims=True)
             fy = fy + jnp.sum(fac * dyv, axis=1, keepdims=True)
             fz = fz + jnp.sum(fac * dzv, axis=1, keepdims=True)
@@ -186,7 +188,7 @@ def _lj_row_kernel(
     jax.jit,
     static_argnames=(
         "nx", "ny", "nz", "cap", "tx", "box", "eps24", "sig2", "shift6", "rc2",
-        "interpret", "z_halo",
+        "interpret", "z_halo", "compute_macro",
     ),
 )
 def lj_cell_forces_pallas(
@@ -205,6 +207,7 @@ def lj_cell_forces_pallas(
     rc2: float,
     interpret: bool = False,
     z_halo: bool = False,
+    compute_macro: bool = True,
 ):
     """Returns (out [nz, ny, 4, nx*cap]: force planes 0..2, scalar plane
     3 with u6/virial one-hots per tile; u6lj scalar; virial scalar).
@@ -255,6 +258,7 @@ def lj_cell_forces_pallas(
         shift6=shift6,
         rc2=rc2,
         z_halo=z_halo,
+        compute_macro=compute_macro,
         out_dtype=out_dtype,
     )
     win = (tx + 2 * HX) * cap

@@ -59,6 +59,7 @@ class RMMSimulation:
         thermostat: bool = True,
         tx: int = 4,
         rebin_every: int = 8,
+        sample_every: int = 8,
         interpret: bool = False,
         upot_corr: float = 0.0,
         virial_corr: float = 0.0,
@@ -73,6 +74,7 @@ class RMMSimulation:
         self.thermostat = thermostat
         self.tx = tx
         self.rebin_every = rebin_every
+        self.sample_every = sample_every
         self.interpret = interpret
         self.upot_corr = float(upot_corr)
         self.virial_corr = float(virial_corr)
@@ -80,14 +82,19 @@ class RMMSimulation:
         self.sig2 = float(table.sig2[0, 0, 0, 0])
         self.shift6 = float(table.shift6[0, 0, 0, 0])
         self.rc2 = float(table.lj_cutoff ** 2)
-        self._step_jit = jax.jit(self._step)
+        self._step_jit = jax.jit(functools.partial(self._step, compute_macro=True))
+        # fast step: skips the Upot/virial reduction passes in the kernel
+        # (20%); the thermostat needs only kinetic energy
+        self._step_fast_jit = jax.jit(
+            functools.partial(self._step, compute_macro=False)
+        )
         self._rebin_jit = jax.jit(self._rebin)
         self._forces_jit = jax.jit(self._forces)
         self.state: RMMState = None
         self._k = 0
 
     # -- layout helpers ---------------------------------------------------
-    def _kernel(self, planes):
+    def _kernel(self, planes, compute_macro=True):
         nx, ny, nz = self.spec.dims
         cap = self.spec.cap
         dtype = planes.dtype
@@ -115,6 +122,7 @@ class RMMSimulation:
             shift6=self.shift6,
             rc2=self.rc2,
             interpret=self.interpret,
+            compute_macro=compute_macro,
         )
 
     def _forces(self, planes):
@@ -122,7 +130,7 @@ class RMMSimulation:
         return f[:, :, :3, :], u6, vir
 
     # -- jitted step ------------------------------------------------------
-    def _step(self, st: RMMState) -> Tuple[RMMState, GlobalValues]:
+    def _step(self, st: RMMState, compute_macro=True) -> Tuple[RMMState, GlobalValues]:
         dt = self.dt
         inv2m = 0.5 * dt / self.mass
         p = st.planes
@@ -131,7 +139,7 @@ class RMMSimulation:
         r = p[:, :, 0:3, :] + dt * v * w
         planes = jnp.concatenate([r, p[:, :, 3:4, :], v, p[:, :, 7:8, :]], axis=2)
 
-        fout, u6, vir = self._kernel(planes)
+        fout, u6, vir = self._kernel(planes, compute_macro)
         f = fout[:, :, :3, :]
 
         v = v + inv2m * f * w
@@ -219,14 +227,19 @@ class RMMSimulation:
 
     def run(self, steps: int, callback=None):
         gv = None
-        for _ in range(steps):
+        last_full = None
+        for i in range(steps):
             if self._k and (self._k % self.rebin_every == 0):
                 self.state, overflow = self._rebin_jit(self.state)
-            self.state, gv = self._step_jit(self.state)
+            full = (self._k % self.sample_every == 0) or (i == steps - 1)
+            step_fn = self._step_jit if full else self._step_fast_jit
+            self.state, gv = step_fn(self.state)
+            if full:
+                last_full = gv
             self._k += 1
             if callback is not None:
                 callback(self._k, self.state, gv)
-        return gv
+        return last_full if last_full is not None else gv
 
     def to_molecules(self) -> MoleculeState:
         """Flatten dense state back to molecule arrays (checkpointing)."""
