@@ -87,15 +87,34 @@ class MDSimulation:
         if not cell_cap:
             rho_cell = n / self.volume * config.lj_cutoff ** 3
             cell_cap = max(32, int(2 ** math.ceil(math.log2(max(rho_cell * 3, 8)))))
-        thermo = config.ensemble_type.upper() == "NVT" and config.temperature > 0
+        thermo = config.ensemble_type.upper() == "NVT" and (
+            config.temperature > 0 or bool(data.thermostat_temps)
+        )
+        # component-wise thermostats from the .inp header
+        # (ASCIIReader.cpp ComponentThermostat/ThermostatTemperature tokens)
+        comp_therm = None
+        therm_temps = None
+        if data.component_thermostats and data.thermostat_temps:
+            K = len(data.components)
+            tids = sorted(set(data.component_thermostats.values()))
+            remap = {t: i for i, t in enumerate(tids)}
+            comp_therm = tuple(
+                remap.get(data.component_thermostats.get(c, tids[0]), 0)
+                for c in range(K)
+            )
+            therm_temps = tuple(
+                data.thermostat_temps.get(t, config.temperature) for t in tids
+            )
         sim_cfg = SimConfig(
             dt=config.timestep,
-            target_temperature=config.temperature,
+            target_temperature=config.temperature or data.temperature,
             thermostat=thermo,
             cell_cap=cell_cap,
             cells_in_cutoff=config.cells_in_cutoff,
             upot_corr=self.lrc.upot_corr,
             virial_corr=self.lrc.virial_corr,
+            component_thermostat=comp_therm,
+            thermostat_temps=therm_temps,
         )
 
         force_fn = None
@@ -199,14 +218,34 @@ class MDSimulation:
                 data.box = cfg.box
             return data
         if cfg.generator is not None:
-            if cfg.generator.name != "CubicGridGenerator":
-                raise NotImplementedError(f"generator {cfg.generator.name}")
             p = cfg.generator.params
-            rho = float(p.get("density", 0.5))
-            n = int(float(p.get("numMolecules", 0)) or rho * np.prod(cfg.box))
-            return cubic_grid(
-                n, cfg.box, cfg.temperature, components=cfg.components or None
-            )
+            comps = cfg.components or None
+            name = cfg.generator.name
+            if name == "CubicGridGenerator":
+                rho = float(p.get("density", 0.5))
+                n = int(float(p.get("numMolecules", 0)) or rho * np.prod(cfg.box))
+                return cubic_grid(n, cfg.box, cfg.temperature, components=comps)
+            if name in ("MkesferaGenerator", "mkesfera"):
+                from ls1_mardyn_tpu.io.generators import mkesfera
+
+                return mkesfera(
+                    float(p.get("droplet", {}).get("radius", p.get("radius", 1.0))
+                          if isinstance(p.get("droplet"), dict) else p.get("radius", 1.0)),
+                    float(p.get("density-liquid", p.get("rho_liq", 0.7))),
+                    float(p.get("density-vapor", p.get("rho_vap", 0.01))),
+                    cfg.box, cfg.temperature, components=comps,
+                )
+            if name in ("MkTcTSGenerator", "mkTcTS"):
+                from ls1_mardyn_tpu.io.generators import mktcts
+
+                return mktcts(
+                    float(p.get("density-liquid", p.get("rho_liq", 0.7))),
+                    float(p.get("density-vapor", p.get("rho_vap", 0.01))),
+                    cfg.box, cfg.temperature,
+                    liq_fraction=float(p.get("liq_fraction", 0.5)),
+                    components=comps,
+                )
+            raise NotImplementedError(f"generator {name}")
         raise ValueError("config has neither phasespacepoint file nor generator")
 
     # -- plugin-facing accessors -------------------------------------------
