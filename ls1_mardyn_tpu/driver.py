@@ -119,31 +119,41 @@ class MDSimulation:
 
         force_fn = None
         if force_mode in ("auto", "pallas"):
+            import jax
+
+            spec = CellGridSpec.create(
+                tuple(self.box), config.lj_cutoff / config.cells_in_cutoff,
+                cap=cell_cap,
+            )
+            interpret = jax.default_backend() != "tpu"
             is_1clj = (
                 self.table.K == 1
                 and len(self.table.components[0].ljcenters) == 1
                 and not self.table.has_electrostatics()
             )
-            if is_1clj:
-                import jax
-
-                spec = CellGridSpec.create(
-                    tuple(self.box), config.lj_cutoff / config.cells_in_cutoff,
-                    cap=cell_cap,
-                )
-                nx = spec.dims[0]
-                interpret = jax.default_backend() != "tpu"
-                try:
-                    path = PallasLJPath(self.table, spec, interpret=interpret)
-                    force_fn = path
+            try:
+                if is_1clj:
+                    force_fn = PallasLJPath(self.table, spec, interpret=interpret)
                     global_log.info(
                         "force path: Pallas 1CLJ kernel (RMM class), grid %s",
                         spec.dims,
                     )
-                except AssertionError:
-                    force_fn = None
-            elif force_mode == "pallas":
-                raise ValueError("pallas force path requires a single 1CLJ component")
+                else:
+                    from ls1_mardyn_tpu.ops.pallas_ms_path import (
+                        PallasMultiSitePath,
+                    )
+
+                    force_fn = PallasMultiSitePath(
+                        self.table, spec, interpret=interpret
+                    )
+                    global_log.info(
+                        "force path: Pallas multi-site kernel, grid %s, "
+                        "%d planes",
+                        spec.dims,
+                        force_fn.meta.P,
+                    )
+            except AssertionError:
+                force_fn = None
         if force_fn is None:
             global_log.info("force path: general multi-site cell traversal")
 

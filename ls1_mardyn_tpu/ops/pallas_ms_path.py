@@ -1,0 +1,144 @@
+"""Force-path adapter for the multi-site Pallas kernel.
+
+The fast general-molecule pipeline (full VectorizedCellProcessor role):
+flat molecule arrays -> per-molecule world site offsets (quaternion
+rotation, plain XLA) -> packed plane gather into the kernel's cell-row
+layout -> multi-site kernel -> gather-back of F/M/Vi.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ls1_mardyn_tpu.models.interaction import PairParams, site_offsets
+from ls1_mardyn_tpu.ops.cells import CellGridSpec, bin_particles
+from ls1_mardyn_tpu.ops.pallas_lj import HX
+from ls1_mardyn_tpu.ops.pallas_multisite import (
+    _MSMeta,
+    multisite_cell_forces_pallas,
+)
+from ls1_mardyn_tpu.state import Forces, Macroscopic, MoleculeState
+
+
+class PallasMultiSitePath:
+    """force_fn for SingleChipSimulation: rigid multi-site molecules of
+    any component mix (LJ + charges + dipoles + quadrupoles)."""
+
+    def __init__(
+        self,
+        table,
+        spec: CellGridSpec,
+        tx: int = 0,
+        interpret: bool = False,
+        screen_alpha: float = 0.0,
+    ):
+        self.spec = spec
+        nx = spec.dims[0]
+        if tx <= 0:
+            pref = max(1, 128 // spec.cap)
+            tx = pref if nx % pref == 0 else next(
+                t for t in (4, 2, 1) if nx % t == 0
+            )
+        assert nx % tx == 0, (nx, tx)
+        self.tx = tx
+        self.interpret = interpret
+        self.screen_alpha = float(screen_alpha)
+        self.meta = _MSMeta(table)
+        self.rc2 = float(table.cutoff ** 2)
+        self.rc2_lj = float(table.lj_cutoff ** 2)
+
+    def _pack_planes(self, mol: MoleculeState) -> jnp.ndarray:
+        """[N, P]: x y z valid cid | site offsets | orientations."""
+        dtype = mol.r.dtype
+        sites = site_offsets_pp(self.meta, mol)
+        cols = [
+            mol.r,
+            mol.valid.astype(dtype)[:, None],
+            mol.cid.astype(dtype)[:, None],
+        ]
+        n = mol.capacity
+        for key in ("lj", "charge", "dip", "dip_e", "quad", "quad_e"):
+            cols.append(sites[key].reshape(n, -1))
+        packed = jnp.concatenate(cols, axis=1)
+        pad = self.meta.P - packed.shape[1]
+        if pad:
+            packed = jnp.concatenate(
+                [packed, jnp.zeros((n, pad), dtype)], axis=1
+            )
+        return packed
+
+    def __call__(self, mol: MoleculeState) -> Tuple[Forces, Macroscopic, jnp.ndarray]:
+        spec = self.spec
+        nx, ny, nz = spec.dims
+        cap = spec.cap
+        n = mol.capacity
+        dtype = mol.r.dtype
+        Lx = spec.box[0]
+        P = self.meta.P
+
+        bins = bin_particles(mol.r, mol.valid, spec)
+        idx = bins.slots.reshape(nz, ny, nx * cap)
+        safe = jnp.clip(idx, 0, n - 1)
+        ok = (idx >= 0) & mol.valid[safe]
+        packed = self._pack_planes(mol)
+        g = jnp.where(ok[..., None], packed[safe], 0.0)  # [nz,ny,W,P]
+
+        shift_vec = jnp.zeros((P,), dtype).at[0].set(Lx)
+
+        def with_halo(a):
+            pad = jnp.zeros(a.shape[:2] + ((HX - 1) * cap, P), a.dtype)
+            left = a[:, :, (nx - 1) * cap :, :] - shift_vec
+            right = a[:, :, :cap, :] + shift_vec
+            parts = [left, a, right]
+            if HX > 1:
+                parts = [pad] + parts + [pad]
+            return jnp.concatenate(parts, axis=2)
+
+        r_i = jnp.moveaxis(g, -1, 2)  # [nz, ny, P, nx*cap]
+        r_j = jnp.moveaxis(with_halo(g), -1, 2)
+
+        out, u6, uX, my_rf = multisite_cell_forces_pallas(
+            r_i,
+            r_j,
+            nx=nx,
+            ny=ny,
+            nz=nz,
+            cap=cap,
+            tx=self.tx,
+            box=spec.box,
+            rc2=self.rc2,
+            rc2_lj=self.rc2_lj,
+            screen_alpha=self.screen_alpha,
+            meta=self.meta,
+            interpret=self.interpret,
+        )
+        flat = jnp.moveaxis(out, 2, -1).reshape(-1, out.shape[2])  # [slots, NOUT]
+        src = jnp.clip(bins.slot_of, 0, flat.shape[0] - 1)
+        got = jnp.where(mol.valid[:, None], flat[src], 0.0)
+        forces = Forces(F=got[:, 0:3], M=got[:, 3:6], Vi=got[:, 6:9])
+        vir = jnp.sum(out[:, :, 6:9, :])
+        macro = Macroscopic(upot6lj=u6, upot_xpoles=uX, virial=vir, my_rf=my_rf)
+        return forces, macro, bins.overflow
+
+
+def site_offsets_pp(meta: _MSMeta, mol: MoleculeState):
+    """site_offsets against the meta's geometry (kept separate so the
+    path needs only the numpy ComponentTable, not PairParams)."""
+    from ls1_mardyn_tpu.models.quaternion import qrotate
+
+    dtype = mol.r.dtype
+    qb = mol.q[..., None, :]
+    g = meta._geom
+    cid = mol.cid
+    return dict(
+        lj=qrotate(qb, jnp.asarray(g["lj_pos"], dtype)[cid]),
+        charge=qrotate(qb, jnp.asarray(g["charge_pos"], dtype)[cid]),
+        dip=qrotate(qb, jnp.asarray(g["dip_pos"], dtype)[cid]),
+        dip_e=qrotate(qb, jnp.asarray(g["dip_e"], dtype)[cid]),
+        quad=qrotate(qb, jnp.asarray(g["quad_pos"], dtype)[cid]),
+        quad_e=qrotate(qb, jnp.asarray(g["quad_e"], dtype)[cid]),
+    )

@@ -1,0 +1,579 @@
+"""Pallas TPU kernel: rigid multi-site molecule cell-pair forces.
+
+The general-molecule performance path (the role of the reference's full
+VectorizedCellProcessor, /root/reference/src/particleContainer/adapter/
+VectorizedCellProcessor.cpp:797 _calculatePairs with its seven
+interaction loop bodies) -- same row structure as the 1CLJ kernel
+(ops/pallas_lj.py): lane-major x-major cell rows, 9 wrapped neighbor
+rows per program, identity-matmul transposes, 128-aligned tiles.
+
+Additional planes per slot carry the molecule's component id and the
+world-frame site OFFSETS (relative to COM, precomputed outside from the
+quaternion -- SURVEY.md section 7 'recompute beats cache' applies to
+the rotation, which XLA does once per step, not per pair) plus
+dipole/quadrupole orientations:
+
+  planes = [x, y, z, valid, cid,
+            lj offsets   (3 per LJ site),
+            charge offsets (3 per charge),
+            dipole offsets + orientations (6 per dipole),
+            quad offsets + orientations   (6 per quad)]
+
+Coupling constants are resolved per site pair with one-hot component
+matmuls on the MXU (ohi @ T[:,:,sa,sb] @ ohj^T), so multi-component
+mixing works in-kernel.  Site-pair loops are unrolled at trace time and
+pruned with the static coupling masks.
+
+Outputs per slot: F(3), M(3), Vi(3) and the pair-energy scalars riding
+as one-hot lanes in plane 9 (u6lj, upotXpoles, myRF, virial at lanes
+0..3 of each tile, halved for double-sided counting).
+
+Physics formulas: component-form transcription of potforce.h, identical
+to ops/cellforce_lanes.py (validated against the N^2 oracle on all
+Vectorization* scenes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ls1_mardyn_tpu.ops.cellforce_lanes import (
+    _charge_dip,
+    _charge_quad,
+    _cross,
+    _dip_dip,
+    _dip_quad,
+    _dot,
+    _quad_quad,
+)
+from ls1_mardyn_tpu.ops.pallas_lj import _CENTER, _OFFS, HX
+
+NOUT = 10  # fx fy fz mx my mz vix viy viz scalars
+
+
+def plane_layout(NL, NC, ND, NQ):
+    """Returns (n_planes, dict of plane index ranges)."""
+    idx = {}
+    p = 5  # x y z w cid
+    idx["lj"] = p
+    p += 3 * NL
+    idx["charge"] = p
+    p += 3 * NC
+    idx["dip"] = p
+    p += 3 * ND
+    idx["dip_e"] = p
+    p += 3 * ND
+    idx["quad"] = p
+    p += 3 * NQ
+    idx["quad_e"] = p
+    p += 3 * NQ
+    # pad plane count to a multiple of 8 (sublane tile)
+    P = -(-p // 8) * 8
+    return P, idx
+
+
+def _ms_row_kernel(
+    i_ref,
+    *refs,
+    tables,  # dict of numpy coupling tables (trace-time constants)
+    masks,  # dict of numpy site-pair masks
+    layout,
+    P: int,
+    K: int,
+    NL: int,
+    NC: int,
+    ND: int,
+    NQ: int,
+    nx: int,
+    cap: int,
+    tx: int,
+    ny: int,
+    nz: int,
+    box: Tuple[float, float, float],
+    rc2: float,
+    rc2_lj: float,
+    screen_alpha: float,
+    out_dtype,
+):
+    row_refs = refs[:9]
+    f_ref = refs[9]
+    _bx, by, bz = box
+    txc = tx * cap
+    win = (tx + 2 * HX) * cap
+    n_tiles = nx // tx
+
+    pz = pl.program_id(0)
+    py = pl.program_id(1)
+
+    # identity for MXU transposes
+    ii = jax.lax.broadcasted_iota(jnp.int32, (txc, txc), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (txc, txc), 1)
+    ident = (ii == jj).astype(out_dtype)
+
+    laneP = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    ohc = [(laneP == c).astype(out_dtype) for c in range(P)]
+    subP = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    ohr = [(subP == c).astype(out_dtype) for c in range(P)]
+
+    il = jax.lax.broadcasted_iota(jnp.int32, (txc, win), 0)
+    jl = jax.lax.broadcasted_iota(jnp.int32, (txc, win), 1)
+    not_self = (jl != il + HX * cap).astype(out_dtype)
+
+    lane_out = jax.lax.broadcasted_iota(jnp.int32, (1, txc), 1)
+    sub_out = jax.lax.broadcasted_iota(jnp.int32, (NOUT, 1), 0)
+    ohr_out = [(sub_out == c).astype(out_dtype) for c in range(NOUT)]
+    lane_oh = [(lane_out == c).astype(out_dtype) for c in range(4)]
+
+    cut2 = jnp.asarray(rc2, out_dtype)
+    cut2lj = jnp.asarray(rc2_lj, out_dtype)
+
+    # K one-hot comparison constants
+    kvals = list(range(K))
+
+    def tile(t, _):
+        off = pl.multiple_of(t * txc, txc)
+        ti = i_ref[0, 0, :, pl.ds(off, txc)]  # [P, txc]
+        G = jax.lax.dot_general(
+            ident, ti, (((1,), (1,)), ((), ())), preferred_element_type=out_dtype
+        )  # [txc, P]
+
+        def col(c):
+            return jnp.sum(G * ohc[c], axis=1, keepdims=True)  # [txc,1]
+
+        xi, yi, zi, wi, cidi = col(0), col(1), col(2), col(3), col(4)
+        ohi_cols = [
+            (jnp.abs(cidi - k) < 0.5).astype(out_dtype) for k in kvals
+        ]  # each [txc, 1]
+
+        def icol3(base, s):
+            return (col(base + 3 * s), col(base + 3 * s + 1), col(base + 3 * s + 2))
+
+        Fx = Fy = Fz = 0.0
+        Mx = My = Mz = 0.0
+        Vx = Vy = Vz = 0.0
+        u6_t = uX_t = rf_t = 0.0
+
+        for k, (dz, dy) in enumerate(_OFFS):
+            H = row_refs[k][0, 0, :, pl.ds(off, win)]  # [P, win]
+            zidx = pz + dz
+            yidx = py + dy
+            sy = jnp.where(yidx < 0, -by, jnp.where(yidx >= ny, by, 0.0)).astype(
+                out_dtype
+            )
+            sz = jnp.where(zidx < 0, -bz, jnp.where(zidx >= nz, bz, 0.0)).astype(
+                out_dtype
+            )
+
+            def row(c):
+                return jnp.sum(H * ohr[c], axis=0, keepdims=True)  # [1, win]
+
+            xj = row(0)
+            yj = row(1) + sy
+            zj = row(2) + sz
+            wj = row(3)
+            cidj = row(4)
+            ohj_rows = [
+                (jnp.abs(cidj - kk) < 0.5).astype(out_dtype) for kk in kvals
+            ]  # each [1, win]
+
+            def jcol3(base, s):
+                return (row(base + 3 * s), row(base + 3 * s + 1), row(base + 3 * s + 2))
+
+            drm = (xi - xj, yi - yj, zi - zj)  # [txc, win]
+            com2 = _dot(drm, drm)
+            ok = (wi * wj > 0.5).astype(out_dtype)
+            if k == _CENTER:
+                ok = ok * not_self
+            mlj = jnp.where(com2 < cut2lj, ok, 0.0)
+            mel = jnp.where(com2 < cut2, ok, 0.0)
+
+            def coupling(tbl, sa, sb):
+                # sum of python-scalar coefficients times component
+                # one-hot outer products (array constants cannot be
+                # captured by a Pallas kernel); zero terms pruned at
+                # trace time.  K == 1 collapses to a plain scalar.
+                acc = None
+                for a in range(K):
+                    for b in range(K):
+                        c = float(tbl[a, b, sa, sb])
+                        if c == 0.0:
+                            continue
+                        term = c * (ohi_cols[a] * ohj_rows[b])
+                        acc = term if acc is None else acc + term
+                if acc is None:
+                    return 0.0
+                return acc  # [txc, win] (or scalar*mask shapes broadcast)
+
+            def safe_inv(dr2, m):
+                return m / jnp.where(m > 0, dr2, 1.0)
+
+            L = layout
+
+            # LJ
+            for sa in range(NL):
+                dia = icol3(L["lj"], sa)
+                for sb in range(NL):
+                    if not masks["lj"][sa, sb]:
+                        continue
+                    djb = jcol3(L["lj"], sb)
+                    dr = tuple(drm[d] + dia[d] - djb[d] for d in range(3))
+                    dr2 = _dot(dr, dr)
+                    inv = safe_inv(dr2, mlj)
+                    e24 = coupling(tables["eps24"], sa, sb)
+                    s2 = coupling(tables["sig2"], sa, sb)
+                    sh6 = coupling(tables["shift6"], sa, sb)
+                    lj6 = s2 * inv
+                    lj6 = lj6 * lj6 * lj6
+                    lj12 = lj6 * lj6
+                    lj12m6 = lj12 - lj6
+                    u6_t = u6_t + jnp.sum(e24 * lj12m6 + sh6 * mlj)
+                    fac = e24 * (lj12 + lj12m6) * inv
+                    f = tuple(fac * dr[d] for d in range(3))
+                    Fx, Fy, Fz = Fx + f[0], Fy + f[1], Fz + f[2]
+                    m = _cross(dia, f)
+                    Mx, My, Mz = Mx + m[0], My + m[1], Mz + m[2]
+                    Vx = Vx + 0.5 * drm[0] * f[0]
+                    Vy = Vy + 0.5 * drm[1] * f[1]
+                    Vz = Vz + 0.5 * drm[2] * f[2]
+
+            def add_block(f, m_extra, u, dia):
+                nonlocal Fx, Fy, Fz, Mx, My, Mz, Vx, Vy, Vz, uX_t
+                Fx, Fy, Fz = Fx + f[0], Fy + f[1], Fz + f[2]
+                m = _cross(dia, f)
+                Mx, My, Mz = Mx + m[0], My + m[1], Mz + m[2]
+                if m_extra is not None:
+                    Mx, My, Mz = Mx + m_extra[0], My + m_extra[1], Mz + m_extra[2]
+                Vx = Vx + 0.5 * drm[0] * f[0]
+                Vy = Vy + 0.5 * drm[1] * f[1]
+                Vz = Vz + 0.5 * drm[2] * f[2]
+                uX_t = uX_t + jnp.sum(u)
+
+            # charge-charge
+            for sa in range(NC):
+                dia = icol3(L["charge"], sa)
+                for sb in range(NC):
+                    if not masks["cc"][sa, sb]:
+                        continue
+                    djb = jcol3(L["charge"], sb)
+                    dr = tuple(drm[d] + dia[d] - djb[d] for d in range(3))
+                    dr2 = _dot(dr, dr)
+                    inv = safe_inv(dr2, mel)
+                    invd = jnp.sqrt(inv)
+                    qq = coupling(tables["qq"], sa, sb)
+                    if screen_alpha:
+                        r = dr2 * invd
+                        erfc = jax.scipy.special.erfc(screen_alpha * r) * mel
+                        u = qq * erfc * invd
+                        tap = 2.0 * screen_alpha / np.sqrt(np.pi)
+                        fac = (
+                            u
+                            + qq * tap * jnp.exp(-screen_alpha ** 2 * dr2) * mel
+                        ) * inv
+                    else:
+                        u = qq * invd
+                        fac = u * inv
+                    f = tuple(fac * dr[d] for d in range(3))
+                    add_block(f, None, u, dia)
+
+            # charge_i x quad_j
+            for sa in range(NC):
+                dia = icol3(L["charge"], sa)
+                for sb in range(NQ):
+                    if not masks["cq"][sa, sb]:
+                        continue
+                    djb = jcol3(L["quad"], sb)
+                    ej = jcol3(L["quad_e"], sb)
+                    dr = tuple(drm[d] + dia[d] - djb[d] for d in range(3))
+                    f, _m2, u = _charge_quad(
+                        dr, ej, coupling(tables["qQ05"], sa, sb), mel, safe_inv
+                    )
+                    add_block(f, None, u, dia)
+
+            # charge_i x dip_j
+            for sa in range(NC):
+                dia = icol3(L["charge"], sa)
+                for sb in range(ND):
+                    if not masks["cd"][sa, sb]:
+                        continue
+                    djb = jcol3(L["dip"], sb)
+                    ej = jcol3(L["dip_e"], sb)
+                    dr = tuple(drm[d] + dia[d] - djb[d] for d in range(3))
+                    f, _m2, u = _charge_dip(
+                        dr, ej, coupling(tables["minus_qmy"], sa, sb), mel, safe_inv
+                    )
+                    add_block(f, None, u, dia)
+
+            # quad_i x charge_j (dr = charge - quad; i gets -f + m2)
+            for sa in range(NQ):
+                dia = icol3(L["quad"], sa)
+                ei = icol3(L["quad_e"], sa)
+                for sb in range(NC):
+                    if not masks["qc"][sa, sb]:
+                        continue
+                    djb = jcol3(L["charge"], sb)
+                    dr = tuple(-(drm[d] + dia[d] - djb[d]) for d in range(3))
+                    f, m_i, u = _charge_quad(
+                        dr, ei, coupling(tables["Qq05"], sa, sb), mel, safe_inv
+                    )
+                    add_block(tuple(-f[d] for d in range(3)), m_i, u, dia)
+
+            # quad_i x quad_j
+            for sa in range(NQ):
+                dia = icol3(L["quad"], sa)
+                ei = icol3(L["quad_e"], sa)
+                for sb in range(NQ):
+                    if not masks["qq"][sa, sb]:
+                        continue
+                    djb = jcol3(L["quad"], sb)
+                    ej = jcol3(L["quad_e"], sb)
+                    dr = tuple(drm[d] + dia[d] - djb[d] for d in range(3))
+                    f, m1, _m2, u = _quad_quad(
+                        dr, ei, ej, coupling(tables["QQ075"], sa, sb), mel, safe_inv
+                    )
+                    add_block(f, m1, u, dia)
+
+            # quad_i x dip_j (dr = dip - quad; i gets -f + m_quad)
+            for sa in range(NQ):
+                dia = icol3(L["quad"], sa)
+                ei = icol3(L["quad_e"], sa)
+                for sb in range(ND):
+                    if not masks["qd"][sa, sb]:
+                        continue
+                    djb = jcol3(L["dip"], sb)
+                    ej = jcol3(L["dip_e"], sb)
+                    dr = tuple(-(drm[d] + dia[d] - djb[d]) for d in range(3))
+                    f, _m_dip, m_quad, u = _dip_quad(
+                        dr, ej, ei, coupling(tables["Qmy15"], sa, sb), mel, safe_inv
+                    )
+                    add_block(tuple(-f[d] for d in range(3)), m_quad, u, dia)
+
+            # dip_i x charge_j (dr = charge - dip; i gets -f + m_dip)
+            for sa in range(ND):
+                dia = icol3(L["dip"], sa)
+                ei = icol3(L["dip_e"], sa)
+                for sb in range(NC):
+                    if not masks["dc"][sa, sb]:
+                        continue
+                    djb = jcol3(L["charge"], sb)
+                    dr = tuple(-(drm[d] + dia[d] - djb[d]) for d in range(3))
+                    f, m_i, u = _charge_dip(
+                        dr, ei, coupling(tables["minus_myq"], sa, sb), mel, safe_inv
+                    )
+                    add_block(tuple(-f[d] for d in range(3)), m_i, u, dia)
+
+            # dip_i x quad_j
+            for sa in range(ND):
+                dia = icol3(L["dip"], sa)
+                ei = icol3(L["dip_e"], sa)
+                for sb in range(NQ):
+                    if not masks["dq"][sa, sb]:
+                        continue
+                    djb = jcol3(L["quad"], sb)
+                    ej = jcol3(L["quad_e"], sb)
+                    dr = tuple(drm[d] + dia[d] - djb[d] for d in range(3))
+                    f, m1, _m2, u = _dip_quad(
+                        dr, ei, ej, coupling(tables["myQ15"], sa, sb), mel, safe_inv
+                    )
+                    add_block(f, m1, u, dia)
+
+            # dip_i x dip_j
+            for sa in range(ND):
+                dia = icol3(L["dip"], sa)
+                ei = icol3(L["dip_e"], sa)
+                for sb in range(ND):
+                    if not masks["dd"][sa, sb]:
+                        continue
+                    djb = jcol3(L["dip"], sb)
+                    ej = jcol3(L["dip_e"], sb)
+                    dr = tuple(drm[d] + dia[d] - djb[d] for d in range(3))
+                    f, m1, _m2, u, rf = _dip_dip(
+                        dr, ei, ej,
+                        coupling(tables["my2"], sa, sb),
+                        coupling(tables["rffac"], sa, sb),
+                        mel, safe_inv,
+                    )
+                    rf_t = rf_t + jnp.sum(rf)
+                    add_block(f, m1, u, dia)
+
+        # reduce over lanes and transpose to lane vectors
+        zero2 = jnp.zeros((txc, win), out_dtype)
+
+        def red(a):
+            return jnp.sum(a + zero2, axis=1, keepdims=True)  # [txc,1]
+
+        cols = [red(Fx), red(Fy), red(Fz), red(Mx), red(My), red(Mz),
+                red(Vx), red(Vy), red(Vz)]
+
+        def to_lane(v):
+            return jax.lax.dot_general(
+                v, ident, (((0,), (0,)), ((), ())),
+                preferred_element_type=out_dtype,
+            )
+
+        scal = (
+            0.5 * (u6_t + 0.0 * jnp.zeros((), out_dtype)) * lane_oh[0]
+            + 0.5 * (uX_t + 0.0) * lane_oh[1]
+            + 0.5 * (rf_t + 0.0) * lane_oh[2]
+        )
+        out = scal * ohr_out[9]
+        for c, v in enumerate(cols):
+            out = out + ohr_out[c] * to_lane(v)
+        f_ref[0, 0, :, pl.ds(off, txc)] = out
+        return _
+
+    jax.lax.fori_loop(0, n_tiles, tile, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nx", "ny", "nz", "cap", "tx", "box", "rc2", "rc2_lj",
+        "screen_alpha", "interpret", "z_halo", "meta",
+    ),
+)
+def multisite_cell_forces_pallas(
+    r_i: jnp.ndarray,  # [nz, ny, P, nx*cap]
+    r_j: jnp.ndarray,  # [nz, ny, P, (nx+2HX)*cap]
+    *,
+    nx: int,
+    ny: int,
+    nz: int,
+    cap: int,
+    tx: int,
+    box,
+    rc2: float,
+    rc2_lj: float,
+    screen_alpha: float,
+    meta,  # _MSMeta (hashable): K/NL/NC/ND/NQ + tables + masks
+    interpret: bool = False,
+    z_halo: bool = False,
+):
+    P = r_i.shape[2]
+    Wj = (nx + 2 * HX) * cap
+    assert r_i.shape == (nz, ny, P, nx * cap), r_i.shape
+    assert r_j.shape == ((nz + 2 if z_halo else nz), ny, P, Wj), r_j.shape
+    assert not z_halo, "multi-site multichip halo mode: TODO round 2"
+    out_dtype = r_i.dtype
+
+    i_spec = pl.BlockSpec(
+        (1, 1, P, nx * cap), lambda z, y: (z, y, 0, 0), memory_space=pltpu.VMEM
+    )
+    j_specs = [
+        pl.BlockSpec(
+            (1, 1, P, Wj),
+            functools.partial(
+                lambda z, y, dz, dy: ((z + dz) % nz, (y + dy) % ny, 0, 0),
+                dz=dz,
+                dy=dy,
+            ),
+            memory_space=pltpu.VMEM,
+        )
+        for dz, dy in _OFFS
+    ]
+    out_spec = pl.BlockSpec(
+        (1, 1, NOUT, nx * cap), lambda z, y: (z, y, 0, 0), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(
+        _ms_row_kernel,
+        tables=meta.tables,
+        masks=meta.masks,
+        layout=meta.layout,
+        P=P,
+        K=meta.K,
+        NL=meta.NL,
+        NC=meta.NC,
+        ND=meta.ND,
+        NQ=meta.NQ,
+        nx=nx,
+        cap=cap,
+        tx=tx,
+        ny=ny,
+        nz=nz,
+        box=box,
+        rc2=rc2,
+        rc2_lj=rc2_lj,
+        screen_alpha=screen_alpha,
+        out_dtype=out_dtype,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(nz, ny),
+        in_specs=[i_spec] + j_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((nz, ny, NOUT, nx * cap), out_dtype),
+        # the unrolled site-pair loops need a larger scoped-vmem stack
+        # than the 16MB default
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(r_i, *([r_j] * 9))
+    scal = out[:, :, 9, :].reshape(nz, ny, nx // tx, tx * cap)
+    u6 = jnp.sum(scal[..., 0])
+    uX = jnp.sum(scal[..., 1])
+    my_rf = jnp.sum(scal[..., 2])
+    return out, u6, uX, my_rf
+
+
+class _MSMeta:
+    """Hashable bundle of static kernel metadata (numpy tables become
+    trace-time constants inside the kernel)."""
+
+    def __init__(self, table):
+        self.K = table.K
+        self.NL, self.NC, self.ND, self.NQ = (
+            table.NL, table.NC, table.ND, table.NQ,
+        )
+        P, layout = plane_layout(self.NL, self.NC, self.ND, self.NQ)
+        self.P = P
+        self.layout = layout
+        import numpy as np
+
+        minus_myq = np.transpose(table.minus_qmy, (1, 0, 3, 2)).copy()
+        Qq05 = np.transpose(table.qQ05, (1, 0, 3, 2)).copy()
+        self.tables = dict(
+            eps24=table.eps24, sig2=table.sig2, shift6=table.shift6,
+            qq=table.qq, qQ05=table.qQ05, Qq05=Qq05,
+            minus_qmy=table.minus_qmy, minus_myq=minus_myq,
+            QQ075=table.QQ075, Qmy15=table.Qmy15, myQ15=table.myQ15,
+            my2=table.my2, rffac=table.rffac,
+        )
+        self.masks = dict(
+            lj=table.eps24.any(axis=(0, 1)),
+            cc=table.qq.any(axis=(0, 1)),
+            cq=table.qQ05.any(axis=(0, 1)),
+            cd=table.minus_qmy.any(axis=(0, 1)),
+            qc=Qq05.any(axis=(0, 1)),
+            qq=table.QQ075.any(axis=(0, 1)),
+            qd=table.Qmy15.any(axis=(0, 1)),
+            dc=minus_myq.any(axis=(0, 1)),
+            dq=table.myQ15.any(axis=(0, 1)),
+            dd=table.my2.any(axis=(0, 1)),
+        )
+        self._geom = dict(
+            lj_pos=table.lj_pos, charge_pos=table.charge_pos,
+            dip_pos=table.dip_pos, dip_e=table.dip_e,
+            quad_pos=table.quad_pos, quad_e=table.quad_e,
+        )
+        self._key = (
+            self.K, self.NL, self.NC, self.ND, self.NQ,
+            table.eps24.tobytes(), table.sig2.tobytes(),
+            table.shift6.tobytes(), table.qq.tobytes(),
+            table.qQ05.tobytes(), table.minus_qmy.tobytes(),
+            table.QQ075.tobytes(), table.Qmy15.tobytes(),
+            table.myQ15.tobytes(), table.my2.tobytes(),
+            table.rffac.tobytes(),
+        )
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return isinstance(other, _MSMeta) and self._key == other._key
