@@ -116,6 +116,26 @@ class MDSimulation:
             component_thermostat=comp_therm,
             thermostat_temps=therm_temps,
         )
+        import dataclasses as _dc
+
+        # long-range electrostatics (Ewald; the bhfmm capability slot)
+        self.ewald = None
+        screen_alpha = 0.0
+        if config.electrostatic_solver == "Ewald" and self.table.has_electrostatics():
+            from ls1_mardyn_tpu.ops.ewald import EwaldParams, EwaldSolver
+
+            eparams = EwaldParams.auto(
+                self.box, config.cutoff, accuracy=config.ewald_accuracy
+            )
+            self.ewald = EwaldSolver(self.box, eparams, dtype=dtype)
+            screen_alpha = eparams.alpha
+            global_log.info(
+                "electrostatics: Ewald alpha=%.4f kmax=%d (%d k-vectors)",
+                eparams.alpha, eparams.kmax, self.ewald.kvec.shape[0],
+            )
+        self._screen_alpha = screen_alpha
+        if screen_alpha:
+            sim_cfg = _dc.replace(sim_cfg, screen_alpha=screen_alpha)
 
         force_fn = None
         if force_mode in ("auto", "pallas"):
@@ -144,7 +164,8 @@ class MDSimulation:
                     )
 
                     force_fn = PallasMultiSitePath(
-                        self.table, spec, interpret=interpret
+                        self.table, spec, interpret=interpret,
+                        screen_alpha=screen_alpha,
                     )
                     global_log.info(
                         "force path: Pallas multi-site kernel, grid %s, "
@@ -157,8 +178,17 @@ class MDSimulation:
         if force_fn is None:
             global_log.info("force path: general multi-site cell traversal")
 
+        extra = None
+        if self.ewald is not None:
+            solver = self.ewald
+
+            def extra(mol, pp):
+                u, F, M = solver(mol, pp)
+                return u, F, M
+
         self.engine = SingleChipSimulation(
-            self.mol, self.pp, self.box, sim_cfg, force_fn=force_fn
+            self.mol, self.pp, self.box, sim_cfg, force_fn=force_fn,
+            extra_force_fn=extra,
         )
         # muVT: grand-canonical moves in the afterForces slot
         self.gc = None

@@ -69,6 +69,8 @@ class XMLConfig:
     plugins: List[PluginSpec] = dataclasses.field(default_factory=list)
     refunits: Dict[str, tuple] = dataclasses.field(default_factory=dict)
     thermostat_type: Optional[str] = None
+    electrostatic_solver: Optional[str] = None  # None | "Ewald"
+    ewald_accuracy: float = 1e-5
     chemical_potentials: List[PluginSpec] = dataclasses.field(default_factory=list)
     config_dir: str = "."
 
@@ -240,6 +242,13 @@ def read_xml_config(path: str) -> XMLConfig:
         el = algo.find("electrostatic")
         if el is not None and el.get("type") == "ReactionField":
             cfg.eps_rf = _get(el, "epsilon", cfg.eps_rf)
+        elif el is not None and el.get("type") in (
+            "FastMultipoleMethod", "Ewald",
+        ):
+            # the reference plugs bhfmm here (Simulation.cpp:292-302);
+            # our long-range electrostatics solver is Ewald summation
+            cfg.electrostatic_solver = "Ewald"
+            cfg.ewald_accuracy = _get(el, "accuracy", 1e-5)
         lr = algo.find("longrange")
         if lr is not None:
             cfg.longrange = lr.get("type", cfg.longrange)

@@ -60,6 +60,8 @@ class SimConfig:
     thermostat_temps: Optional[Tuple[float, ...]] = None
     # region thermostats (src/thermostats/TemperatureControl.{h,cpp})
     temp_control_regions: Tuple = ()
+    # Ewald real-space screening for the built-in cell path
+    screen_alpha: float = 0.0
 
 
 class SingleChipSimulation:
@@ -74,6 +76,7 @@ class SingleChipSimulation:
         box,
         config: SimConfig,
         force_fn: Optional[Callable] = None,
+        extra_force_fn: Optional[Callable] = None,
     ):
         self.pp = pp
         self.config = config
@@ -87,6 +90,9 @@ class SingleChipSimulation:
         self._nbr_shift = jnp.asarray(nbr_shift, mol.r.dtype)
         self.volume = float(np.prod(self.box))
         self._force_fn = force_fn or self._cell_forces
+        # additional long-range force contribution, e.g. Ewald k-space:
+        # fn(mol, pp) -> (u_extra, F_extra [N,3], M_extra [N,3])
+        self._extra_force_fn = extra_force_fn
         self.mol = mol
         self.forces: Optional[Forces] = None
         self.macro: Optional[Macroscopic] = None
@@ -108,12 +114,23 @@ class SingleChipSimulation:
             self._nbr_ids,
             self._nbr_shift,
             cell_chunk=self.config.cell_chunk,
+            screen_alpha=self.config.screen_alpha,
         )
         return forces, macro, bins.overflow
 
     def _init_forces(self, mol: MoleculeState):
         mol = dataclasses.replace(mol, r=wrap_positions(mol.r, self.box))
-        return mol, *self._force_fn(mol)
+        forces, macro, overflow = self._force_fn(mol)
+        if self._extra_force_fn is not None:
+            u_x, F_x, M_x = self._extra_force_fn(mol, self.pp)
+            forces = Forces(F=forces.F + F_x, M=forces.M + M_x, Vi=forces.Vi)
+            macro = Macroscopic(
+                upot6lj=macro.upot6lj,
+                upot_xpoles=macro.upot_xpoles + u_x,
+                virial=macro.virial,
+                my_rf=macro.my_rf,
+            )
+        return mol, forces, macro, overflow
 
     def _step(
         self, mol: MoleculeState, forces: Forces, step: jnp.ndarray
@@ -125,6 +142,18 @@ class SingleChipSimulation:
         mol = dataclasses.replace(mol, r=wrap_positions(mol.r, self.box))
         # 3+4. container update + force traversal
         forces, macro, overflow = self._force_fn(mol)
+        if self._extra_force_fn is not None:
+            # long-range electrostatics (reciprocal space); the role of
+            # FastMultipoleMethod::computeElectrostatics
+            # (Simulation.cpp:1070-1073)
+            u_x, F_x, M_x = self._extra_force_fn(mol, self.pp)
+            forces = Forces(F=forces.F + F_x, M=forces.M + M_x, Vi=forces.Vi)
+            macro = Macroscopic(
+                upot6lj=macro.upot6lj,
+                upot_xpoles=macro.upot_xpoles + u_x,
+                virial=macro.virial,
+                my_rf=macro.my_rf,
+            )
         # long-range correction (Simulation.cpp:1048-1049 + Domain's
         # _UpotCorr/_VirialCorr fold, Domain.cpp:179-182)
         macro = Macroscopic(
