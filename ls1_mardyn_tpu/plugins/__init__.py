@@ -13,3 +13,4 @@ from ls1_mardyn_tpu.plugins import writers  # noqa: F401  (registers defaults)
 from ls1_mardyn_tpu.plugins import rdf  # noqa: F401
 from ls1_mardyn_tpu.plugins import nemd  # noqa: F401
 from ls1_mardyn_tpu.plugins import writers2  # noqa: F401
+from ls1_mardyn_tpu.plugins import widom  # noqa: F401
