@@ -137,3 +137,22 @@ def test_in_memory_checkpoint_restore(tmp_path):
     # the state right after restoring (step 12) equals the snapshot
     # advanced by one step, i.e. equals snaps[11]
     np.testing.assert_allclose(snaps[12], snaps[11], atol=1e-12)
+
+
+def test_diagnostics_plugins(tmp_path):
+    os.chdir(tmp_path)
+    cfg = _cfg(plugins=[
+        ("TimerWriter", {"writefrequency": "2", "outputprefix": "t"}),
+        ("MaxCheck", {"vmax": "0.5", "interval": "1"}),
+        ("SysMonOutput", {"writefrequency": "2"}),
+        ("LoadImbalanceThroughSleepPlugin", {"sleepTime": "0.1"}),
+    ])
+    from ls1_mardyn_tpu.driver import MDSimulation
+
+    sim = MDSimulation(cfg)
+    sim.run(steps=4, print_every=0)
+    assert (tmp_path / "t.timers").exists()
+    v = np.asarray(sim.molecules().v)
+    valid = np.asarray(sim.molecules().valid)
+    speed = np.sqrt((v[valid] ** 2).sum(1))
+    assert (speed <= 0.5 + 1e-5).all()
