@@ -57,3 +57,29 @@ def test_gamma_zero_for_isotropic_bulk(tmp_path):
     L = sim.box[1]
     # gamma_avg should be much smaller than the naive scale p*L/2
     assert abs(gam[-1]) < 0.5 * abs(p) * L
+
+
+def test_mmpld_writer_format(tmp_path):
+    import struct
+
+    os.chdir(tmp_path)
+    cfg, fm = _cfg(n=100, plugins=[
+        ("MmpldWriter", {"writecontrol": {"writefrequency": "2", "start": "0",
+                                          "stop": "100"},
+                         "outputprefix": "mega"}),
+    ])
+    sim = MDSimulation(cfg, force_mode=fm)
+    sim.run(steps=4, print_every=0)
+    raw = (tmp_path / "mega.mmpld").read_bytes()
+    assert raw[:6] == b"MMPLD\x00"
+    version, nframes = struct.unpack_from("<HI", raw, 6)
+    assert version == 100
+    assert nframes == 2
+    # first frame offset from the seek table
+    seek0 = struct.unpack_from("<Q", raw, 12 + 48)[0]
+    nlists = struct.unpack_from("<I", raw, seek0)[0]
+    assert nlists == 1
+    vt, ct = struct.unpack_from("<BB", raw, seek0 + 4)
+    assert (vt, ct) == (1, 0)
+    count = struct.unpack_from("<Q", raw, seek0 + 4 + 2 + 8)[0]
+    assert count == 100
