@@ -88,6 +88,14 @@ def bin_particles(r: jnp.ndarray, valid: jnp.ndarray, spec: CellGridSpec) -> Cel
     c3 = jnp.clip(jnp.floor(r / cell_len).astype(jnp.int32), 0, dims - 1)
     # z-major linear id (matches the Pallas kernels' [nz, ny, nx] rows)
     cell = (c3[:, 2] * dims[1] + c3[:, 1]) * dims[0] + c3[:, 0]
+    return bin_by_id(cell, valid, spec)
+
+
+def bin_by_id(cell: jnp.ndarray, valid: jnp.ndarray, spec: CellGridSpec) -> CellBins:
+    """Rebin from precomputed linear cell ids (used by the
+    cell-local-coordinate paths, where ids come from exact integer
+    cell arithmetic instead of positions)."""
+    n = cell.shape[0]
     # invalid molecules go to a virtual overflow cell
     cell = jnp.where(valid, cell, spec.n_cells)
 

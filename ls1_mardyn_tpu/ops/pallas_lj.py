@@ -69,6 +69,7 @@ def _lj_row_kernel(
     rc2: float,
     z_halo: bool,
     compute_macro: bool,
+    local_coords: bool,
     out_dtype,
 ):
     row_refs = refs[:9]
@@ -101,6 +102,16 @@ def _lj_row_kernel(
     il = jax.lax.broadcasted_iota(jnp.int32, (txc, win), 0)
     jl = jax.lax.broadcasted_iota(jnp.int32, (txc, win), 1)
     not_self = jl != il + HX * cap
+    if local_coords:
+        # cell-local coordinate mode: slot positions are relative to
+        # their own cell's origin, so f32 keeps full precision at any
+        # box size, and periodicity is exact integer cell arithmetic.
+        # x offset between i (cell t*tx + il//cap) and j (cell
+        # t*tx + jl//cap - HX) is a trace-time constant matrix:
+        clx = _bx / nx
+        cly = by / ny
+        clz = bz / nz
+        xoff = ((il // cap) - (jl // cap) + HX).astype(out_dtype) * clx
 
     lane_txc = jax.lax.broadcasted_iota(jnp.int32, (1, txc), 1)
     lane0 = (lane_txc == 0).astype(out_dtype)
@@ -126,27 +137,36 @@ def _lj_row_kernel(
 
         for k, (dz, dy) in enumerate(_OFFS):
             H = row_refs[k][0, 0, :, pl.ds(off, win)]  # [4, win]
-            zidx = pz + dz
-            yidx = py + dy
-            sy = jnp.where(yidx < 0, -by, jnp.where(yidx >= ny, by, 0.0)).astype(
-                out_dtype
-            )
-            if z_halo:
-                # halo rows are explicit (multi-chip slab exchange has
-                # already applied any global-z periodic shift)
-                sz = jnp.zeros((), out_dtype)
-            else:
-                sz = jnp.where(
-                    zidx < 0, -bz, jnp.where(zidx >= nz, bz, 0.0)
-                ).astype(out_dtype)
             xj = jnp.sum(H * ohr[0], axis=0, keepdims=True)  # [1, win]
-            yj = jnp.sum(H * ohr[1], axis=0, keepdims=True) + sy
-            zj = jnp.sum(H * ohr[2], axis=0, keepdims=True) + sz
+            yj = jnp.sum(H * ohr[1], axis=0, keepdims=True)
+            zj = jnp.sum(H * ohr[2], axis=0, keepdims=True)
             wj = jnp.sum(H * ohr[3], axis=0, keepdims=True)
 
-            dx = xi - xj  # [txc, win]
-            dyv = yi - yj
-            dzv = zi - zj
+            if local_coords:
+                # neighbor row (dy, dz) sits exactly one cell away;
+                # periodic wrap is already exact via the index-map mod
+                dx = xi - xj + xoff
+                dyv = yi - yj - dy * cly
+                dzv = zi - zj - dz * clz
+            else:
+                zidx = pz + dz
+                yidx = py + dy
+                sy = jnp.where(
+                    yidx < 0, -by, jnp.where(yidx >= ny, by, 0.0)
+                ).astype(out_dtype)
+                if z_halo:
+                    # halo rows are explicit (multi-chip slab exchange
+                    # has already applied any global-z periodic shift)
+                    sz = jnp.zeros((), out_dtype)
+                else:
+                    sz = jnp.where(
+                        zidx < 0, -bz, jnp.where(zidx >= nz, bz, 0.0)
+                    ).astype(out_dtype)
+                yj = yj + sy
+                zj = zj + sz
+                dx = xi - xj  # [txc, win]
+                dyv = yi - yj
+                dzv = zi - zj
             dr2 = dx * dx + dyv * dyv + dzv * dzv
             mask = (dr2 < cut2) & (wi * wj > 0.5)
             if k == _CENTER:
@@ -188,7 +208,7 @@ def _lj_row_kernel(
     jax.jit,
     static_argnames=(
         "nx", "ny", "nz", "cap", "tx", "box", "eps24", "sig2", "shift6", "rc2",
-        "interpret", "z_halo", "compute_macro",
+        "interpret", "z_halo", "compute_macro", "local_coords",
     ),
 )
 def lj_cell_forces_pallas(
@@ -208,6 +228,7 @@ def lj_cell_forces_pallas(
     interpret: bool = False,
     z_halo: bool = False,
     compute_macro: bool = True,
+    local_coords: bool = False,
 ):
     """Returns (out [nz, ny, 4, nx*cap]: force planes 0..2, scalar plane
     3 with u6/virial one-hots per tile; u6lj scalar; virial scalar).
@@ -259,6 +280,7 @@ def lj_cell_forces_pallas(
         rc2=rc2,
         z_halo=z_halo,
         compute_macro=compute_macro,
+        local_coords=local_coords,
         out_dtype=out_dtype,
     )
     win = (tx + 2 * HX) * cap

@@ -13,8 +13,16 @@ LinkedCells::update) runs only every `rebin_every` steps: the cell edge
 exceeds the cutoff by a skin, and with MD displacements of ~1e-3 sigma
 per step the cell assignment stays valid for many steps (verlet-skin
 argument; LinkedCells.h:150-153 'skipParticleUpdate' plays the same
-trick).  Positions are wrapped only at rebin time so stale slots remain
-geometrically consistent between rebins.
+trick).
+
+Positions are CELL-LOCAL: each slot stores coordinates relative to its
+own cell's origin, so f32 keeps ~1e-7 absolute precision regardless of
+box size, and periodicity is exact integer cell arithmetic (index-map
+mod in the kernel + cell-difference offsets).  Without this, f32
+absolute positions at box ~100 sigma inject O(4e-6 sigma) rounding
+kicks per step that heat the system measurably (the reference's answer
+is the SPDP mixed-precision mode, SIMD_TYPES.h:110-113; cell-local
+storage achieves the same in pure f32).
 """
 
 from __future__ import annotations
@@ -99,11 +107,11 @@ class RMMSimulation:
         cap = self.spec.cap
         dtype = planes.dtype
         r_i = planes[:, :, :4, :]
-        Lx = self.box[0]
-        shift = jnp.zeros((4, 1), dtype).at[0, 0].set(Lx)
+        # x halo: plain copies -- cell-local coordinates need no +-L
+        # shift (the kernel's cell-difference offsets are exact)
         pad = jnp.zeros((nz, ny, 4, (HX - 1) * cap), dtype)
-        left = r_i[:, :, :, (nx - 1) * cap :] - shift
-        right = r_i[:, :, :, :cap] + shift
+        left = r_i[:, :, :, (nx - 1) * cap :]
+        right = r_i[:, :, :, :cap]
         parts = [left, r_i, right]
         if HX > 1:
             parts = [pad, left, r_i, right, pad]
@@ -123,6 +131,7 @@ class RMMSimulation:
             rc2=self.rc2,
             interpret=self.interpret,
             compute_macro=compute_macro,
+            local_coords=True,
         )
 
     def _forces(self, planes):
@@ -174,6 +183,16 @@ class RMMSimulation:
             )
         return RMMState(planes=planes, forces=f, u6=u6, vir=vir), gv
 
+    def _slot_cells(self):
+        """Static per-slot cell coordinates [slots, 3] (z-major rows,
+        x-cell = lane // cap)."""
+        nx, ny, nz = self.spec.dims
+        cap = self.spec.cap
+        z = np.repeat(np.arange(nz), ny * nx * cap)
+        y = np.tile(np.repeat(np.arange(ny), nx * cap), nz)
+        x = np.tile(np.repeat(np.arange(nx), cap), nz * ny)
+        return jnp.asarray(np.stack([x, y, z], -1), jnp.int32)
+
     # -- rebin (every k steps) --------------------------------------------
     def _rebin(self, st: RMMState):
         nx, ny, nz = self.spec.dims
@@ -181,16 +200,24 @@ class RMMSimulation:
         p = st.planes
         dtype = p.dtype
         flat = p.transpose(0, 1, 3, 2).reshape(-1, NP_RMM)  # [slots, 8]
-        r = wrap_positions(flat[:, 0:3], self.box)
         valid = flat[:, 3] > 0.5
-        bins = bin_particles(r, valid, self.spec)
+        cl = jnp.asarray(self.spec.cell_len, dtype)
+        dims = jnp.asarray(self.spec.dims, jnp.int32)
+        local = flat[:, 0:3]
+        # exact cell hop: delta = floor(local / cell_len); new local
+        # coordinate never round-trips through an absolute position
+        delta = jnp.floor(local / cl).astype(jnp.int32)
+        new_local = local - delta.astype(dtype) * cl
+        c3 = jnp.mod(self._slot_cells() + delta, dims)
+        cell = (c3[:, 2] * dims[1] + c3[:, 1]) * dims[0] + c3[:, 0]
+        from ls1_mardyn_tpu.ops.cells import bin_by_id
+
+        flat = jnp.concatenate([new_local, flat[:, 3:]], axis=1)
+        bins = bin_by_id(cell, valid, self.spec)
         idx = bins.slots.reshape(-1)
         safe = jnp.clip(idx, 0, flat.shape[0] - 1)
         ok = (idx >= 0) & valid[safe]
-        packed = jnp.concatenate(
-            [r, valid.astype(dtype)[:, None], flat[:, 4:8]], axis=1
-        )
-        g = jnp.where(ok[:, None], packed[safe], 0.0)
+        g = jnp.where(ok[:, None], flat[safe], 0.0)
         planes = g.reshape(nz, ny, nx * cap, NP_RMM).transpose(0, 1, 3, 2)
         # forces follow their molecules through the rebin
         fflat = st.forces.transpose(0, 1, 3, 2).reshape(-1, 3)
@@ -204,13 +231,20 @@ class RMMSimulation:
         nx, ny, nz = spec.dims
         cap = spec.cap
         dtype = mol.r.dtype
+        # absolute -> (cell, local) split in f64 on the host so the
+        # one-time conversion adds no rounding noise
+        r64 = np.asarray(mol.r, np.float64)
+        cl = np.asarray(spec.cell_len, np.float64)
+        c3 = np.clip(np.floor(r64 / cl).astype(np.int64), 0,
+                     np.asarray(spec.dims) - 1)
+        local = (r64 - c3 * cl).astype(np.float64)
         bins = bin_particles(mol.r, mol.valid, spec)
         idx = bins.slots.reshape(-1)
         safe = jnp.clip(idx, 0, mol.capacity - 1)
         ok = (idx >= 0) & mol.valid[safe]
         packed = jnp.concatenate(
             [
-                mol.r,
+                jnp.asarray(local, dtype),
                 mol.valid.astype(dtype)[:, None],
                 mol.v,
                 mol.mid.astype(dtype)[:, None],
@@ -247,7 +281,10 @@ class RMMSimulation:
         nz, ny, C, W = p.shape
         flat = p.transpose(0, 1, 3, 2).reshape(-1, C)
         valid = flat[:, 3] > 0.5
-        r = flat[valid, 0:3]
+        cells = np.asarray(self._slot_cells())
+        cl = np.asarray(self.spec.cell_len, np.float64)
+        r_abs = cells.astype(np.float64) * cl + flat[:, 0:3].astype(np.float64)
+        r = r_abs[valid]
         v = flat[valid, 4:7]
         mid = flat[valid, 7].astype(np.int64)
         n = len(r)
