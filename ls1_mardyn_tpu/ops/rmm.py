@@ -49,6 +49,11 @@ NP_RMM = 8  # planes: x, y, z, valid, vx, vy, vz, mid
 class RMMState:
     planes: jnp.ndarray  # [nz, ny, 8, nx*cap]
     forces: jnp.ndarray  # [nz, ny, 3, nx*cap] from the previous evaluation
+    # Kahan compensation planes for velocity and position accumulation
+    # (the f32 answer to the reference's SPDP mixed-precision mode,
+    # SIMD_TYPES.h:110-113: f32 compute, effectively-f64 accumulate)
+    vcomp: jnp.ndarray  # [nz, ny, 3, nx*cap]
+    rcomp: jnp.ndarray  # [nz, ny, 3, nx*cap]
     u6: jnp.ndarray
     vir: jnp.ndarray
 
@@ -139,19 +144,27 @@ class RMMSimulation:
         return f[:, :, :3, :], u6, vir
 
     # -- jitted step ------------------------------------------------------
+    @staticmethod
+    def _kahan(x, comp, inc):
+        """Compensated accumulation x += inc (Kahan-Neumaier)."""
+        y = inc - comp
+        t = x + y
+        comp_new = (t - x) - y
+        return t, comp_new
+
     def _step(self, st: RMMState, compute_macro=True) -> Tuple[RMMState, GlobalValues]:
         dt = self.dt
         inv2m = 0.5 * dt / self.mass
         p = st.planes
         w = p[:, :, 3:4, :]
-        v = p[:, :, 4:7, :] + inv2m * st.forces * w
-        r = p[:, :, 0:3, :] + dt * v * w
+        v, vc = self._kahan(p[:, :, 4:7, :], st.vcomp, inv2m * st.forces * w)
+        r, rc_ = self._kahan(p[:, :, 0:3, :], st.rcomp, dt * v * w)
         planes = jnp.concatenate([r, p[:, :, 3:4, :], v, p[:, :, 7:8, :]], axis=2)
 
         fout, u6, vir = self._kernel(planes, compute_macro)
         f = fout[:, :, :3, :]
 
-        v = v + inv2m * f * w
+        v, vc = self._kahan(v, vc, inv2m * f * w)
         planes = jnp.concatenate([r, p[:, :, 3:4, :], v, p[:, :, 7:8, :]], axis=2)
 
         from ls1_mardyn_tpu.state import Macroscopic
@@ -178,10 +191,15 @@ class RMMSimulation:
         )
         if self.thermostat and self.target_temperature > 0:
             v = v * gv.beta_trans
+            vc = vc * gv.beta_trans
             planes = jnp.concatenate(
                 [r, p[:, :, 3:4, :], v, p[:, :, 7:8, :]], axis=2
             )
-        return RMMState(planes=planes, forces=f, u6=u6, vir=vir), gv
+        return (
+            RMMState(planes=planes, forces=f, vcomp=vc, rcomp=rc_,
+                     u6=u6, vir=vir),
+            gv,
+        )
 
     def _slot_cells(self):
         """Static per-slot cell coordinates [slots, 3] (z-major rows,
@@ -219,11 +237,23 @@ class RMMSimulation:
         ok = (idx >= 0) & valid[safe]
         g = jnp.where(ok[:, None], flat[safe], 0.0)
         planes = g.reshape(nz, ny, nx * cap, NP_RMM).transpose(0, 1, 3, 2)
-        # forces follow their molecules through the rebin
-        fflat = st.forces.transpose(0, 1, 3, 2).reshape(-1, 3)
-        f = jnp.where(ok[:, None], fflat[safe], 0.0)
-        forces = f.reshape(nz, ny, nx * cap, 3).transpose(0, 1, 3, 2)
-        return RMMState(planes=planes, forces=forces, u6=st.u6, vir=st.vir), bins.overflow
+        # forces + compensation planes follow their molecules
+        def carry3(a):
+            af = a.transpose(0, 1, 3, 2).reshape(-1, 3)
+            g3 = jnp.where(ok[:, None], af[safe], 0.0)
+            return g3.reshape(nz, ny, nx * cap, 3).transpose(0, 1, 3, 2)
+
+        return (
+            RMMState(
+                planes=planes,
+                forces=carry3(st.forces),
+                vcomp=carry3(st.vcomp),
+                rcomp=carry3(st.rcomp),
+                u6=st.u6,
+                vir=st.vir,
+            ),
+            bins.overflow,
+        )
 
     # -- host API ---------------------------------------------------------
     def init_from_molecules(self, mol: MoleculeState):
@@ -256,7 +286,9 @@ class RMMSimulation:
         if bool(bins.overflow):
             raise RuntimeError("cell capacity exceeded at init")
         f, u6, vir = self._forces_jit(planes)
-        self.state = RMMState(planes=planes, forces=f, u6=u6, vir=vir)
+        z3 = jnp.zeros_like(f)
+        self.state = RMMState(planes=planes, forces=f, vcomp=z3, rcomp=z3,
+                              u6=u6, vir=vir)
         self._k = 0
 
     def run(self, steps: int, callback=None):
