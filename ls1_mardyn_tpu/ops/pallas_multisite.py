@@ -100,6 +100,7 @@ def _ms_row_kernel(
     rc2: float,
     rc2_lj: float,
     screen_alpha: float,
+    z_halo: bool,
     out_dtype,
 ):
     row_refs = refs[:9]
@@ -167,9 +168,14 @@ def _ms_row_kernel(
             sy = jnp.where(yidx < 0, -by, jnp.where(yidx >= ny, by, 0.0)).astype(
                 out_dtype
             )
-            sz = jnp.where(zidx < 0, -bz, jnp.where(zidx >= nz, bz, 0.0)).astype(
-                out_dtype
-            )
+            if z_halo:
+                # explicit halo rows from the slab exchange carry any
+                # global-z periodic shift already
+                sz = jnp.zeros((), out_dtype)
+            else:
+                sz = jnp.where(
+                    zidx < 0, -bz, jnp.where(zidx >= nz, bz, 0.0)
+                ).astype(out_dtype)
 
             def row(c):
                 return jnp.sum(H * ohr[c], axis=0, keepdims=True)  # [1, win]
@@ -459,20 +465,19 @@ def multisite_cell_forces_pallas(
     Wj = (nx + 2 * HX) * cap
     assert r_i.shape == (nz, ny, P, nx * cap), r_i.shape
     assert r_j.shape == ((nz + 2 if z_halo else nz), ny, P, Wj), r_j.shape
-    assert not z_halo, "multi-site multichip halo mode: TODO round 2"
     out_dtype = r_i.dtype
 
     i_spec = pl.BlockSpec(
         (1, 1, P, nx * cap), lambda z, y: (z, y, 0, 0), memory_space=pltpu.VMEM
     )
+    if z_halo:
+        jmap = lambda z, y, dz, dy: (z + dz + 1, (y + dy) % ny, 0, 0)
+    else:
+        jmap = lambda z, y, dz, dy: ((z + dz) % nz, (y + dy) % ny, 0, 0)
     j_specs = [
         pl.BlockSpec(
             (1, 1, P, Wj),
-            functools.partial(
-                lambda z, y, dz, dy: ((z + dz) % nz, (y + dy) % ny, 0, 0),
-                dz=dz,
-                dy=dy,
-            ),
+            functools.partial(jmap, dz=dz, dy=dy),
             memory_space=pltpu.VMEM,
         )
         for dz, dy in _OFFS
@@ -500,6 +505,7 @@ def multisite_cell_forces_pallas(
         rc2=rc2,
         rc2_lj=rc2_lj,
         screen_alpha=screen_alpha,
+        z_halo=z_halo,
         out_dtype=out_dtype,
     )
     out = pl.pallas_call(

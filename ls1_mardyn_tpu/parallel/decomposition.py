@@ -76,6 +76,11 @@ class SlabConfig:
     interpret: bool = False
     upot_corr: float = 0.0
     virial_corr: float = 0.0
+    # multi-site mode: hashable kernel metadata (ops/pallas_multisite
+    # _MSMeta); None selects the 1CLJ kernel
+    ms_meta: object = None
+    rc2_lj: float = 0.0
+    screen_alpha: float = 0.0
 
     @property
     def slab_h(self) -> float:
@@ -155,7 +160,7 @@ class SlabSimulation:
                 self._device_forces_entry,
                 mesh=self.mesh,
                 in_specs=(P(AXIS),),
-                out_specs=(P(AXIS), P(), P()),
+                out_specs=(P(AXIS), P(), P(), P(), P()),
                 check_vma=False,
             )
         )
@@ -278,6 +283,32 @@ class SlabSimulation:
         )
         return out, overflow
 
+    def _pack_planes(self, mol: MoleculeState) -> jnp.ndarray:
+        """Per-molecule kernel planes: LJ mode [x,y,z,valid]; multi-site
+        mode [x,y,z,valid,cid,site offsets,orientations] (padded)."""
+        dtype = mol.r.dtype
+        if self.cfg.ms_meta is None:
+            return jnp.concatenate(
+                [mol.r, mol.valid.astype(dtype)[:, None]], axis=1
+            )
+        from ls1_mardyn_tpu.ops.pallas_ms_path import site_offsets_pp
+
+        meta = self.cfg.ms_meta
+        sites = site_offsets_pp(meta, mol)
+        cols = [
+            mol.r,
+            mol.valid.astype(dtype)[:, None],
+            mol.cid.astype(dtype)[:, None],
+        ]
+        n = mol.capacity
+        for key in ("lj", "charge", "dip", "dip_e", "quad", "quad_e"):
+            cols.append(sites[key].reshape(n, -1))
+        packed = jnp.concatenate(cols, axis=1)
+        pad = meta.P - packed.shape[1]
+        if pad:
+            packed = jnp.concatenate([packed, jnp.zeros((n, pad), dtype)], axis=1)
+        return packed
+
     def _local_views(self, mol: MoleculeState):
         """Bin locally and build the kernel views with explicit z halo
         rows ppermuted from the neighbors (HALO_COPIES exchange)."""
@@ -296,32 +327,36 @@ class SlabSimulation:
         idx = bins.slots.reshape(nzl, ny, nx * cap)
         safe = jnp.clip(idx, 0, mol.capacity - 1)
         ok = (idx >= 0) & mol.valid[safe]
-        pack = jnp.concatenate([mol.r, mol.valid.astype(dtype)[:, None]], axis=1)
-        g = jnp.where(ok[..., None], pack[safe], 0.0)  # [nzl, ny, nx*cap, 4]
+        pack = self._pack_planes(mol)
+        P = pack.shape[1]
+        g = jnp.where(ok[..., None], pack[safe], 0.0)  # [nzl, ny, nx*cap, P]
 
         Lx = cfg.box[0]
-        shift_vec = jnp.zeros((4,), dtype).at[0].set(Lx)
+        shift_vec = jnp.zeros((P,), dtype).at[0].set(Lx)
 
         def with_xhalo(a):
-            pad = jnp.zeros(a.shape[:2] + ((HX - 1) * cap, 4), a.dtype)
+            pad = jnp.zeros(a.shape[:2] + ((HX - 1) * cap, P), a.dtype)
             left = a[:, :, (nx - 1) * cap :, :] - shift_vec
             right = a[:, :, :cap, :] + shift_vec
-            return jnp.concatenate([pad, left, a, right, pad], axis=2)
+            parts = [left, a, right]
+            if HX > 1:
+                parts = [pad] + parts + [pad]
+            return jnp.concatenate(parts, axis=2)
 
         gj = with_xhalo(g)  # [nzl, ny, Wj_lanes, 4]
         # z halo: send top row up, bottom row down; apply the global
         # periodic z shift on the wrapping link
         Lz = cfg.box[2]
-        zshift = jnp.zeros((4,), dtype).at[2].set(Lz)
+        zshift = jnp.zeros((P,), dtype).at[2].set(Lz)
         perm_up = [(i, (i + 1) % Pn) for i in range(Pn)]
         perm_dn = [(i, (i - 1) % Pn) for i in range(Pn)]
         halo_below = jax.lax.ppermute(gj[-1:], AXIS, perm_up)  # from rank-1
         halo_above = jax.lax.ppermute(gj[:1], AXIS, perm_dn)  # from rank+1
         halo_below = jnp.where(
-            (rank == 0) & (halo_below[..., 3:] > 0.5), halo_below - zshift, halo_below
+            (rank == 0) & (halo_below[..., 3:4] > 0.5), halo_below - zshift, halo_below
         )
         halo_above = jnp.where(
-            (rank == Pn - 1) & (halo_above[..., 3:] > 0.5),
+            (rank == Pn - 1) & (halo_above[..., 3:4] > 0.5),
             halo_above + zshift,
             halo_above,
         )
@@ -332,9 +367,38 @@ class SlabSimulation:
         return r_i, r_j, bins
 
     def _device_forces(self, mol: MoleculeState):
+        """Returns (F, M, macro_partials(u6, uX, myRF, vir), overflow)."""
         cfg = self.cfg
         r_i, r_j, bins = self._local_views(mol)
-        f, u6, vir = lj_cell_forces_pallas(
+        dtype = mol.r.dtype
+        zero = jnp.zeros((), dtype)
+        if cfg.ms_meta is None:
+            f, u6, vir = lj_cell_forces_pallas(
+                r_i,
+                r_j,
+                nx=cfg.nx,
+                ny=cfg.ny,
+                nz=cfg.nz_local,
+                cap=cfg.cap,
+                tx=cfg.tx,
+                box=cfg.box,
+                eps24=cfg.eps24,
+                sig2=cfg.sig2,
+                shift6=cfg.shift6,
+                rc2=cfg.rc2,
+                interpret=cfg.interpret,
+                z_halo=True,
+            )
+            fxyz = jnp.moveaxis(f[:, :, :3, :], 2, -1).reshape(-1, 3)
+            src = jnp.clip(bins.slot_of, 0, fxyz.shape[0] - 1)
+            F = jnp.where(mol.valid[:, None], fxyz[src], 0.0)
+            M = jnp.zeros_like(F)
+            return F, M, (u6, zero, zero, vir), bins.overflow
+        from ls1_mardyn_tpu.ops.pallas_multisite import (
+            multisite_cell_forces_pallas,
+        )
+
+        out, u6, uX, my_rf = multisite_cell_forces_pallas(
             r_i,
             r_j,
             nx=cfg.nx,
@@ -343,22 +407,25 @@ class SlabSimulation:
             cap=cfg.cap,
             tx=cfg.tx,
             box=cfg.box,
-            eps24=cfg.eps24,
-            sig2=cfg.sig2,
-            shift6=cfg.shift6,
             rc2=cfg.rc2,
+            rc2_lj=cfg.rc2_lj or cfg.rc2,
+            screen_alpha=cfg.screen_alpha,
+            meta=cfg.ms_meta,
             interpret=cfg.interpret,
             z_halo=True,
         )
-        fxyz = jnp.moveaxis(f[:, :, :3, :], 2, -1).reshape(-1, 3)
-        src = jnp.clip(bins.slot_of, 0, fxyz.shape[0] - 1)
-        F = jnp.where(mol.valid[:, None], fxyz[src], 0.0)
-        return F, u6, vir, bins.overflow
+        flat = jnp.moveaxis(out, 2, -1).reshape(-1, out.shape[2])
+        src = jnp.clip(bins.slot_of, 0, flat.shape[0] - 1)
+        got = jnp.where(mol.valid[:, None], flat[src], 0.0)
+        vir = jnp.sum(out[:, :, 6:9, :])
+        return got[:, 0:3], got[:, 3:6], (u6, uX, my_rf, vir), bins.overflow
 
     def _device_forces_entry(self, mol: MoleculeState):
-        F, u6, vir, _ovf = self._device_forces(mol)
-        u6g, virg = jax.lax.psum(jnp.stack([u6, vir]), AXIS)
-        return F, u6g, virg
+        F, M, (u6, uX, my_rf, vir), _ovf = self._device_forces(mol)
+        u6g, uXg, rfg, virg = jax.lax.psum(
+            jnp.stack([u6, uX, my_rf, vir]), AXIS
+        )
+        return (F, M), u6g, uXg, rfg, virg
 
     def _device_step(self, mol: MoleculeState, F_prev: jnp.ndarray):
         cfg = self.cfg
@@ -366,13 +433,14 @@ class SlabSimulation:
         from ls1_mardyn_tpu.ops.cells import wrap_positions
 
         dtype = mol.r.dtype
+        F_prev, M_prev = F_prev
         zeros3 = jnp.zeros_like(F_prev)
-        forces_prev = Forces(F=F_prev, M=zeros3, Vi=zeros3)
+        forces_prev = Forces(F=F_prev, M=M_prev, Vi=zeros3)
         mol = upd_pre_force(mol, forces_prev, self.pp, cfg.dt)
         mol = dataclasses.replace(mol, r=wrap_positions(mol.r, cfg.box))
         mol, mig_overflow = self._migrate(mol)
-        F, u6, vir, bin_overflow = self._device_forces(mol)
-        forces = Forces(F=F, M=zeros3, Vi=zeros3)
+        F, M, (u6, uX, my_rf, vir), bin_overflow = self._device_forces(mol)
+        forces = Forces(F=F, M=M, Vi=zeros3)
         mol, mv2, iw2 = upd_post_force(mol, forces, self.pp, cfg.dt)
 
         # one fused psum: (u6, vir, summv2, sumIw2, N, rotDOF) --
@@ -381,15 +449,18 @@ class SlabSimulation:
         rdof = jnp.sum(
             jnp.where(mol.valid, self.pp.rot_dof[mol.cid], 0)
         ).astype(dtype)
-        packed = jnp.stack([u6, vir, jnp.sum(mv2), jnp.sum(iw2), nloc, rdof])
-        u6g, virg, summv2, sumiw2, ng, rdofg = jax.lax.psum(packed, AXIS)
+        packed = jnp.stack(
+            [u6, uX, my_rf, vir, jnp.sum(mv2), jnp.sum(iw2), nloc, rdof]
+        )
+        u6g, uXg, rfg, virg, summv2, sumiw2, ng, rdofg = jax.lax.psum(
+            packed, AXIS
+        )
 
-        zero = jnp.zeros((), dtype)
         macro = Macroscopic(
             upot6lj=u6g,
-            upot_xpoles=zero + cfg.upot_corr,
+            upot_xpoles=uXg + cfg.upot_corr,
             virial=virg + cfg.virial_corr,
-            my_rf=zero,
+            my_rf=rfg,
         )
         gv = calculate_global_values(
             macro,
@@ -409,4 +480,4 @@ class SlabSimulation:
             )
             > 0
         )
-        return mol, F, gv, overflow
+        return mol, (F, M), gv, overflow

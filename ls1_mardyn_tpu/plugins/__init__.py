@@ -16,3 +16,5 @@ from ls1_mardyn_tpu.plugins import writers2  # noqa: F401
 from ls1_mardyn_tpu.plugins import widom  # noqa: F401
 from ls1_mardyn_tpu.plugins import diagnostics  # noqa: F401
 from ls1_mardyn_tpu.plugins import mmpld  # noqa: F401
+from ls1_mardyn_tpu.plugins import vtk  # noqa: F401
+from ls1_mardyn_tpu.plugins import odf  # noqa: F401

@@ -66,7 +66,7 @@ def test_sharded_forces_match_single_chip():
     f_ref, m_ref, _ = jax.jit(path.__call__)(mol)
 
     mol_sh = sim.distribute(mol)
-    F_sh, u6, vir = sim._force_sharded(mol_sh)
+    (F_sh, M_sh), u6, uX, rf, vir = sim._force_sharded(mol_sh)
 
     # compare per molecule id
     mids_sh = np.asarray(mol_sh.mid)
@@ -92,9 +92,9 @@ def test_sharded_steps_match_single_chip():
     mol, pp, table, box, rc, n, T = _scene()
     sim = _slab_sim(mol, pp, table, box, rc, n, T, (4, 4, 8))
     mol_sh = sim.distribute(mol)
-    F, _, _ = sim._force_sharded(mol_sh)
+    FM, _, _, _, _ = sim._force_sharded(mol_sh)
     for _ in range(5):
-        mol_sh, F, gv, overflow = sim._step_sharded(mol_sh, F)
+        mol_sh, FM, gv, overflow = sim._step_sharded(mol_sh, FM)
     assert not bool(overflow)
 
     spec = CellGridSpec(dims=(4, 4, 8), box=box, cap=32)
@@ -108,6 +108,118 @@ def test_sharded_steps_match_single_chip():
     )
     np.testing.assert_allclose(float(gv.upot), float(gv1.upot), rtol=1e-9)
     assert int(float(gv.n)) == n
+
+
+def _ms_scene(nz=8, nx=4, ny=4, cell=2.6, rc=2.5, seed=7):
+    """Jittered-lattice 2CLJ+dipole fluid (nontrivial orientations and
+    torques) spanning 8 z slabs."""
+    from ls1_mardyn_tpu.models.components import Component, ComponentTable
+    from ls1_mardyn_tpu.state import MoleculeState
+
+    box = (nx * cell, ny * cell, nz * cell)
+    gx, gy, gz = nx, ny, nz  # one molecule per cell-ish
+    idx = np.stack(
+        np.meshgrid(np.arange(gx), np.arange(gy), np.arange(gz), indexing="ij"),
+        -1,
+    ).reshape(-1, 3)
+    rng = np.random.default_rng(seed)
+    r = (idx + 0.5) * cell + rng.uniform(-0.3, 0.3, idx.shape)
+    n = r.shape[0]
+    q = rng.normal(size=(n, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    v = rng.normal(size=(n, 3)) * 0.3
+    L = rng.normal(size=(n, 3)) * 0.1
+
+    c = Component(cid=0)
+    c.add_ljcenter(0.0, 0.0, 0.5, 0.5, 1.0, 1.0, rc, True)
+    c.add_ljcenter(0.0, 0.0, -0.5, 0.5, 1.0, 1.0, rc, True)
+    c.add_dipole(0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 1.5)
+    table = ComponentTable([c], cutoff=rc, lj_cutoff=rc)
+    from ls1_mardyn_tpu.models.interaction import PairParams
+
+    pp = PairParams.from_table(table, dtype=jnp.float64)
+    mol = MoleculeState.from_numpy(
+        r=r, v=v, q=q, L=L, cid=np.zeros(n, np.int32), dtype=jnp.float64
+    )
+    return mol, pp, table, box, rc, n
+
+
+def _ms_slab_sim(pp, table, box, rc, n, dims, dt=0.002, thermostat=True):
+    from ls1_mardyn_tpu.ops.pallas_multisite import _MSMeta
+
+    nx, ny, nz = dims
+    cfg = SlabConfig(
+        n_devices=P,
+        nz_local=nz // P,
+        ny=ny,
+        nx=nx,
+        cap=32,
+        box=box,
+        n_local_cap=2 * n // P + 64,
+        migrate_cap=64,
+        tx=4,
+        dt=dt,
+        target_temperature=1.0,
+        thermostat=thermostat,
+        eps24=0.0,
+        sig2=0.0,
+        shift6=0.0,
+        rc2=rc * rc,
+        interpret=True,
+        ms_meta=_MSMeta(table),
+        rc2_lj=float(table.lj_cutoff**2),
+    )
+    mesh = Mesh(np.array(jax.devices()[:P]), ("dd",))
+    return SlabSimulation(cfg, pp, mesh=mesh)
+
+
+def test_sharded_multisite_forces_match_single_chip():
+    """Sharded multi-site (2CLJ+dipole) forces/torques == the
+    oracle-validated single-chip PallasMultiSitePath, per molecule id."""
+    from ls1_mardyn_tpu.ops.pallas_ms_path import PallasMultiSitePath
+
+    mol, pp, table, box, rc, n = _ms_scene()
+    sim = _ms_slab_sim(pp, table, box, rc, n, (4, 4, 8))
+
+    spec = CellGridSpec(dims=(4, 4, 8), box=box, cap=32)
+    path = PallasMultiSitePath(table, spec, tx=4, interpret=True)
+    f_ref, m_ref, _ = jax.jit(path.__call__)(mol)
+
+    mol_sh = sim.distribute(mol)
+    (F_sh, M_sh), u6, uX, rf, vir = sim._force_sharded(mol_sh)
+
+    mids_sh = np.asarray(mol_sh.mid)
+    valid_sh = np.asarray(mol_sh.valid)
+    by_id = {}
+    Fs, Ms = np.asarray(F_sh), np.asarray(M_sh)
+    for i in np.where(valid_sh)[0]:
+        by_id[mids_sh[i]] = (Fs[i], Ms[i])
+    mids = np.asarray(mol.mid)
+    F_ref, M_ref = np.asarray(f_ref.F), np.asarray(f_ref.M)
+    fscale = np.abs(F_ref).max()
+    mscale = np.abs(M_ref).max()
+    for i in range(n):
+        fi, mi = by_id[mids[i]]
+        np.testing.assert_allclose(fi / fscale, F_ref[i] / fscale, atol=1e-12)
+        np.testing.assert_allclose(mi / mscale, M_ref[i] / mscale, atol=1e-12)
+    np.testing.assert_allclose(float(u6), float(m_ref.upot6lj), rtol=1e-12)
+    np.testing.assert_allclose(float(uX), float(m_ref.upot_xpoles), rtol=1e-12)
+    np.testing.assert_allclose(float(vir), float(m_ref.virial), rtol=1e-12)
+
+
+def test_sharded_multisite_steps_run():
+    """5 sharded NVT steps on the multi-site path: finite T/Upot, no
+    overflow, molecule count conserved."""
+    mol, pp, table, box, rc, n = _ms_scene()
+    sim = _ms_slab_sim(pp, table, box, rc, n, (4, 4, 8))
+    mol_sh = sim.distribute(mol)
+    FM, _, _, _, _ = sim._force_sharded(mol_sh)
+    for _ in range(5):
+        mol_sh, FM, gv, overflow = sim._step_sharded(mol_sh, FM)
+    assert not bool(overflow)
+    assert int(float(gv.n)) == n
+    assert np.isfinite(float(gv.temperature)) and float(gv.temperature) > 0
+    assert np.isfinite(float(gv.upot))
 
 
 def test_migration_across_slabs():
@@ -124,13 +236,13 @@ def test_migration_across_slabs():
         mol_sh,
         v=jax.device_put(jnp.asarray(v), mol_sh.v.sharding),
     )
-    F, _, _ = sim._force_sharded(mol_sh)
+    FM, _, _, _, _ = sim._force_sharded(mol_sh)
     ids_before = set(
         np.asarray(mol_sh.mid)[np.asarray(mol_sh.valid)].tolist()
     )
     total_before = len(ids_before)
     for _ in range(20):
-        mol_sh, F, gv, overflow = sim._step_sharded(mol_sh, F)
+        mol_sh, FM, gv, overflow = sim._step_sharded(mol_sh, FM)
     assert not bool(overflow)
     valid = np.asarray(mol_sh.valid)
     ids_after = np.asarray(mol_sh.mid)[valid]
