@@ -146,6 +146,16 @@ class MDSimulation:
                 cap=cell_cap,
             )
             interpret = jax.default_backend() != "tpu"
+            if not interpret:
+                # compiled kernels need tx*cap % 128 == 0 with tx | nx:
+                # round cap up to a multiple of 128/tx for the largest
+                # usable tile width (small grids pay cap=128)
+                nx = spec.dims[0]
+                t = next(t for t in (4, 2, 1) if nx % t == 0)
+                unit = 128 // t
+                cap_aligned = ((spec.cap + unit - 1) // unit) * unit
+                if cap_aligned != spec.cap:
+                    spec = _dc.replace(spec, cap=cap_aligned)
             is_1clj = (
                 self.table.K == 1
                 and len(self.table.components[0].ljcenters) == 1

@@ -80,6 +80,10 @@ class RefUnits:
             if unit in ("", "reduced", None):
                 return float(value)
             f, dim = parse_si_unit(unit)
+            if expect_dim == "energy" and dim == "temperature":
+                # energy declared in Kelvin means kB*T (the reference's
+                # usual '<energy unit="K">1</energy>')
+                f, dim = f * KB, "energy"
             if dim != expect_dim:
                 raise ValueError(
                     f"refunits <{name}> has unit {unit!r} of dimension "

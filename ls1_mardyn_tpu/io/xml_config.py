@@ -75,14 +75,22 @@ class XMLConfig:
     config_dir: str = "."
 
 
+# active RefUnits during read_xml_config (xmlfileUnits: unit attributes
+# are converted against the root <refunits> declaration)
+_ACTIVE_UNITS = None
+
+
 def _value(el: ET.Element) -> float:
     unit = el.get("unit", "reduced")
-    if unit not in ("reduced", "", None):
+    v = float(el.text.strip())
+    if unit in ("reduced", "", None):
+        return v
+    if _ACTIVE_UNITS is None:
         raise NotImplementedError(
-            f"non-reduced unit {unit!r} on <{el.tag}> not supported yet "
-            "(declare refunits and use reduced values)"
+            f"SI unit {unit!r} on <{el.tag}> requires a <refunits> "
+            "declaration"
         )
-    return float(el.text.strip())
+    return _ACTIVE_UNITS.convert(v, unit)
 
 
 def _get(node: ET.Element, path: str, default=None, cast=float):
@@ -193,6 +201,7 @@ def _params_dict(el: ET.Element) -> Dict[str, Any]:
 
 
 def read_xml_config(path: str) -> XMLConfig:
+    global _ACTIVE_UNITS
     base_dir = os.path.dirname(os.path.abspath(path))
     root = ET.parse(path).getroot()
     if root.tag != "mardyn":
@@ -210,7 +219,16 @@ def read_xml_config(path: str) -> XMLConfig:
             el = ru.find(q)
             if el is not None:
                 cfg.refunits[q] = (el.get("unit", ""), float(el.text))
+        from ls1_mardyn_tpu.io.units import RefUnits
 
+        _ACTIVE_UNITS = RefUnits.from_config(cfg.refunits)
+    try:
+        return _read_body(sim, cfg, base_dir)
+    finally:
+        _ACTIVE_UNITS = None
+
+
+def _read_body(sim: ET.Element, cfg: XMLConfig, base_dir: str) -> XMLConfig:
     integ = sim.find("integrator")
     if integ is not None:
         cfg.timestep = _get(integ, "timestep", cfg.timestep)
