@@ -27,6 +27,15 @@ def build_parser():
                    help="write a checkpoint after the last step")
     p.add_argument("--loop-abort-time", type=float, default=0.0,
                    help="abort the loop after this many wall seconds")
+    p.add_argument("--timed-checkpoint", type=float, default=0.0,
+                   help="write timed.restart.dat and stop after this many "
+                        "wall seconds (Simulation.cpp:1169-1175)")
+    p.add_argument("--print-meminfo", action="store_true",
+                   help="print host/device memory usage after the run "
+                        "(MemoryProfiler role)")
+    p.add_argument("-S", "--sigsegv-handler", action="store_true",
+                   help="install a fault handler that prints a backtrace "
+                        "on crashes (SigsegvHandler.h:26-34)")
     p.add_argument("--logfile", default=None, help="log file prefix")
     p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument("--legacy-cell-processor", action="store_true",
@@ -43,6 +52,11 @@ def main(argv=None):
     from ls1_mardyn_tpu.utils.logger import init_logger
 
     log = init_logger(verbose=args.verbose, logfile=args.logfile)
+
+    if args.sigsegv_handler:
+        import faulthandler
+
+        faulthandler.enable()
 
     if args.tests:
         import pytest
@@ -70,7 +84,12 @@ def main(argv=None):
         print_every=args.print_every,
         final_checkpoint=args.final_checkpoint,
         loop_abort_time=args.loop_abort_time,
+        timed_checkpoint=args.timed_checkpoint,
     )
+    if args.print_meminfo:
+        from ls1_mardyn_tpu.utils.meminfo import print_meminfo
+
+        print_meminfo(log)
     return 0
 
 

@@ -342,6 +342,7 @@ class MDSimulation:
         print_every: int = 100,
         final_checkpoint: Optional[str] = None,
         loop_abort_time: float = 0.0,
+        timed_checkpoint: float = 0.0,
     ):
         steps = steps if steps is not None else self.config.steps
         eng = self.engine
@@ -380,6 +381,25 @@ class MDSimulation:
                     raise RuntimeError(
                         "cell capacity exceeded; increase cell_cap"
                     )
+                # NaN watchdog: abort instead of simulating garbage
+                # (Simulation.cpp:1236-1239)
+                if not (
+                    np.isfinite(float(gv.upot))
+                    and np.isfinite(float(gv.temperature))
+                ):
+                    raise RuntimeError(
+                        f"NaN/Inf detected at step {self.step} "
+                        f"(T={float(gv.temperature)}, "
+                        f"Upot={float(gv.upot)}); aborting"
+                    )
+            if timed_checkpoint and (_time.time() - t_start) > timed_checkpoint:
+                # walltime-forced checkpoint (Simulation.cpp:1169-1175)
+                self.write_checkpoint("timed.restart.dat")
+                global_log.warning(
+                    "walltime limit: wrote timed.restart.dat at step %d",
+                    self.step,
+                )
+                break
             if loop_abort_time and (_time.time() - t_start) > loop_abort_time:
                 global_log.warning("loop abort time reached at step %d", self.step)
                 break

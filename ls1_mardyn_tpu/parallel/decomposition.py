@@ -217,6 +217,26 @@ class SlabSimulation:
         """All-device view back on host (diagnostics/checkpointing)."""
         return jax.tree.map(lambda a: np.asarray(a), mol)
 
+    def refresh_ids(self, mol: MoleculeState) -> MoleculeState:
+        """Reassign contiguous global molecule ids 1..N in device order
+        (the refreshIDs option, Simulation.cpp:1408-1419: MPI_Exscan of
+        local counts -> per-rank id offsets)."""
+        cfg = self.cfg
+        ncap = cfg.n_local_cap
+        valid = np.asarray(mol.valid)
+        mid = np.array(mol.mid)
+        offset = 0
+        for p in range(cfg.n_devices):
+            seg = slice(p * ncap, (p + 1) * ncap)
+            sel = np.where(valid[seg])[0]
+            mid[seg][sel] = 0  # clear then assign (views don't chain)
+            new = np.zeros(ncap, mid.dtype)
+            new[sel] = offset + 1 + np.arange(len(sel), dtype=mid.dtype)
+            mid[seg] = np.where(valid[seg], new, 0)
+            offset += len(sel)
+        out = jax.device_put(jnp.asarray(mid), mol.mid.sharding)
+        return dataclasses.replace(mol, mid=out)
+
     # -- per-device step bodies (run inside shard_map) ---------------------
     def _rank(self):
         return jax.lax.axis_index(AXIS)

@@ -1,0 +1,163 @@
+"""CavityEnsemble/CavityWriter, parallel diagnostics writers, meminfo,
+NaN watchdog, refresh_ids."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from ls1_mardyn_tpu.driver import MDSimulation
+from ls1_mardyn_tpu.io.xml_config import PluginSpec, XMLConfig
+
+
+def _cfg(n=216, rho=0.4, T=1.0, plugins=()):
+    L = (n / rho) ** (1 / 3)
+    return XMLConfig(
+        timestep=0.002,
+        temperature=T,
+        box=np.array([L, L, L]),
+        cutoff=2.5,
+        lj_cutoff=2.5,
+        generator=PluginSpec("CubicGridGenerator", {"numMolecules": str(n)}),
+        output_plugins=[PluginSpec(nm, dict(pr)) for nm, pr in plugins],
+    )
+
+
+def test_cavity_ensemble_detects_voids():
+    """A dense slab occupying half the box: probes in the occupied half
+    have many neighbors; probes in the empty half are cavities."""
+    import jax.numpy as jnp
+
+    from ls1_mardyn_tpu.ensemble.cavity import CavityEnsemble
+    from ls1_mardyn_tpu.state import MoleculeState
+
+    rng = np.random.default_rng(0)
+    box = np.array([10.0, 10.0, 10.0])
+    n = 400
+    r = rng.uniform(0, 1, (n, 3)) * box
+    r[:, 2] *= 0.4  # everything in z < 4
+    mol = MoleculeState.from_numpy(
+        r=r, v=np.zeros_like(r), dtype=jnp.float64
+    )
+    ce = CavityEnsemble(box, grid=(4, 4, 4), radius=1.5, max_neighbours=0)
+    active, counts = ce.cavity_step(mol)
+    probes_z = ce.probe_r[:, 2]
+    # probes at z=6.25: > 1.5 away from the slab on both sides (the
+    # z=8.75 row is within reach of z~0 molecules through the periodic
+    # wrap, so it is excluded on purpose)
+    mid_empty = (probes_z > 5.5) & (probes_z < 7.0)
+    dense = probes_z < 4.0
+    assert active[mid_empty].all()
+    assert not active[dense].any()
+    assert counts[dense].min() > 0
+
+
+def test_cavity_writer(tmp_path):
+    os.chdir(tmp_path)
+    cfg = _cfg(n=100, plugins=[
+        ("CavityWriter", {"writefrequency": "2", "outputprefix": "cav",
+                          "Nx": "3", "Ny": "3", "Nz": "3",
+                          "radius": "1.2", "maxNeighbours": "0"}),
+    ])
+    sim = MDSimulation(cfg, force_mode="cells")
+    sim.run(steps=2, print_every=0)
+    lines = (tmp_path / "cav-2.cav.xyz").read_text().splitlines()
+    assert int(lines[0]) == len(lines) - 2
+
+
+def _slab_sim_small():
+    import jax.numpy as jnp
+
+    from ls1_mardyn_tpu.io.generators import cubic_grid
+    from ls1_mardyn_tpu.parallel.decomposition import SlabConfig, SlabSimulation
+    from ls1_mardyn_tpu.scene import build_scene
+
+    P = 8
+    box = (10.4, 10.4, 20.8)
+    n = int(0.5 * np.prod(box))
+    data = cubic_grid(n, list(box), 1.0, seed=4)
+    mol, pp, table, _ = build_scene(data, cutoff=2.5, dtype=jnp.float64)
+    cfg = SlabConfig(
+        n_devices=P, nz_local=1, ny=4, nx=4, cap=32, box=box,
+        n_local_cap=2 * n // P + 64, migrate_cap=64, tx=4, dt=0.002,
+        target_temperature=1.0, thermostat=True,
+        eps24=float(table.eps24[0, 0, 0, 0]),
+        sig2=float(table.sig2[0, 0, 0, 0]),
+        shift6=float(table.shift6[0, 0, 0, 0]),
+        rc2=6.25, interpret=True,
+    )
+    mesh = Mesh(np.array(jax.devices()[:P]), ("dd",))
+    sim = SlabSimulation(cfg, pp, mesh=mesh)
+    return sim, mol, n
+
+
+def test_parallel_diagnostics(tmp_path):
+    from ls1_mardyn_tpu.parallel import diagnostics as diag
+
+    sim, mol, n = _slab_sim_small()
+    mol_sh = sim.distribute(mol)
+
+    rep = diag.write_loadbalance(
+        sim, mol_sh, str(tmp_path / "lb.dat"), step=0
+    )
+    assert rep["total"] == n
+    assert rep["imbalance"] >= 1.0
+    assert len(rep["counts"]) == 8
+    lines = (tmp_path / "lb.dat").read_text().splitlines()
+    assert lines[0].startswith("# step")
+
+    diag.write_halo_particles(sim, mol_sh, str(tmp_path / "h"), step=0)
+    txt = (tmp_path / "h_rank0_step0.halo").read_text()
+    assert "from_below" in txt and "from_above" in txt
+    # halo symmetry: what rank p imports from below is what rank p-1
+    # exports from its top row
+    halos = diag.halo_particles(sim, mol_sh)
+    assert len(halos) == 8
+
+    diag.write_communication_partners(sim, str(tmp_path / "cp.dat"))
+    rows = diag.communication_partners(sim)
+    assert rows[0]["partners"] == [7, 1]
+    assert rows[3]["partners"] == [2, 4]
+
+    diag.write_decomposition(sim, str(tmp_path / "tree.dat"))
+    tl = (tmp_path / "tree.dat").read_text().splitlines()
+    assert len(tl) == 2 + 8
+
+
+def test_refresh_ids():
+    sim, mol, n = _slab_sim_small()
+    mol_sh = sim.distribute(mol)
+    mol2 = sim.refresh_ids(mol_sh)
+    valid = np.asarray(mol2.valid)
+    mids = np.asarray(mol2.mid)[valid]
+    assert sorted(mids.tolist()) == list(range(1, n + 1))
+    # invalid slots cleared
+    assert (np.asarray(mol2.mid)[~valid] == 0).all()
+
+
+def test_meminfo():
+    from ls1_mardyn_tpu.utils.meminfo import host_rss_mib, print_meminfo
+
+    assert host_rss_mib() > 10.0  # python + jax resident
+    text = print_meminfo()
+    assert "host RSS" in text
+
+
+def test_nan_watchdog(tmp_path):
+    """Blowing up the timestep must abort with the watchdog error, not
+    silently keep simulating garbage (Simulation.cpp:1236-1239)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    os.chdir(tmp_path)
+    cfg = _cfg(n=64, rho=0.8)
+    sim = MDSimulation(cfg, force_mode="cells")
+    # corrupt one velocity -> NaN propagates into T/Upot immediately
+    v = np.array(sim.engine.mol.v)
+    v[0, 0] = np.nan
+    sim.engine.mol = dataclasses.replace(sim.engine.mol, v=jnp.asarray(v))
+    with pytest.raises(RuntimeError, match="NaN"):
+        sim.run(steps=2, print_every=1)
