@@ -78,6 +78,8 @@ def reciprocal_energy_forces(
     kvec: jnp.ndarray,  # [K,3]
     coeff: jnp.ndarray,  # [K]
     alpha: float,
+    psum=None,
+    global_share: float = 1.0,
 ):
     """Reciprocal-space energy + per-molecule site forces/torques.
 
@@ -86,6 +88,16 @@ def reciprocal_energy_forces(
     equals the true periodic Coulomb sum over distinct molecules.
 
     Returns (U_recip_minus_corrections, F [N,3], M [N,3]).
+
+    Multi-chip (k-space sharding over the molecule axis): call inside a
+    shard_map with `psum` reducing over the mesh axis and `global_share
+    = 1/n_devices`.  Each device accumulates the structure factor of
+    its LOCAL molecules, one psum of the [K] chunks merges the global
+    S(k) (the analogue of the reference's allreduce of multipole
+    moments, UniformPseudoParticleContainer.h:95-135), and forces on
+    local molecules follow from the global S(k) without any further
+    communication.  The returned energy is the local share: a later
+    psum of it yields the global reciprocal energy exactly once.
     """
     dtype = mol.r.dtype
     n = mol.capacity
@@ -112,6 +124,8 @@ def reciprocal_energy_forces(
         return Sr, Si
 
     Sr_c, Si_c = jax.lax.map(sf_chunk, kchunks)  # [nchunk, KC]
+    if psum is not None:
+        Sr_c, Si_c = psum((Sr_c, Si_c))
     u_recip = 0.5 * jnp.sum(cchunks * (Sr_c * Sr_c + Si_c * Si_c))
 
     def force_chunk(carry, xs):
@@ -163,7 +177,8 @@ def reciprocal_energy_forces(
     F = F + jnp.sum(f_intra_site, axis=1)
     M = M + jnp.sum(jnp.cross(sites["charge"], f_intra_site), axis=1)
 
-    return u_recip + u_self + u_intra, F, M
+    share = jnp.asarray(global_share, dtype)
+    return share * u_recip + u_self + u_intra, F, M
 
 
 class EwaldSolver:

@@ -81,6 +81,11 @@ class SlabConfig:
     ms_meta: object = None
     rc2_lj: float = 0.0
     screen_alpha: float = 0.0
+    # Ewald k-space (sharded over molecules, psum of structure factors);
+    # kmax 0 disables.  screen_alpha must be set to the same alpha so
+    # the pair kernel computes the erfc-screened real-space part.
+    ewald_kmax: int = 0
+    ewald_alpha: float = 0.0
 
     @property
     def slab_h(self) -> float:
@@ -146,6 +151,14 @@ class SlabSimulation:
         assert mesh.shape[AXIS] == cfg.n_devices
         self.mesh = mesh
         self.volume = float(np.prod(cfg.box))
+        self._ewald_k = None
+        if cfg.ewald_kmax > 0:
+            from ls1_mardyn_tpu.ops.ewald import make_kvectors
+
+            k, c = make_kvectors(
+                np.asarray(cfg.box), cfg.ewald_kmax, cfg.ewald_alpha
+            )
+            self._ewald_k = (jnp.asarray(k), jnp.asarray(c))
         self._step_sharded = jax.jit(
             jax.shard_map(
                 self._device_step,
@@ -438,7 +451,24 @@ class SlabSimulation:
         src = jnp.clip(bins.slot_of, 0, flat.shape[0] - 1)
         got = jnp.where(mol.valid[:, None], flat[src], 0.0)
         vir = jnp.sum(out[:, :, 6:9, :])
-        return got[:, 0:3], got[:, 3:6], (u6, uX, my_rf, vir), bins.overflow
+        F, M = got[:, 0:3], got[:, 3:6]
+        if self._ewald_k is not None:
+            from ls1_mardyn_tpu.ops.ewald import reciprocal_energy_forces
+
+            kvec, coeff = self._ewald_k
+            u_ew, F_ew, M_ew = reciprocal_energy_forces(
+                mol,
+                self.pp,
+                kvec.astype(dtype),
+                coeff.astype(dtype),
+                cfg.ewald_alpha,
+                psum=lambda t: jax.lax.psum(t, AXIS),
+                global_share=1.0 / cfg.n_devices,
+            )
+            F = F + F_ew
+            M = M + M_ew
+            uX = uX + u_ew
+        return F, M, (u6, uX, my_rf, vir), bins.overflow
 
     def _device_forces_entry(self, mol: MoleculeState):
         F, M, (u6, uX, my_rf, vir), _ovf = self._device_forces(mol)
