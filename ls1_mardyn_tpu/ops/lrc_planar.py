@@ -16,10 +16,11 @@ one-hot-matmul histogram; the correction energy is a [S,S] kernel
 matvec and per-particle forces are a slab-table gather -- all dense,
 TPU-friendly, no trees.
 
-Multi-site molecules are approximated by their LJ sites placed at the
-molecular COM (site |offsets| << rc make this a second-order error);
-the reference resolves site offsets exactly (Planar.cpp) -- noted as a
-refinement TODO.
+Multi-site molecules: per_site=True (default) resolves each LJ site at
+its world position (COM + rotated offset) exactly like the reference
+(Planar.cpp site loops), including the torque about the COM from
+off-center site forces; per_site=False uses the cheaper COM
+approximation (identical for single-site components).
 """
 
 from __future__ import annotations
@@ -37,8 +38,10 @@ from ls1_mardyn_tpu.state import MoleculeState
 class PlanarLRC:
     """Slab LRC along one axis (default y, like the reference)."""
 
-    def __init__(self, table, box, nslabs: int = 100, axis: int = 1):
+    def __init__(self, table, box, nslabs: int = 100, axis: int = 1,
+                 per_site: bool = True):
         self.axis = axis
+        self.per_site = per_site
         self.nslabs = nslabs
         self.box = np.asarray(box, float)
         self.L = float(self.box[axis])
@@ -53,8 +56,13 @@ class PlanarLRC:
         D = np.abs(y[:, None] - y[None, :])
         D = np.minimum(D, self.L - D)
         xi = np.maximum(D, rc)
+        NL = table.NL
+        self.NL = NL
         self.W = np.zeros((K, K, nslabs, nslabs))
         self.dW = np.zeros((K, K, nslabs, nslabs))  # dU/dD (0 inside rc)
+        # per-(component,site) kernels for the exact per-site mode
+        self.Ws = np.zeros((K, NL, K, NL, nslabs, nslabs))
+        self.dWs = np.zeros((K, NL, K, NL, nslabs, nslabs))
         sgn = np.sign(((y[:, None] - y[None, :]) + self.L / 2) % self.L - self.L / 2)
         for a in range(K):
             for b in range(K):
@@ -78,14 +86,68 @@ class PlanarLRC:
                         )
                         self.W[a, b] += u * self.dz
                         self.dW[a, b] += du * self.dz
+                        self.Ws[a, sa, b, sb] = u * self.dz
+                        self.dWs[a, sa, b, sb] = du * self.dz
         # force direction: pull toward the slab j relative to i
         self._sgn = sgn
         self._W = jnp.asarray(self.W)
         self._dW = jnp.asarray(self.dW)
+        self._Ws = jnp.asarray(self.Ws)
+        self._dWs = jnp.asarray(self.dWs)
         self._sgn_j = jnp.asarray(sgn)
+        self._lj_pos = jnp.asarray(table.lj_pos)
+        self._lj_mask = jnp.asarray(table.lj_mask)
 
     def __call__(self, mol: MoleculeState):
-        """Returns (F [N,3], u_corr, virial_corr_scalar_approx)."""
+        """Returns (F [N,3], u_corr, virial_corr_scalar_approx); use
+        forces_torques() for the per-site torques as well."""
+        if self.per_site and int(self.NL) > 0:
+            F, M, u, vir = self.forces_torques(mol)
+            return F, u, vir
+        return self._call_com(mol)
+
+    def forces_torques(self, mol: MoleculeState):
+        """Exact per-site slab correction (Planar.cpp site resolution):
+        each LJ site is binned at its world height; forces act at the
+        site, producing a torque about the COM."""
+        from ls1_mardyn_tpu.models.quaternion import qrotate
+
+        dtype = mol.r.dtype
+        n = mol.capacity
+        K, NL, S = self._W.shape[0], self.NL, self.nslabs
+        offs = qrotate(
+            mol.q[:, None, :], self._lj_pos.astype(dtype)[mol.cid]
+        )  # [N, NL, 3]
+        smask = self._lj_mask[mol.cid] & mol.valid[:, None]  # [N, NL]
+        ys = mol.r[:, None, self.axis] + offs[..., self.axis]
+        ys = ys - jnp.floor(ys / self.L) * self.L  # periodic wrap
+        slab = jnp.clip((ys / self.dz).astype(jnp.int32), 0, S - 1)
+        oh = (
+            (slab[..., None] == jnp.arange(S, dtype=jnp.int32))
+            & smask[..., None]
+        ).astype(dtype)  # [N, NL, S]
+        comp_oh = (
+            mol.cid[:, None] == jnp.arange(K, dtype=jnp.int32)[None, :]
+        ).astype(dtype)
+        counts = jnp.einsum("nk,nls->kls", comp_oh, oh)  # [K, NL, S]
+        rho = counts / (self.area * self.dz)
+
+        Wd = self._Ws.astype(dtype)
+        dWd = self._dWs.astype(dtype)
+        sgn = self._sgn_j.astype(dtype)
+        u_tab = jnp.einsum("ambtij,btj->ami", Wd, rho)  # [K, NL, S]
+        f_tab = jnp.einsum("ambtij,ij,btj->ami", dWd, -sgn, rho)
+
+        u_per = jnp.einsum("nk,nls,kls->n", comp_oh, oh, u_tab)
+        f_site = jnp.einsum("nk,nls,kls->nl", comp_oh, oh, f_tab)
+        u_corr = 0.5 * jnp.sum(u_per)
+        F_site = jnp.zeros((n, NL, 3), dtype).at[..., self.axis].set(f_site)
+        F = jnp.sum(F_site, axis=1)
+        M = jnp.sum(jnp.cross(offs, F_site), axis=1)
+        vir = jnp.zeros((), dtype)
+        return F, M, u_corr, vir
+
+    def _call_com(self, mol: MoleculeState):
         dtype = mol.r.dtype
         n = mol.capacity
         K = self._W.shape[0]
