@@ -18,3 +18,11 @@ from ls1_mardyn_tpu.plugins import diagnostics  # noqa: F401
 from ls1_mardyn_tpu.plugins import mmpld  # noqa: F401
 from ls1_mardyn_tpu.plugins import vtk  # noqa: F401
 from ls1_mardyn_tpu.plugins import odf  # noqa: F401
+from ls1_mardyn_tpu.plugins import nemd2  # noqa: F401
+from ls1_mardyn_tpu.ensemble import cavity  # noqa: F401  (CavityWriter)
+
+# RegionSampling (NEMD/RegionSampling.h) maps onto the SpatialProfile
+# sampler; register the reference name as an alias.
+PluginFactory._registry.setdefault(
+    "RegionSampling", PluginFactory._registry.get("SpatialProfile")
+)
