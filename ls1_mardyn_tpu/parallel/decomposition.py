@@ -230,6 +230,62 @@ class SlabSimulation:
         """All-device view back on host (diagnostics/checkpointing)."""
         return jax.tree.map(lambda a: np.asarray(a), mol)
 
+    def snapshot(self, mol: MoleculeState, time: float = 0.0) -> dict:
+        """In-memory snapshot of the full sharded state (the
+        ResilienceComm + InMemoryCheckpointing capability,
+        src/parallel/ResilienceComm.{h:34,cpp} +
+        src/plugins/InMemoryCheckpointing.h:18-70: per-rank redundancy
+        snapshots; here one host-RAM copy covers all devices)."""
+        return {
+            "mol": jax.tree.map(lambda a: np.array(a), mol),
+            "time": float(time),
+        }
+
+    def restore(self, snap: dict) -> MoleculeState:
+        """Re-shard a snapshot back onto the mesh."""
+        sh = NamedSharding(self.mesh, P(AXIS))
+        return jax.tree.map(
+            lambda a: jax.device_put(jnp.asarray(a), sh), snap["mol"]
+        )
+
+    def write_checkpoint(
+        self,
+        mol: MoleculeState,
+        path: str,
+        table,
+        current_time: float = 0.0,
+        binary: bool = False,
+    ):
+        """Gather + write a restart file in the reference formats (the
+        MPICheckpointWriter / MPI_IOCheckpointWriter capability: every
+        rank contributes its slab; here a host gather feeds the same
+        ASCII/binary writers the single-chip path uses)."""
+        from ls1_mardyn_tpu.io.ascii_reader import PhaseSpaceData, write_inp
+
+        g = self.gather_global(mol)
+        valid = g.valid
+        data = PhaseSpaceData(
+            components=table.components,
+            mixing_xi=table.mixing_xi,
+            mixing_eta=table.mixing_eta,
+            eps_rf=table.eps_rf,
+            box=np.asarray(self.cfg.box),
+            temperature=self.cfg.target_temperature,
+            current_time=current_time,
+            mid=g.mid[valid].astype(np.int64),
+            cid=g.cid[valid],
+            r=g.r[valid],
+            v=g.v[valid],
+            q=g.q[valid],
+            L=g.L[valid],
+        )
+        if binary:
+            from ls1_mardyn_tpu.io.binary_io import write_binary_checkpoint
+
+            write_binary_checkpoint(path, path + ".header.xml", data)
+        else:
+            write_inp(path, data)
+
     def refresh_ids(self, mol: MoleculeState) -> MoleculeState:
         """Reassign contiguous global molecule ids 1..N in device order
         (the refreshIDs option, Simulation.cpp:1408-1419: MPI_Exscan of

@@ -161,3 +161,52 @@ def test_nan_watchdog(tmp_path):
     sim.engine.mol = dataclasses.replace(sim.engine.mol, v=jnp.asarray(v))
     with pytest.raises(RuntimeError, match="NaN"):
         sim.run(steps=2, print_every=1)
+
+
+def test_multichip_snapshot_restore_checkpoint(tmp_path):
+    """ResilienceComm/InMemoryCheckpointing + MPICheckpointWriter roles:
+    snapshot -> steps -> restore reproduces the exact state; the
+    gathered checkpoint file restarts on a single chip."""
+    import jax.numpy as jnp
+
+    from ls1_mardyn_tpu.io.ascii_reader import read_inp
+    from ls1_mardyn_tpu.scene import build_scene
+
+    sim, mol, n = _slab_sim_small()
+    mol_sh = sim.distribute(mol)
+    snap = sim.snapshot(mol_sh, time=1.5)
+    FM, _, _, _, _ = sim._force_sharded(mol_sh)
+    mol2 = mol_sh
+    for _ in range(3):
+        mol2, FM, gv, ovf = sim._step_sharded(mol2, FM)
+    # restore rewinds exactly
+    back = sim.restore(snap)
+    np.testing.assert_array_equal(np.asarray(back.r), np.asarray(mol_sh.r))
+    np.testing.assert_array_equal(
+        np.asarray(back.valid), np.asarray(mol_sh.valid)
+    )
+    # and stepping from the restored state matches stepping from the
+    # original (determinism)
+    FMb, _, _, _, _ = sim._force_sharded(back)
+    b1, _, gvb, _ = sim._step_sharded(back, FMb)
+    FMo, _, _, _, _ = sim._force_sharded(mol_sh)
+    o1, _, gvo, _ = sim._step_sharded(mol_sh, FMo)
+    np.testing.assert_allclose(
+        float(gvb.upot), float(gvo.upot), rtol=1e-12
+    )
+
+    # gathered checkpoint restarts
+    from ls1_mardyn_tpu.models.components import ComponentTable
+
+    # rebuild the table used by _slab_sim_small
+    from ls1_mardyn_tpu.io.generators import cubic_grid
+
+    box = (10.4, 10.4, 20.8)
+    data = cubic_grid(n, list(box), 1.0, seed=4)
+    _, _, table, _ = build_scene(data, cutoff=2.5, dtype=jnp.float64)
+    path = str(tmp_path / "par.restart.dat")
+    sim.write_checkpoint(mol2, path, table, current_time=2.0)
+    data2 = read_inp(path)
+    assert len(data2.mid) == n
+    assert data2.current_time == 2.0
+    np.testing.assert_allclose(np.asarray(data2.box), box, rtol=1e-12)
