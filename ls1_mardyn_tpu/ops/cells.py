@@ -91,34 +91,49 @@ def bin_particles(r: jnp.ndarray, valid: jnp.ndarray, spec: CellGridSpec) -> Cel
     return bin_by_id(cell, valid, spec)
 
 
-def bin_by_id(cell: jnp.ndarray, valid: jnp.ndarray, spec: CellGridSpec) -> CellBins:
+def bin_by_id(
+    cell: jnp.ndarray,
+    valid: jnp.ndarray,
+    spec: CellGridSpec,
+    need_inverse: bool = True,
+) -> CellBins:
     """Rebin from precomputed linear cell ids (used by the
     cell-local-coordinate paths, where ids come from exact integer
-    cell arithmetic instead of positions)."""
+    cell arithmetic instead of positions).
+
+    need_inverse=False skips the molecule->slot inverse map (a second
+    full argsort) for callers that only consume the dense slot table
+    (the RMM rebin)."""
     n = cell.shape[0]
     # invalid molecules go to a virtual overflow cell
     cell = jnp.where(valid, cell, spec.n_cells)
 
     order = jnp.argsort(cell).astype(jnp.int32)  # stable
     sorted_cell = cell[order]
-    # per-cell [start, end) ranges via binary search on the sorted keys
-    cell_ids = jnp.arange(spec.n_cells + 1, dtype=jnp.int32)
-    starts = jnp.searchsorted(sorted_cell, cell_ids, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(sorted_cell, cell_ids, side="right").astype(jnp.int32)
-    counts = ends - starts
+    # per-cell [start, end) ranges via ONE binary search: for integer
+    # keys, end(c) == start(c+1)
+    cell_ids = jnp.arange(spec.n_cells + 2, dtype=jnp.int32)
+    starts_all = jnp.searchsorted(sorted_cell, cell_ids, side="left").astype(
+        jnp.int32
+    )
+    starts = starts_all[: spec.n_cells + 1]
+    counts = starts_all[1:] - starts_all[:-1]  # [n_cells + 1]
     # dense slot table by gather: slots[c, k] = order[starts[c] + k]
     k = jnp.arange(spec.cap, dtype=jnp.int32)[None, :]
     src = starts[: spec.n_cells, None] + k
     filled = k < counts[: spec.n_cells, None]
     slots = jnp.where(filled, order[jnp.clip(src, 0, n - 1)], -1)
-    # inverse map molecule -> flat slot, also gather-only
-    inv = jnp.argsort(order).astype(jnp.int32)  # sorted position of molecule m
-    rank = inv - starts[cell]
-    slot_of = cell * spec.cap + jnp.clip(rank, 0, spec.cap - 1)
-    slot_of = jnp.where(
-        valid & (rank < spec.cap), slot_of, spec.n_cells * spec.cap
-    )
     overflow = jnp.max(counts[: spec.n_cells]) > spec.cap
+    if need_inverse:
+        # inverse map molecule -> flat slot, also gather-only
+        inv = jnp.argsort(order).astype(jnp.int32)  # sorted pos of mol m
+        rank = inv - starts[cell]
+        slot_of = cell * spec.cap + jnp.clip(rank, 0, spec.cap - 1)
+        slot_of = jnp.where(
+            valid & (rank < spec.cap), slot_of, spec.n_cells * spec.cap
+        )
+    else:
+        slot_of = jnp.zeros((n,), jnp.int32)
     return CellBins(
         slots=slots,
         counts=counts[: spec.n_cells],

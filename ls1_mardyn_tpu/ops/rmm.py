@@ -217,7 +217,18 @@ class RMMSimulation:
         cap = self.spec.cap
         p = st.planes
         dtype = p.dtype
-        flat = p.transpose(0, 1, 3, 2).reshape(-1, NP_RMM)  # [slots, 8]
+        # Fold the Kahan compensation planes into their primaries and
+        # restart the compensators: one fused [slots, 11] gather moves
+        # everything (positions, validity, velocities, ids, forces) in
+        # a single pass -- the four separate gathers + transposes were
+        # the dominant rebin cost on TPU (HBM-bound).
+        r = p[:, :, 0:3, :] + st.rcomp
+        v = p[:, :, 4:7, :] + st.vcomp
+        big = jnp.concatenate(
+            [r, p[:, :, 3:4, :], v, p[:, :, 7:8, :], st.forces], axis=2
+        )  # [nz, ny, NP_RMM+3, W]
+        NPX = NP_RMM + 3
+        flat = big.transpose(0, 1, 3, 2).reshape(-1, NPX)  # [slots, 11]
         valid = flat[:, 3] > 0.5
         cl = jnp.asarray(self.spec.cell_len, dtype)
         dims = jnp.asarray(self.spec.dims, jnp.int32)
@@ -231,24 +242,21 @@ class RMMSimulation:
         from ls1_mardyn_tpu.ops.cells import bin_by_id
 
         flat = jnp.concatenate([new_local, flat[:, 3:]], axis=1)
-        bins = bin_by_id(cell, valid, self.spec)
+        bins = bin_by_id(cell, valid, self.spec, need_inverse=False)
         idx = bins.slots.reshape(-1)
         safe = jnp.clip(idx, 0, flat.shape[0] - 1)
         ok = (idx >= 0) & valid[safe]
         g = jnp.where(ok[:, None], flat[safe], 0.0)
-        planes = g.reshape(nz, ny, nx * cap, NP_RMM).transpose(0, 1, 3, 2)
-        # forces + compensation planes follow their molecules
-        def carry3(a):
-            af = a.transpose(0, 1, 3, 2).reshape(-1, 3)
-            g3 = jnp.where(ok[:, None], af[safe], 0.0)
-            return g3.reshape(nz, ny, nx * cap, 3).transpose(0, 1, 3, 2)
-
+        gre = g.reshape(nz, ny, nx * cap, NPX).transpose(0, 1, 3, 2)
+        planes = gre[:, :, :NP_RMM, :]
+        forces = gre[:, :, NP_RMM:, :]
+        zero3 = jnp.zeros_like(forces)
         return (
             RMMState(
                 planes=planes,
-                forces=carry3(st.forces),
-                vcomp=carry3(st.vcomp),
-                rcomp=carry3(st.rcomp),
+                forces=forces,
+                vcomp=zero3,
+                rcomp=zero3,
                 u6=st.u6,
                 vir=st.vir,
             ),
