@@ -40,6 +40,10 @@ def build_parser():
     p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument("--legacy-cell-processor", action="store_true",
                    help="use the general cell traversal even for 1CLJ")
+    p.add_argument("--parallel", type=int, default=0, metavar="N",
+                   help="run the slab domain decomposition over N devices "
+                        "(0 = single chip; the <parallelisation> XML tag "
+                        "with more than one visible device also enables it)")
     p.add_argument("--precision", choices=("f32", "f64"), default="f32")
     p.add_argument("--print-every", type=int, default=100)
     p.add_argument("--tests", action="store_true", help="run the unit tests")
@@ -74,18 +78,30 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_enable_x64", True)
-    sim = MDSimulation.from_xml(
-        args.config,
-        dtype=dtype,
-        force_mode="cells" if args.legacy_cell_processor else "auto",
-    )
-    sim.run(
-        steps=args.steps,
-        print_every=args.print_every,
-        final_checkpoint=args.final_checkpoint,
-        loop_abort_time=args.loop_abort_time,
-        timed_checkpoint=args.timed_checkpoint,
-    )
+    if args.parallel:
+        from ls1_mardyn_tpu.parallel.driver import ParallelMDSimulation
+
+        sim = ParallelMDSimulation.from_xml(
+            args.config, n_devices=args.parallel, dtype=dtype
+        )
+        sim.run(
+            steps=args.steps,
+            print_every=args.print_every,
+            final_checkpoint=args.final_checkpoint,
+        )
+    else:
+        sim = MDSimulation.from_xml(
+            args.config,
+            dtype=dtype,
+            force_mode="cells" if args.legacy_cell_processor else "auto",
+        )
+        sim.run(
+            steps=args.steps,
+            print_every=args.print_every,
+            final_checkpoint=args.final_checkpoint,
+            loop_abort_time=args.loop_abort_time,
+            timed_checkpoint=args.timed_checkpoint,
+        )
     if args.print_meminfo:
         from ls1_mardyn_tpu.utils.meminfo import print_meminfo
 

@@ -324,8 +324,16 @@ class SlabSimulation:
             jnp.floor(mol.r[:, 2] / cfg.slab_h).astype(jnp.int32), 0, Pn - 1
         )
         d = jnp.mod(owner - rank, Pn)
-        go_up = mol.valid & (d == 1)
-        go_down = mol.valid & (d == Pn - 1)
+        if Pn == 1:
+            # single device owns the whole box: nothing ever leaves
+            go_up = jnp.zeros_like(mol.valid)
+            go_down = jnp.zeros_like(mol.valid)
+        else:
+            go_up = mol.valid & (d == 1)
+            # with Pn == 2 the +-1 neighbors coincide (d == 1 == Pn-1);
+            # route through the up ring only, else the molecule would
+            # be sent twice and duplicated
+            go_down = mol.valid & (d == Pn - 1) & ~go_up
         too_far = mol.valid & (d != 0) & ~go_up & ~go_down
 
         def pick(leave):

@@ -257,3 +257,59 @@ def test_migration_across_slabs():
     for p in range(P):
         zs = z[p * ncap : (p + 1) * ncap][valid[p * ncap : (p + 1) * ncap]]
         assert ((zs >= p * slab_h - 1e-9) & (zs < (p + 1) * slab_h + 1e-9)).all()
+
+
+def test_migration_two_devices_no_duplication():
+    """With P=2 the +-1 neighbors coincide; a crossing molecule must
+    arrive exactly once (regression: it used to ride both rings)."""
+    mol, pp, table, box, rc, n, T = _scene(nz=8)
+    cfg = SlabConfig(
+        n_devices=2, nz_local=4, ny=4, nx=4, cap=32, box=box,
+        n_local_cap=n + 64, migrate_cap=256, tx=4, dt=0.002,
+        target_temperature=T, thermostat=False,
+        eps24=float(table.eps24[0, 0, 0, 0]),
+        sig2=float(table.sig2[0, 0, 0, 0]),
+        shift6=float(table.shift6[0, 0, 0, 0]),
+        rc2=rc * rc, interpret=True,
+    )
+    mesh = Mesh(np.array(jax.devices()[:2]), ("dd",))
+    sim = SlabSimulation(cfg, pp, mesh=mesh)
+    mol_sh = sim.distribute(mol)
+    v = np.array(mol_sh.v)
+    v[:, 2] = 3.0
+    mol_sh = dataclasses.replace(
+        mol_sh, v=jax.device_put(jnp.asarray(v), mol_sh.v.sharding)
+    )
+    ids_before = sorted(
+        np.asarray(mol_sh.mid)[np.asarray(mol_sh.valid)].tolist()
+    )
+    FM, _, _, _, _ = sim._force_sharded(mol_sh)
+    for _ in range(30):
+        mol_sh, FM, gv, overflow = sim._step_sharded(mol_sh, FM)
+    assert not bool(overflow)
+    valid = np.asarray(mol_sh.valid)
+    ids_after = sorted(np.asarray(mol_sh.mid)[valid].tolist())
+    assert ids_after == ids_before  # nothing lost, nothing duplicated
+
+
+def test_single_device_slab_is_closed():
+    """P=1 slab decomposition: nothing ever 'leaves' (regression: every
+    molecule used to be flagged as leaving down and truncated)."""
+    mol, pp, table, box, rc, n, T = _scene(nz=8)
+    cfg = SlabConfig(
+        n_devices=1, nz_local=8, ny=4, nx=4, cap=32, box=box,
+        n_local_cap=n + 64, migrate_cap=64, tx=4, dt=0.002,
+        target_temperature=T, thermostat=True,
+        eps24=float(table.eps24[0, 0, 0, 0]),
+        sig2=float(table.sig2[0, 0, 0, 0]),
+        shift6=float(table.shift6[0, 0, 0, 0]),
+        rc2=rc * rc, interpret=True,
+    )
+    mesh = Mesh(np.array(jax.devices()[:1]), ("dd",))
+    sim = SlabSimulation(cfg, pp, mesh=mesh)
+    mol_sh = sim.distribute(mol)
+    FM, _, _, _, _ = sim._force_sharded(mol_sh)
+    for _ in range(5):
+        mol_sh, FM, gv, overflow = sim._step_sharded(mol_sh, FM)
+    assert not bool(overflow)
+    assert int(float(gv.n)) == n
