@@ -185,7 +185,31 @@ class MDSimulation:
                     )
             except AssertionError:
                 force_fn = None
-        if force_fn is None:
+        if force_fn is None and n <= 16384:
+            # small-N fallback: chunked N^2 oracle (the LegacyCellProcessor
+            # role).  Small scenes with huge cutoffs (e.g. the CO2/EOX
+            # examples: 3^3 cells at cap 256) blow the cell-pair paths'
+            # cap^2 memory; the minimum-image N^2 sweep is both exact and
+            # cheap at this size.
+            from ls1_mardyn_tpu.models.oracle import compute_forces_n2_jit
+
+            chunk = 128 if n > 1024 else 0
+            images = 27 if config.cutoff > min(self.box) / 2 else 1
+            pp_ref = self.pp
+            box_ref = self.box
+
+            def force_fn(mol, _chunk=chunk, _images=images):
+                f, m = compute_forces_n2_jit(
+                    mol, pp_ref, box_ref, chunk=_chunk, images=_images
+                )
+                import jax.numpy as _jnp
+
+                return f, m, _jnp.zeros((), bool)
+
+            global_log.info(
+                "force path: N^2 oracle sweep (N=%d, images=%d)", n, images
+            )
+        elif force_fn is None:
             global_log.info("force path: general multi-site cell traversal")
 
         extra = None

@@ -44,6 +44,15 @@ class PallasMultiSitePath:
                 t for t in (4, 2, 1) if nx % t == 0
             )
         assert nx % tx == 0, (nx, tx)
+        # compiled-mode vmem guard: the kernel's pair tiles are
+        # [tx*cap, (tx+2)*cap] with many live temporaries per site-pair
+        # term; cap > 128 exceeds the ~100MB scoped-vmem budget (seen
+        # on small grids with huge cutoffs, e.g. CO2 3x3x3 @ cap 256).
+        # The driver catches this and falls back to the general path.
+        assert interpret or spec.cap <= 128, (
+            f"multi-site Pallas kernel: cap={spec.cap} exceeds the vmem "
+            "budget (<=128); use the general traversal"
+        )
         self.tx = tx
         self.interpret = interpret
         self.screen_alpha = float(screen_alpha)
