@@ -319,6 +319,11 @@ class MDSimulation:
                     liq_fraction=float(p.get("liq_fraction", 0.5)),
                     components=comps,
                 )
+            if name in ("MultiObjectGenerator", "ObjectGenerator"):
+                from ls1_mardyn_tpu.io.generators import multi_object
+
+                og = p.get("objectgenerator", [])
+                return multi_object(og, cfg.box, cfg.temperature, comps)
             raise NotImplementedError(f"generator {name}")
         raise ValueError("config has neither phasespacepoint file nor generator")
 

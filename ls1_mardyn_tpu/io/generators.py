@@ -172,3 +172,164 @@ def cubic_grid(
         q=np.tile(np.array([1.0, 0.0, 0.0, 0.0]), (n, 1)),
         L=np.zeros((n, 3)),
     )
+
+
+# -- composable object generators ---------------------------------------
+# The role of /root/reference/src/io/ObjectGenerator.h:22 +
+# src/utils/generator/ (GridFiller, Lattice, Objects, velocity
+# assigners): fill geometric objects with lattice sites.
+
+_CENTERINGS = {
+    "primitive": np.array([[0.0, 0.0, 0.0]]),
+    "face": np.array(
+        [[0.0, 0.0, 0.0], [0.5, 0.5, 0.0], [0.5, 0.0, 0.5], [0.0, 0.5, 0.5]]
+    ),
+    "body": np.array([[0.0, 0.0, 0.0], [0.5, 0.5, 0.5]]),
+}
+
+
+def _object_mask(obj: dict, r: np.ndarray) -> np.ndarray:
+    """Point-in-object predicate (utils/generator/Objects.{h,cpp}:
+    Cuboid, Sphere, Cylinder; ObjectUnion by recursion)."""
+    typ = obj.get("type", "Cuboid")
+    if typ == "Cuboid":
+        lo = np.array([float(obj["lower"][k]) for k in ("x", "y", "z")])
+        hi = np.array([float(obj["upper"][k]) for k in ("x", "y", "z")])
+        return ((r >= lo) & (r < hi)).all(axis=1)
+    if typ == "Sphere":
+        c = np.array([float(obj["center"][k]) for k in ("x", "y", "z")])
+        rad = float(obj["radius"])
+        return ((r - c) ** 2).sum(axis=1) <= rad * rad
+    if typ == "Cylinder":
+        # axis along y (the reference's convention): radius in xz
+        c = np.array(
+            [float(obj["centerBase"][k]) for k in ("x", "y", "z")]
+        ) if "centerBase" in obj else np.zeros(3)
+        rad = float(obj.get("radius", 1.0))
+        h = float(obj.get("height", 1e30))
+        dx = r[:, 0] - c[0]
+        dz = r[:, 2] - c[2]
+        return (dx * dx + dz * dz <= rad * rad) & (r[:, 1] >= c[1]) & (
+            r[:, 1] < c[1] + h
+        )
+    if typ == "ObjectUnion":
+        masks = [
+            _object_mask(o, r)
+            for o in (obj.get("object") if isinstance(obj.get("object"), list)
+                      else [obj.get("object")])
+        ]
+        out = masks[0]
+        for m in masks[1:]:
+            out = out | m
+        return out
+    raise NotImplementedError(f"object type {typ}")
+
+
+def grid_filler(filler: dict, obj: dict, box) -> tuple:
+    """GridFiller (src/utils/generator/GridFiller.{h,cpp}): a Bravais
+    lattice at the requested density, clipped to the object.
+    Returns (positions [n,3], cids [n])."""
+    box = np.asarray(box, float)
+    lattice = filler.get("lattice", {})
+    centering = lattice.get("centering", "primitive")
+    cent = _CENTERINGS[centering]
+    basis = filler.get("basis", {}).get("site", {"componentid": "1",
+                                                 "coordinate": None})
+    if not isinstance(basis, list):
+        basis = [basis]
+    occupancy = float(filler.get("latticeOccupancy", 1.0))
+    rho = float(filler.get("density", 0.5))
+    nb = len(basis) * len(cent)
+    a = (nb * occupancy / rho) ** (1.0 / 3.0)  # cubic lattice constant
+    dims = np.maximum(1, np.ceil(box / a).astype(int))
+    ii = [np.arange(d) for d in dims]
+    g = np.stack(np.meshgrid(*ii, indexing="ij"), -1).reshape(-1, 3)
+    pos = []
+    cids = []
+    for site in basis:
+        coord = site.get("coordinate")
+        frac = (
+            np.array([float(coord[k]) for k in ("x", "y", "z")])
+            if coord else np.full(3, 0.5)
+        )
+        cid = int(float(site.get("componentid", 1))) - 1
+        for c in cent:
+            p = (g + c + frac) * a
+            pos.append(p)
+            cids.append(np.full(len(p), cid, np.int32))
+    r = np.concatenate(pos)
+    cid = np.concatenate(cids)
+    inside = (r < box).all(axis=1) & _object_mask(obj, r)
+    r, cid = r[inside], cid[inside]
+    if occupancy < 1.0:
+        rng = np.random.default_rng(1729)
+        keep = rng.random(len(r)) < occupancy
+        r, cid = r[keep], cid[keep]
+    return r, cid
+
+
+def multi_object(
+    objectgens,
+    box,
+    temperature: float,
+    components: Sequence[Component],
+    seed: int = 42,
+) -> PhaseSpaceData:
+    """MultiObjectGenerator (src/io/MultiObjectGenerator + ObjectGenerator):
+    concatenate the fills of several <objectgenerator> blocks, each with
+    its own filler, object, and velocity assigner."""
+    box = np.asarray(box, float)
+    rng = np.random.default_rng(seed)
+    if not isinstance(objectgens, list):
+        objectgens = [objectgens]
+    rs, cids, vs = [], [], []
+    for og in objectgens:
+        filler = og.get("filler", {})
+        obj = og.get("object", {"type": "Cuboid",
+                                "lower": {"x": 0, "y": 0, "z": 0},
+                                "upper": {k: str(b) for k, b in
+                                          zip("xyz", box)}})
+        r, cid = grid_filler(filler, obj, box)
+        va = og.get("velocityAssigner", {})
+        va_type = va.get("type", "MaxwellVelocityDistribution") if isinstance(
+            va, dict) else "MaxwellVelocityDistribution"
+        v = np.zeros_like(r)
+        for k in np.unique(cid):
+            sel = cid == k
+            mass = components[int(k)].mass
+            if va_type.startswith("Equal"):
+                # EqualVelocityAssigner: same speed sqrt(3T/m), random
+                # direction, zero net momentum
+                speed = np.sqrt(3.0 * temperature / mass)
+                d = rng.normal(size=(sel.sum(), 3))
+                d /= np.linalg.norm(d, axis=1, keepdims=True)
+                vv = speed * d
+                vv -= vv.mean(axis=0)
+                v[sel] = vv
+            else:
+                v[sel] = maxwell_velocities(
+                    int(sel.sum()), temperature, mass, rng
+                )
+        rs.append(r)
+        cids.append(cid)
+        vs.append(v)
+    r = np.concatenate(rs)
+    cid = np.concatenate(cids)
+    v = np.concatenate(vs)
+    n = len(r)
+    K = len(components)
+    return PhaseSpaceData(
+        components=list(components),
+        mixing_xi=np.ones((K, K)),
+        mixing_eta=np.ones((K, K)),
+        eps_rf=1.0e10,
+        box=box,
+        temperature=temperature,
+        current_time=0.0,
+        mid=np.arange(1, n + 1, dtype=np.int64),
+        cid=cid.astype(np.int32),
+        r=r,
+        v=v,
+        q=np.tile(np.array([1.0, 0.0, 0.0, 0.0]), (n, 1)),
+        L=np.zeros((n, 3)),
+    )

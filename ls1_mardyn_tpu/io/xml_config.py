@@ -193,10 +193,21 @@ def _polar(theta_deg, phi_deg):
 def _params_dict(el: ET.Element) -> Dict[str, Any]:
     out = dict(el.attrib)
     for child in el:
-        if len(child):
-            out[child.tag] = _params_dict(child)
-        elif child.text is not None:
-            out[child.tag] = child.text.strip()
+        val = (
+            _params_dict(child)
+            if len(child)
+            else (child.text.strip() if child.text is not None else "")
+        )
+        if child.tag in out:
+            # repeated tags (e.g. several <objectgenerator> blocks)
+            # accumulate into a list instead of overwriting
+            prev = out[child.tag]
+            if isinstance(prev, list):
+                prev.append(val)
+            else:
+                out[child.tag] = [prev, val]
+        else:
+            out[child.tag] = val
     return out
 
 
