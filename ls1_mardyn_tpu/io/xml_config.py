@@ -317,6 +317,10 @@ def _read_body(sim: ET.Element, cfg: XMLConfig, base_dir: str) -> XMLConfig:
                         )
                     i = int(rule.get("cid1")) - 1
                     j = int(rule.get("cid2")) - 1
+                    if not (0 <= i < K and 0 <= j < K):
+                        # tolerate rules referencing absent components
+                        # (the shipped all-options.xml does this)
+                        continue
                     xi = _get(rule, "xi", 1.0)
                     eta = _get(rule, "eta", 1.0)
                     cfg.mixing_xi[i, j] = cfg.mixing_xi[j, i] = xi
