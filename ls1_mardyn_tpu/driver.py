@@ -78,8 +78,19 @@ class MDSimulation:
 
         # long-range correction (Simulation.cpp:514-552 longrange switch)
         ncomp = np.bincount(data.cid, minlength=self.table.K)
+        self.planar_lrc = None
         if config.longrange.lower() in ("homogeneous", ""):
             self.lrc = HomogeneousLRC(self.table, ncomp, self.volume)
+        elif config.longrange.lower() == "planar":
+            # Janecek slab correction applied as per-step forces/energy
+            # (Planar.{h,cpp}); scalar corr terms stay zero
+            from ls1_mardyn_tpu.ops.lrc_planar import PlanarLRC
+
+            nslabs = int(float(config.longrange_params.get("slabs", 100)))
+            self.planar_lrc = PlanarLRC(
+                self.table, self.box, nslabs=nslabs, axis=1
+            )
+            self.lrc = NoLRC()
         else:
             self.lrc = NoLRC()
 
@@ -213,11 +224,28 @@ class MDSimulation:
             global_log.info("force path: general multi-site cell traversal")
 
         extra = None
+        extras = []
         if self.ewald is not None:
             solver = self.ewald
+            extras.append(lambda mol, pp: solver(mol, pp))
+        if self.planar_lrc is not None:
+            planar = self.planar_lrc
 
-            def extra(mol, pp):
-                u, F, M = solver(mol, pp)
+            def _planar_extra(mol, pp):
+                F, M, u, _vir = planar.forces_torques(mol)
+                return u, F, M
+
+            extras.append(_planar_extra)
+        if extras:
+
+            def extra(mol, pp, _fns=tuple(extras)):
+                u = 0.0
+                F = M = None
+                for fn in _fns:
+                    ui, Fi, Mi = fn(mol, pp)
+                    u = u + ui
+                    F = Fi if F is None else F + Fi
+                    M = Mi if M is None else M + Mi
                 return u, F, M
 
         self.engine = SingleChipSimulation(
@@ -323,7 +351,10 @@ class MDSimulation:
                 from ls1_mardyn_tpu.io.generators import multi_object
 
                 og = p.get("objectgenerator", [])
-                return multi_object(og, cfg.box, cfg.temperature, comps)
+                return multi_object(
+                    og, cfg.box, cfg.temperature, comps,
+                    base_dir=cfg.config_dir,
+                )
             raise NotImplementedError(f"generator {name}")
         raise ValueError("config has neither phasespacepoint file nor generator")
 

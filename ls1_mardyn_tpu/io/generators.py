@@ -268,12 +268,63 @@ def grid_filler(filler: dict, obj: dict, box) -> tuple:
     return r, cid
 
 
+def replica_filler(filler: dict, obj: dict, box, base_dir: str = ".") -> tuple:
+    """ReplicaFiller (src/utils/generator/ReplicaFiller.{h,cpp}): tile an
+    equilibrated input cell (binary or ASCII restart) periodically over
+    the object's bounding region, keeping molecules inside the object.
+    Returns (positions, cids, velocities, quaternions, angular momenta)."""
+    import os
+
+    from ls1_mardyn_tpu.io.binary_io import read_binary_checkpoint
+
+    inp = filler.get("input", {})
+    typ = inp.get("type", "BinaryReader")
+    if typ == "BinaryReader":
+        hdr = inp["header"]
+        dat = inp["data"]
+        if not os.path.isabs(hdr):
+            hdr = os.path.join(base_dir, hdr)
+        if not os.path.isabs(dat):
+            dat = os.path.join(base_dir, dat)
+        cell = read_binary_checkpoint(dat, hdr)
+    else:
+        from ls1_mardyn_tpu.io.ascii_reader import read_inp
+
+        fname = inp.get("file", inp.get("data"))
+        if not os.path.isabs(fname):
+            fname = os.path.join(base_dir, fname)
+        cell = read_inp(fname)
+    box = np.asarray(box, float)
+    cbox = np.asarray(cell.box, float)
+    reps = np.maximum(1, np.ceil(box / cbox).astype(int))
+    rs, cids, vs, qs, Ls = [], [], [], [], []
+    for ix in range(reps[0]):
+        for iy in range(reps[1]):
+            for iz in range(reps[2]):
+                off = np.array([ix, iy, iz]) * cbox
+                r = cell.r + off
+                keep = (r < box).all(axis=1) & _object_mask(obj, r)
+                rs.append(r[keep])
+                cids.append(cell.cid[keep])
+                vs.append(cell.v[keep])
+                qs.append(cell.q[keep])
+                Ls.append(cell.L[keep])
+    return (
+        np.concatenate(rs),
+        np.concatenate(cids),
+        np.concatenate(vs),
+        np.concatenate(qs),
+        np.concatenate(Ls),
+    )
+
+
 def multi_object(
     objectgens,
     box,
     temperature: float,
     components: Sequence[Component],
     seed: int = 42,
+    base_dir: str = ".",
 ) -> PhaseSpaceData:
     """MultiObjectGenerator (src/io/MultiObjectGenerator + ObjectGenerator):
     concatenate the fills of several <objectgenerator> blocks, each with
@@ -282,13 +333,21 @@ def multi_object(
     rng = np.random.default_rng(seed)
     if not isinstance(objectgens, list):
         objectgens = [objectgens]
-    rs, cids, vs = [], [], []
+    rs, cids, vs, qs, Ls = [], [], [], [], []
     for og in objectgens:
         filler = og.get("filler", {})
         obj = og.get("object", {"type": "Cuboid",
                                 "lower": {"x": 0, "y": 0, "z": 0},
                                 "upper": {k: str(b) for k, b in
                                           zip("xyz", box)}})
+        if filler.get("type") == "ReplicaFiller" or "input" in filler:
+            r, cid, v, q, L = replica_filler(filler, obj, box, base_dir)
+            rs.append(r)
+            cids.append(cid)
+            vs.append(v)
+            qs.append(q)
+            Ls.append(L)
+            continue
         r, cid = grid_filler(filler, obj, box)
         va = og.get("velocityAssigner", {})
         va_type = va.get("type", "MaxwellVelocityDistribution") if isinstance(
@@ -313,9 +372,13 @@ def multi_object(
         rs.append(r)
         cids.append(cid)
         vs.append(v)
+        qs.append(np.tile(np.array([1.0, 0.0, 0.0, 0.0]), (len(r), 1)))
+        Ls.append(np.zeros((len(r), 3)))
     r = np.concatenate(rs)
     cid = np.concatenate(cids)
     v = np.concatenate(vs)
+    q = np.concatenate(qs)
+    L = np.concatenate(Ls)
     n = len(r)
     K = len(components)
     return PhaseSpaceData(
@@ -330,6 +393,6 @@ def multi_object(
         cid=cid.astype(np.int32),
         r=r,
         v=v,
-        q=np.tile(np.array([1.0, 0.0, 0.0, 0.0]), (n, 1)),
-        L=np.zeros((n, 3)),
+        q=q,
+        L=L,
     )

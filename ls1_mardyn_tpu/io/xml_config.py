@@ -65,6 +65,7 @@ class XMLConfig:
     parallelisation: str = "DomainDecomposition"
     datastructure: str = "LinkedCells"
     longrange: str = "Homogeneous"
+    longrange_params: Dict[str, Any] = dataclasses.field(default_factory=dict)
     output_plugins: List[PluginSpec] = dataclasses.field(default_factory=list)
     plugins: List[PluginSpec] = dataclasses.field(default_factory=list)
     refunits: Dict[str, tuple] = dataclasses.field(default_factory=dict)
@@ -281,6 +282,7 @@ def _read_body(sim: ET.Element, cfg: XMLConfig, base_dir: str) -> XMLConfig:
         lr = algo.find("longrange")
         if lr is not None:
             cfg.longrange = lr.get("type", cfg.longrange)
+            cfg.longrange_params = _params_dict(lr)
         th = algo.find("thermostats/thermostat")
         if th is not None:
             cfg.thermostat_type = th.get("type")

@@ -91,3 +91,47 @@ def test_multi_object_velocity_assigners():
     # densities per block
     assert abs(lower.sum() / 1000.0 - 0.6) < 0.1
     assert abs((~lower).sum() / 1000.0 - 0.05) < 0.03
+
+
+def test_replica_filler_tiles_binary_checkpoint(tmp_path):
+    """ReplicaFiller: tile an equilibrated cell over an object region
+    (the surface-tension example's vapor/liquid sandwich construction)."""
+    import jax.numpy as jnp
+
+    from ls1_mardyn_tpu.io.ascii_reader import PhaseSpaceData
+    from ls1_mardyn_tpu.io.binary_io import write_binary_checkpoint
+    from ls1_mardyn_tpu.io.generators import multi_object
+
+    comp = _comp()
+    rng = np.random.default_rng(2)
+    n = 64
+    cell_box = np.array([5.0, 5.0, 5.0])
+    data = PhaseSpaceData(
+        components=[comp], mixing_xi=np.ones((1, 1)),
+        mixing_eta=np.ones((1, 1)), eps_rf=1e10, box=cell_box,
+        temperature=1.0, current_time=0.0,
+        mid=np.arange(1, n + 1, dtype=np.int64),
+        cid=np.zeros(n, np.int32),
+        r=rng.uniform(0, 5, (n, 3)),
+        v=rng.normal(0, 1, (n, 3)),
+        q=np.tile([1.0, 0, 0, 0], (n, 1)),
+        L=np.zeros((n, 3)),
+    )
+    dat = str(tmp_path / "cell.dat")
+    write_binary_checkpoint(dat, dat + ".header.xml", data)
+
+    og = [{
+        "filler": {"type": "ReplicaFiller",
+                   "input": {"type": "BinaryReader",
+                             "header": dat + ".header.xml", "data": dat}},
+        "object": {"type": "Cuboid",
+                   "lower": {"x": 0, "y": 5, "z": 0},
+                   "upper": {"x": 10, "y": 15, "z": 10}},
+    }]
+    out = multi_object(og, [10.0, 20.0, 10.0], 1.0, [comp])
+    # the object region is 10x10x10 = 8 cells of the 5^3 input
+    assert len(out.r) == 8 * n
+    assert (out.r[:, 1] >= 5).all() and (out.r[:, 1] < 15).all()
+    # velocities/orientations carried over from the input cell
+    assert np.abs(out.v).max() > 0
+    assert len(set(out.mid.tolist())) == len(out.mid)
