@@ -212,6 +212,11 @@ def _object_mask(obj: dict, r: np.ndarray) -> np.ndarray:
         return (dx * dx + dz * dz <= rad * rad) & (r[:, 1] >= c[1]) & (
             r[:, 1] < c[1] + h
         )
+    if typ == "ObjectSubtractor":
+        # object1 minus object2 (Objects.h ObjectSubtractor)
+        o1 = dict(obj["object1"]); o1["type"] = obj["object1"].get("type", "Cuboid")
+        o2 = dict(obj["object2"]); o2["type"] = obj["object2"].get("type", "Cuboid")
+        return _object_mask(o1, r) & ~_object_mask(o2, r)
     if typ == "ObjectUnion":
         masks = [
             _object_mask(o, r)

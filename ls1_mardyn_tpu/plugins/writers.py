@@ -185,11 +185,33 @@ class FlopRateWriter(PluginBase):
             return
         gv = sim.last_globals
         n = int(float(gv.n)) if gv is not None else 0
-        # crude pair-count model: N * mean neighbors within cutoff
+        # pair-count model: N * mean neighbors within cutoff
         rc = sim.lj_cutoff
         rho = n / sim.volume if sim.volume else 0.0
         pairs = 0.5 * n * (4.0 / 3.0) * np.pi * rc ** 3 * rho
-        flops = pairs * self.FLOPS["lj"]
+        # per-molecule-pair site interaction counts from the component
+        # mix (FlopCounter.h counts each of the 7 loop bodies)
+        per_pair = 0.0
+        comps = sim.table.components
+        counts = np.zeros(len(comps))
+        cid = np.asarray(sim.molecules().cid)
+        valid = np.asarray(sim.molecules().valid)
+        for k in range(len(comps)):
+            counts[k] = np.sum(valid & (cid == k))
+        w = counts / max(counts.sum(), 1)
+        nl = np.array([len(c.ljcenters) for c in comps])
+        nc = np.array([len(c.charges) for c in comps])
+        nd = np.array([len(c.dipoles) for c in comps])
+        nq = np.array([len(c.quadrupoles) for c in comps])
+        mean = lambda a: float((w * a).sum())
+        per_pair = (
+            mean(nl) ** 2 * self.FLOPS["lj"]
+            + mean(nc) ** 2 * self.FLOPS["charge"]
+            + (2 * mean(nc) * mean(nd) + mean(nd) ** 2) * self.FLOPS["dipole"]
+            + (2 * mean(nc) * mean(nq) + 2 * mean(nd) * mean(nq)
+               + mean(nq) ** 2) * self.FLOPS["quadrupole"]
+        )
+        flops = pairs * per_pair
         dt = max(_time.time() - self._t0, 1e-9)
         self._f.write(f"{step}\t{flops:.4e}\t{flops * step / dt / 1e9:.4f}\n")
         self._f.flush()

@@ -65,6 +65,17 @@ class TimerProfiler:
     def set_active(self, name: str, active: bool):
         self.register(name).active = active
 
+    def write_csv(self, path: str):
+        """Per-timer timing table as CSV (the TaskTimingProfiler role,
+        src/Simulation.cpp:1249-1254 TASKTIMINGPROFILE: per-task
+        timelines for gnuplot; here name,seconds,count rows)."""
+        with open(path, "w") as f:
+            f.write("timer,seconds,count\n")
+            for name, t in self._timers.items():
+                if name == "_root":
+                    continue
+                f.write(f"{name},{t.elapsed:.6f},{t.count}\n")
+
     def report(self) -> str:
         lines = ["Timer report (seconds):"]
 
