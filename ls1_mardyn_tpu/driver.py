@@ -94,10 +94,21 @@ class MDSimulation:
         else:
             self.lrc = NoLRC()
 
-        # container sizing
+        # container sizing: measure the actual max cell occupancy of the
+        # initial state (mean-density heuristics underestimate clustered
+        # scenes) and leave drift headroom
         if not cell_cap:
-            rho_cell = n / self.volume * config.lj_cutoff ** 3
-            cell_cap = max(32, int(2 ** math.ceil(math.log2(max(rho_cell * 3, 8)))))
+            dims = np.maximum(
+                1, np.floor(self.box * config.cells_in_cutoff /
+                            config.lj_cutoff).astype(int)
+            )
+            cl = self.box / dims
+            c3 = np.clip((data.r / cl).astype(int), 0, dims - 1)
+            lin = (c3[:, 2] * dims[1] + c3[:, 1]) * dims[0] + c3[:, 0]
+            max_occ = int(np.bincount(lin).max()) if n else 8
+            cell_cap = max(
+                32, int(2 ** math.ceil(math.log2(max(1.5 * max_occ, 8))))
+            )
         thermo = config.ensemble_type.upper() == "NVT" and (
             config.temperature > 0 or bool(data.thermostat_temps)
         )
@@ -204,7 +215,13 @@ class MDSimulation:
             # cheap at this size.
             from ls1_mardyn_tpu.models.oracle import compute_forces_n2_jit
 
-            chunk = 128 if n > 1024 else 0
+            # the chunked sweep requires chunk | capacity
+            chunk = 0
+            if n > 1024:
+                chunk = next(
+                    (c for c in (256, 128, 64, 32, 16, 8, 4, 3, 2)
+                     if n % c == 0), 0
+                )
             images = 27 if config.cutoff > min(self.box) / 2 else 1
             pp_ref = self.pp
             box_ref = self.box

@@ -58,6 +58,24 @@ from ls1_mardyn_tpu.ops.pallas_lj import _CENTER, _OFFS, HX
 NOUT = 10  # fx fy fz mx my mz vix viy viz scalars
 
 
+def _erfc(x, interpret: bool):
+    """erfc for the screened-Coulomb path.  Mosaic has no erfc
+    primitive, so the compiled kernel uses the Abramowitz & Stegun
+    7.1.26 rational approximation (|error| < 1.5e-7 -- at f32 epsilon,
+    the production precision); interpret mode keeps the exact libm
+    erfc for the f64 golden tests."""
+    if interpret:
+        return jax.scipy.special.erfc(x)
+    # A&S 7.1.26 (valid for x >= 0; screened distances are positive)
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741
+                                   + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return poly * jnp.exp(-x * x)
+
+
 def plane_layout(NL, NC, ND, NQ):
     """Returns (n_planes, dict of plane index ranges)."""
     idx = {}
@@ -101,6 +119,7 @@ def _ms_row_kernel(
     rc2_lj: float,
     screen_alpha: float,
     z_halo: bool,
+    interpret: bool,
     out_dtype,
 ):
     row_refs = refs[:9]
@@ -275,7 +294,7 @@ def _ms_row_kernel(
                     qq = coupling(tables["qq"], sa, sb)
                     if screen_alpha:
                         r = dr2 * invd
-                        erfc = jax.scipy.special.erfc(screen_alpha * r) * mel
+                        erfc = _erfc(screen_alpha * r, interpret) * mel
                         u = qq * erfc * invd
                         tap = 2.0 * screen_alpha / np.sqrt(np.pi)
                         fac = (
@@ -506,6 +525,7 @@ def multisite_cell_forces_pallas(
         rc2_lj=rc2_lj,
         screen_alpha=screen_alpha,
         z_halo=z_halo,
+        interpret=interpret,
         out_dtype=out_dtype,
     )
     out = pl.pallas_call(
