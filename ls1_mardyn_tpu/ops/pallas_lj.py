@@ -70,13 +70,15 @@ def _lj_row_kernel(
     z_halo: bool,
     compute_macro: bool,
     local_coords: bool,
+    hx: int,
+    jt: bool,
     out_dtype,
 ):
     row_refs = refs[:9]
     f_ref = refs[9]
     _bx, by, bz = box
     txc = tx * cap
-    win = (tx + 2 * HX) * cap
+    win = (tx + 2 * hx) * cap
     n_tiles = nx // tx
 
     pz = pl.program_id(0)
@@ -97,21 +99,36 @@ def _lj_row_kernel(
     sub4 = jax.lax.broadcasted_iota(jnp.int32, (NPLANE, 1), 0)
     ohr = [(sub4 == c).astype(out_dtype) for c in range(NPLANE)]
 
-    # self pair in the center row: the j window starts HX cells left of
-    # the i tile -> same slot at j_local == i_local + HX*cap
-    il = jax.lax.broadcasted_iota(jnp.int32, (txc, win), 0)
-    jl = jax.lax.broadcasted_iota(jnp.int32, (txc, win), 1)
-    not_self = jl != il + HX * cap
-    if local_coords:
-        # cell-local coordinate mode: slot positions are relative to
-        # their own cell's origin, so f32 keeps full precision at any
-        # box size, and periodicity is exact integer cell arithmetic.
-        # x offset between i (cell t*tx + il//cap) and j (cell
-        # t*tx + jl//cap - HX) is a trace-time constant matrix:
-        clx = _bx / nx
-        cly = by / ny
-        clz = bz / nz
-        xoff = ((il // cap) - (jl // cap) + HX).astype(out_dtype) * clx
+    clx = _bx / nx
+    cly = by / ny
+    clz = bz / nz
+    if jt:
+        # j-transposed pair matrix [win, txc]: j slots on SUBLANES (pad
+        # granularity 8 -> the 192-slot window wastes nothing; lane-major
+        # j windows pad 192->256 lanes, a hard 33% VPU tax), i slots on
+        # lanes (no MXU transpose needed on either load or store side).
+        # Selector matmuls Bc broadcast plane c of H^T across the i
+        # lanes on the otherwise-idle MXU.
+        sub4c = jax.lax.broadcasted_iota(jnp.int32, (NPLANE, txc), 0)
+        Bsel = [(sub4c == c).astype(out_dtype) for c in range(NPLANE)]
+        wlT = jax.lax.broadcasted_iota(jnp.int32, (win, txc), 0)
+        ilT = jax.lax.broadcasted_iota(jnp.int32, (win, txc), 1)
+        not_selfT = wlT != ilT + hx * cap
+        if local_coords:
+            xoffT = ((ilT // cap) - (wlT // cap) + hx).astype(out_dtype) * clx
+    else:
+        # self pair in the center row: the j window starts hx cells left
+        # of the i tile -> same slot at j_local == i_local + hx*cap
+        il = jax.lax.broadcasted_iota(jnp.int32, (txc, win), 0)
+        jl = jax.lax.broadcasted_iota(jnp.int32, (txc, win), 1)
+        not_self = jl != il + hx * cap
+        if local_coords:
+            # cell-local coordinate mode: slot positions are relative to
+            # their own cell's origin, so f32 keeps full precision at any
+            # box size, and periodicity is exact integer cell arithmetic.
+            # x offset between i (cell t*tx + il//cap) and j (cell
+            # t*tx + jl//cap - hx) is a trace-time constant matrix:
+            xoff = ((il // cap) - (jl // cap) + hx).astype(out_dtype) * clx
 
     lane_txc = jax.lax.broadcasted_iota(jnp.int32, (1, txc), 1)
     lane0 = (lane_txc == 0).astype(out_dtype)
@@ -120,6 +137,75 @@ def _lj_row_kernel(
     def tile(t, _):
         off = pl.multiple_of(t * txc, txc)
         ti = i_ref[0, 0, :, pl.ds(off, txc)]  # [4, txc] lane-major
+        u6_t = jnp.zeros((), out_dtype)
+        vir_t = jnp.zeros((), out_dtype)
+
+        if jt:
+            # i planes stay lane-major [1, txc]: no transpose
+            xi = jnp.sum(ti * ohr[0], axis=0, keepdims=True)
+            yi = jnp.sum(ti * ohr[1], axis=0, keepdims=True)
+            zi = jnp.sum(ti * ohr[2], axis=0, keepdims=True)
+            wi = jnp.sum(ti * ohr[3], axis=0, keepdims=True)
+            fx = jnp.zeros((1, txc), out_dtype)
+            fy = jnp.zeros((1, txc), out_dtype)
+            fz = jnp.zeros((1, txc), out_dtype)
+            for k, (dz, dy) in enumerate(_OFFS):
+                H = row_refs[k][0, 0, :, pl.ds(off, win)]  # [4, win]
+                # broadcast plane c of H^T over the i lanes on the MXU
+                def jplane(c):
+                    return jax.lax.dot_general(
+                        H, Bsel[c], (((0,), (0,)), ((), ())),
+                        preferred_element_type=out_dtype,
+                    )  # [win, txc]
+
+                Xj = jplane(0)
+                Yj = jplane(1)
+                Zj = jplane(2)
+                Wj = jplane(3)
+                if local_coords:
+                    yis = yi - jnp.asarray(dy * cly, out_dtype)
+                    zis = zi - jnp.asarray(dz * clz, out_dtype)
+                else:
+                    zidx = pz + dz
+                    yidx = py + dy
+                    sy = jnp.where(
+                        yidx < 0, -by, jnp.where(yidx >= ny, by, 0.0)
+                    ).astype(out_dtype)
+                    if z_halo:
+                        sz = jnp.zeros((), out_dtype)
+                    else:
+                        sz = jnp.where(
+                            zidx < 0, -bz, jnp.where(zidx >= nz, bz, 0.0)
+                        ).astype(out_dtype)
+                    yis = yi - sy
+                    zis = zi - sz
+                dx = xi - Xj  # [win, txc]
+                if local_coords:
+                    dx = dx + xoffT
+                dyv = yis - Yj
+                dzv = zis - Zj
+                dr2 = dx * dx + dyv * dyv + dzv * dzv
+                mask = (dr2 < cut2) & (Wj * wi > 0.5)
+                if k == _CENTER:
+                    mask = mask & not_selfT
+                mf = mask.astype(out_dtype)
+                invdr2 = mf / jnp.where(mask, dr2, 1.0)
+                lj6 = s2 * invdr2
+                lj6 = lj6 * lj6 * lj6
+                lj12 = lj6 * lj6
+                lj12m6 = lj12 - lj6
+                fac = e24 * (lj12 + lj12m6) * invdr2
+                if compute_macro:
+                    u6_t = u6_t + jnp.sum(e24 * lj12m6 + sh6 * mf)
+                    vir_t = vir_t + jnp.sum(fac * dr2)
+                fx = fx + jnp.sum(fac * dx, axis=0, keepdims=True)
+                fy = fy + jnp.sum(fac * dyv, axis=0, keepdims=True)
+                fz = fz + jnp.sum(fac * dzv, axis=0, keepdims=True)
+            scal = (0.5 * u6_t) * lane0 + (0.5 * vir_t) * lane1
+            out4 = ohr[0] * fx + ohr[1] * fy + ohr[2] * fz + ohr[3] * scal
+            f_ref[0, 0, :, pl.ds(off, txc)] = out4
+            return _
+
         # transpose to sublane-major [txc, 4] on the MXU
         G = jax.lax.dot_general(
             ident, ti, (((1,), (1,)), ((), ())), preferred_element_type=out_dtype
@@ -132,8 +218,6 @@ def _lj_row_kernel(
         fx = jnp.zeros((txc, 1), out_dtype)
         fy = jnp.zeros((txc, 1), out_dtype)
         fz = jnp.zeros((txc, 1), out_dtype)
-        u6_t = jnp.zeros((), out_dtype)
-        vir_t = jnp.zeros((), out_dtype)
 
         for k, (dz, dy) in enumerate(_OFFS):
             H = row_refs[k][0, 0, :, pl.ds(off, win)]  # [4, win]
@@ -208,12 +292,12 @@ def _lj_row_kernel(
     jax.jit,
     static_argnames=(
         "nx", "ny", "nz", "cap", "tx", "box", "eps24", "sig2", "shift6", "rc2",
-        "interpret", "z_halo", "compute_macro", "local_coords",
+        "interpret", "z_halo", "compute_macro", "local_coords", "hx", "jt",
     ),
 )
 def lj_cell_forces_pallas(
     r_i: jnp.ndarray,  # [nz, ny, 4, nx*cap]
-    r_j: jnp.ndarray,  # [nz, ny, 4, (nx+2*HX)*cap]
+    r_j: jnp.ndarray,  # [nz, ny, 4, (nx+2*hx)*cap]
     *,
     nx: int,
     ny: int,
@@ -229,14 +313,23 @@ def lj_cell_forces_pallas(
     z_halo: bool = False,
     compute_macro: bool = True,
     local_coords: bool = False,
+    hx: int = HX,
+    jt: bool = False,
 ):
     """Returns (out [nz, ny, 4, nx*cap]: force planes 0..2, scalar plane
     3 with u6/virial one-hots per tile; u6lj scalar; virial scalar).
 
     z_halo=True: r_j carries two explicit z halo rows (multi-chip slab
     decomposition) -- r_j is [nz+2, ny, ...], neighbor row dz maps to
-    r_j[z+dz+1], and no periodic z shift is applied in-kernel."""
-    Wj = (nx + 2 * HX) * cap
+    r_j[z+dz+1], and no periodic z shift is applied in-kernel.
+
+    jt=True: j-transposed pair matrices [win, txc] (j slots on
+    sublanes, i slots on lanes).  Sublanes pad at 8, so the
+    (tx+2*hx)*cap-slot j window carries no lane-padding tax (the
+    lane-major layout pads 192->256, +33% VPU work), and neither the i
+    load nor the force store needs an MXU transpose; the j-plane
+    broadcasts ride the idle MXU via selector matmuls."""
+    Wj = (nx + 2 * hx) * cap
     nzj = nz + 2 if z_halo else nz
     assert r_i.shape == (nz, ny, NPLANE, nx * cap), r_i.shape
     assert r_j.shape == (nzj, ny, NPLANE, Wj), r_j.shape
@@ -281,9 +374,11 @@ def lj_cell_forces_pallas(
         z_halo=z_halo,
         compute_macro=compute_macro,
         local_coords=local_coords,
+        hx=hx,
+        jt=jt,
         out_dtype=out_dtype,
     )
-    win = (tx + 2 * HX) * cap
+    win = (tx + 2 * hx) * cap
     n_pairs = nz * ny * nx * cap * 9 * win
     out = pl.pallas_call(
         kernel,

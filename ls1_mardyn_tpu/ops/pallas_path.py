@@ -47,6 +47,10 @@ class PallasLJPath:
         self.sig2 = float(table.sig2[0, 0, 0, 0])
         self.shift6 = float(table.shift6[0, 0, 0, 0])
         self.rc2 = float(table.lj_cutoff ** 2)
+        # j-transposed kernel mode: j window on sublanes (no lane-pad
+        # tax, no MXU transposes) -- see pallas_lj
+        self.jt = True
+        self.hx = 1
 
     def __call__(self, mol: MoleculeState) -> Tuple[Forces, Macroscopic, jnp.ndarray]:
         spec = self.spec
@@ -67,15 +71,14 @@ class PallasLJPath:
         )  # [N, 4]
         g = jnp.where(ok[..., None], pack[safe], 0.0)  # [nz, ny, nx*cap, 4]
 
-        from ls1_mardyn_tpu.ops.pallas_lj import HX
-
+        hx = self.hx
         shift_vec = jnp.zeros((4,), dtype).at[0].set(Lx)
 
         def with_halo(a):
-            """x halo of HX cells per side; only the innermost halo cell
+            """x halo of hx cells per side; only the innermost halo cell
             carries the periodic image (pre-shifted by +-Lx), the outer
-            HX-1 are empty padding (validity stays 0 there)."""
-            pad = jnp.zeros(a.shape[:2] + ((HX - 1) * cap, 4), a.dtype)
+            hx-1 are empty padding (validity stays 0 there)."""
+            pad = jnp.zeros(a.shape[:2] + ((hx - 1) * cap, 4), a.dtype)
             left = a[:, :, (nx - 1) * cap :, :] - shift_vec
             # subtracting the shift flips validity 1->1 only in col 0;
             # cols 1..3 untouched because shift_vec is one-hot on x
@@ -99,6 +102,8 @@ class PallasLJPath:
             shift6=self.shift6,
             rc2=self.rc2,
             interpret=self.interpret,
+            hx=hx,
+            jt=self.jt,
         )
         # gather back to flat arrays via the inverse slot map (each
         # valid molecule occupies exactly one slot; gathers beat TPU

@@ -95,6 +95,10 @@ class RMMSimulation:
         self.sig2 = float(table.sig2[0, 0, 0, 0])
         self.shift6 = float(table.shift6[0, 0, 0, 0])
         self.rc2 = float(table.lj_cutoff ** 2)
+        # j-transposed kernel mode: j window on sublanes (no lane-pad
+        # tax, no MXU transposes) -- see pallas_lj
+        self.jt = True
+        self.hx = HX
         self._step_jit = jax.jit(functools.partial(self._step, compute_macro=True))
         # fast step: skips the Upot/virial reduction passes in the kernel
         # (20%); the thermostat needs only kinetic energy
@@ -114,11 +118,12 @@ class RMMSimulation:
         r_i = planes[:, :, :4, :]
         # x halo: plain copies -- cell-local coordinates need no +-L
         # shift (the kernel's cell-difference offsets are exact)
-        pad = jnp.zeros((nz, ny, 4, (HX - 1) * cap), dtype)
+        hx = self.hx
+        pad = jnp.zeros((nz, ny, 4, (hx - 1) * cap), dtype)
         left = r_i[:, :, :, (nx - 1) * cap :]
         right = r_i[:, :, :, :cap]
         parts = [left, r_i, right]
-        if HX > 1:
+        if hx > 1:
             parts = [pad, left, r_i, right, pad]
         r_j = jnp.concatenate(parts, axis=3)
         return lj_cell_forces_pallas(
@@ -137,6 +142,8 @@ class RMMSimulation:
             interpret=self.interpret,
             compute_macro=compute_macro,
             local_coords=True,
+            hx=hx,
+            jt=self.jt,
         )
 
     def _forces(self, planes):

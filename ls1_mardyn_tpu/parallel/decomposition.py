@@ -485,6 +485,7 @@ class SlabSimulation:
                 rc2=cfg.rc2,
                 interpret=cfg.interpret,
                 z_halo=True,
+                jt=True,
             )
             fxyz = jnp.moveaxis(f[:, :, :3, :], 2, -1).reshape(-1, 3)
             src = jnp.clip(bins.slot_of, 0, fxyz.shape[0] - 1)
