@@ -68,10 +68,13 @@ def _lj_row_kernel(
     shift6: float,
     rc2: float,
     z_halo: bool,
+    y_halo: bool,
     compute_macro: bool,
     local_coords: bool,
     hx: int,
     jt: bool,
+    sentinel: bool,
+    fast_recip: bool,
     out_dtype,
 ):
     row_refs = refs[:9]
@@ -145,7 +148,8 @@ def _lj_row_kernel(
             xi = jnp.sum(ti * ohr[0], axis=0, keepdims=True)
             yi = jnp.sum(ti * ohr[1], axis=0, keepdims=True)
             zi = jnp.sum(ti * ohr[2], axis=0, keepdims=True)
-            wi = jnp.sum(ti * ohr[3], axis=0, keepdims=True)
+            if not sentinel:
+                wi = jnp.sum(ti * ohr[3], axis=0, keepdims=True)
             fx = jnp.zeros((1, txc), out_dtype)
             fy = jnp.zeros((1, txc), out_dtype)
             fz = jnp.zeros((1, txc), out_dtype)
@@ -161,16 +165,19 @@ def _lj_row_kernel(
                 Xj = jplane(0)
                 Yj = jplane(1)
                 Zj = jplane(2)
-                Wj = jplane(3)
+                Wj = None if sentinel else jplane(3)
                 if local_coords:
                     yis = yi - jnp.asarray(dy * cly, out_dtype)
                     zis = zi - jnp.asarray(dz * clz, out_dtype)
                 else:
                     zidx = pz + dz
                     yidx = py + dy
-                    sy = jnp.where(
-                        yidx < 0, -by, jnp.where(yidx >= ny, by, 0.0)
-                    ).astype(out_dtype)
+                    if y_halo:
+                        sy = jnp.zeros((), out_dtype)
+                    else:
+                        sy = jnp.where(
+                            yidx < 0, -by, jnp.where(yidx >= ny, by, 0.0)
+                        ).astype(out_dtype)
                     if z_halo:
                         sz = jnp.zeros((), out_dtype)
                     else:
@@ -185,11 +192,22 @@ def _lj_row_kernel(
                 dyv = yis - Yj
                 dzv = zis - Zj
                 dr2 = dx * dx + dyv * dyv + dzv * dzv
-                mask = (dr2 < cut2) & (Wj * wi > 0.5)
+                mask = dr2 < cut2
+                if not sentinel:
+                    mask = mask & (Wj * wi > 0.5)
                 if k == _CENTER:
                     mask = mask & not_selfT
-                mf = mask.astype(out_dtype)
-                invdr2 = mf / jnp.where(mask, dr2, 1.0)
+                if fast_recip:
+                    # masked pairs get dr2=1e30: inv ~ 1e-30 underflows
+                    # the lj6 cube to exact 0, so no mf multiply needed;
+                    # approx reciprocal + one Newton step ~ f32 rounding
+                    den = jnp.where(mask, dr2, jnp.asarray(1e30, out_dtype))
+                    r0 = pl.reciprocal(den, approx=True)
+                    invdr2 = r0 * (2.0 - den * r0)
+                    mf = mask.astype(out_dtype) if compute_macro else None
+                else:
+                    mf = mask.astype(out_dtype)
+                    invdr2 = mf / jnp.where(mask, dr2, 1.0)
                 lj6 = s2 * invdr2
                 lj6 = lj6 * lj6 * lj6
                 lj12 = lj6 * lj6
@@ -235,9 +253,12 @@ def _lj_row_kernel(
             else:
                 zidx = pz + dz
                 yidx = py + dy
-                sy = jnp.where(
-                    yidx < 0, -by, jnp.where(yidx >= ny, by, 0.0)
-                ).astype(out_dtype)
+                if y_halo:
+                    sy = jnp.zeros((), out_dtype)
+                else:
+                    sy = jnp.where(
+                        yidx < 0, -by, jnp.where(yidx >= ny, by, 0.0)
+                    ).astype(out_dtype)
                 if z_halo:
                     # halo rows are explicit (multi-chip slab exchange
                     # has already applied any global-z periodic shift)
@@ -292,7 +313,8 @@ def _lj_row_kernel(
     jax.jit,
     static_argnames=(
         "nx", "ny", "nz", "cap", "tx", "box", "eps24", "sig2", "shift6", "rc2",
-        "interpret", "z_halo", "compute_macro", "local_coords", "hx", "jt",
+        "interpret", "z_halo", "y_halo", "compute_macro", "local_coords", "hx", "jt",
+        "sentinel", "fast_recip",
     ),
 )
 def lj_cell_forces_pallas(
@@ -311,10 +333,13 @@ def lj_cell_forces_pallas(
     rc2: float,
     interpret: bool = False,
     z_halo: bool = False,
+    y_halo: bool = False,
     compute_macro: bool = True,
     local_coords: bool = False,
     hx: int = HX,
     jt: bool = False,
+    sentinel: bool = False,
+    fast_recip: bool = False,
 ):
     """Returns (out [nz, ny, 4, nx*cap]: force planes 0..2, scalar plane
     3 with u6/virial one-hots per tile; u6lj scalar; virial scalar).
@@ -328,26 +353,42 @@ def lj_cell_forces_pallas(
     (tx+2*hx)*cap-slot j window carries no lane-padding tax (the
     lane-major layout pads 192->256, +33% VPU work), and neither the i
     load nor the force store needs an MXU transpose; the j-plane
-    broadcasts ride the idle MXU via selector matmuls."""
+    broadcasts ride the idle MXU via selector matmuls.
+
+    sentinel=True (jt only, local_coords only, requires min cell edge
+    >= rc): invalid slots carry y_local = 1e6*(1 + slot_in_cell)
+    instead of 0, which the rc2 test masks out against every other
+    slot, so the validity plane is never read (saves one MXU broadcast
+    and the w-mask ops per neighbor row).
+
+    fast_recip=True (jt only, f32 TPU): approx reciprocal + one Newton
+    step instead of the IEEE divide; masked pairs underflow to exact
+    force zeros via dr2=1e30, removing the mf multiply."""
     Wj = (nx + 2 * hx) * cap
     nzj = nz + 2 if z_halo else nz
+    nyj = ny + 2 if y_halo else ny
     assert r_i.shape == (nz, ny, NPLANE, nx * cap), r_i.shape
-    assert r_j.shape == (nzj, ny, NPLANE, Wj), r_j.shape
+    assert r_j.shape == (nzj, nyj, NPLANE, Wj), r_j.shape
     assert nx % tx == 0
     if not interpret:
         assert (tx * cap) % 128 == 0, (
             "compiled TPU kernel needs tx*cap to be a multiple of 128 "
             f"(got tx={tx}, cap={cap})"
         )
+    if sentinel:
+        assert jt and local_coords, "sentinel mode needs jt + local_coords"
+        cl2 = min(box[0] / nx, box[1] / ny, box[2] / nz) ** 2
+        assert cl2 >= rc2, ("sentinel mode requires cell edge >= rc", cl2, rc2)
+    if fast_recip:
+        assert jt, "fast_recip implemented on the jt path only"
     out_dtype = r_i.dtype
 
     i_spec = pl.BlockSpec(
         (1, 1, NPLANE, nx * cap), lambda z, y: (z, y, 0, 0), memory_space=pltpu.VMEM
     )
-    if z_halo:
-        jmap = lambda z, y, dz, dy: (z + dz + 1, (y + dy) % ny, 0, 0)
-    else:
-        jmap = lambda z, y, dz, dy: ((z + dz) % nz, (y + dy) % ny, 0, 0)
+    zmap = (lambda z, dz: z + dz + 1) if z_halo else (lambda z, dz: (z + dz) % nz)
+    ymap = (lambda y, dy: y + dy + 1) if y_halo else (lambda y, dy: (y + dy) % ny)
+    jmap = lambda z, y, dz, dy: (zmap(z, dz), ymap(y, dy), 0, 0)
     j_specs = [
         pl.BlockSpec(
             (1, 1, NPLANE, Wj),
@@ -372,10 +413,13 @@ def lj_cell_forces_pallas(
         shift6=shift6,
         rc2=rc2,
         z_halo=z_halo,
+        y_halo=y_halo,
         compute_macro=compute_macro,
         local_coords=local_coords,
         hx=hx,
         jt=jt,
+        sentinel=sentinel,
+        fast_recip=fast_recip,
         out_dtype=out_dtype,
     )
     win = (tx + 2 * hx) * cap

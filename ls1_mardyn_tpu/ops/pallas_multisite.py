@@ -119,6 +119,7 @@ def _ms_row_kernel(
     rc2_lj: float,
     screen_alpha: float,
     z_halo: bool,
+    y_halo: bool,
     interpret: bool,
     out_dtype,
 ):
@@ -184,9 +185,12 @@ def _ms_row_kernel(
             H = row_refs[k][0, 0, :, pl.ds(off, win)]  # [P, win]
             zidx = pz + dz
             yidx = py + dy
-            sy = jnp.where(yidx < 0, -by, jnp.where(yidx >= ny, by, 0.0)).astype(
-                out_dtype
-            )
+            if y_halo:
+                sy = jnp.zeros((), out_dtype)
+            else:
+                sy = jnp.where(
+                    yidx < 0, -by, jnp.where(yidx >= ny, by, 0.0)
+                ).astype(out_dtype)
             if z_halo:
                 # explicit halo rows from the slab exchange carry any
                 # global-z periodic shift already
@@ -460,7 +464,7 @@ def _ms_row_kernel(
     jax.jit,
     static_argnames=(
         "nx", "ny", "nz", "cap", "tx", "box", "rc2", "rc2_lj",
-        "screen_alpha", "interpret", "z_halo", "meta",
+        "screen_alpha", "interpret", "z_halo", "y_halo", "meta",
     ),
 )
 def multisite_cell_forces_pallas(
@@ -479,20 +483,22 @@ def multisite_cell_forces_pallas(
     meta,  # _MSMeta (hashable): K/NL/NC/ND/NQ + tables + masks
     interpret: bool = False,
     z_halo: bool = False,
+    y_halo: bool = False,
 ):
     P = r_i.shape[2]
     Wj = (nx + 2 * HX) * cap
     assert r_i.shape == (nz, ny, P, nx * cap), r_i.shape
-    assert r_j.shape == ((nz + 2 if z_halo else nz), ny, P, Wj), r_j.shape
+    assert r_j.shape == (
+        (nz + 2 if z_halo else nz), (ny + 2 if y_halo else ny), P, Wj
+    ), r_j.shape
     out_dtype = r_i.dtype
 
     i_spec = pl.BlockSpec(
         (1, 1, P, nx * cap), lambda z, y: (z, y, 0, 0), memory_space=pltpu.VMEM
     )
-    if z_halo:
-        jmap = lambda z, y, dz, dy: (z + dz + 1, (y + dy) % ny, 0, 0)
-    else:
-        jmap = lambda z, y, dz, dy: ((z + dz) % nz, (y + dy) % ny, 0, 0)
+    zmap = (lambda z, dz: z + dz + 1) if z_halo else (lambda z, dz: (z + dz) % nz)
+    ymap = (lambda y, dy: y + dy + 1) if y_halo else (lambda y, dy: (y + dy) % ny)
+    jmap = lambda z, y, dz, dy: (zmap(z, dz), ymap(y, dy), 0, 0)
     j_specs = [
         pl.BlockSpec(
             (1, 1, P, Wj),
@@ -525,6 +531,7 @@ def multisite_cell_forces_pallas(
         rc2_lj=rc2_lj,
         screen_alpha=screen_alpha,
         z_halo=z_halo,
+        y_halo=y_halo,
         interpret=interpret,
         out_dtype=out_dtype,
     )

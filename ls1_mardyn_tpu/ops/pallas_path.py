@@ -51,6 +51,8 @@ class PallasLJPath:
         # tax, no MXU transposes) -- see pallas_lj
         self.jt = True
         self.hx = 1
+        self.sentinel = bool(min(spec.cell_len) ** 2 >= self.rc2)
+        self.fast_recip = not interpret
 
     def __call__(self, mol: MoleculeState) -> Tuple[Forces, Macroscopic, jnp.ndarray]:
         spec = self.spec
@@ -69,24 +71,53 @@ class PallasLJPath:
         pack = jnp.concatenate(
             [mol.r, mol.valid.astype(dtype)[:, None]], axis=1
         )  # [N, 4]
-        g = jnp.where(ok[..., None], pack[safe], 0.0)  # [nz, ny, nx*cap, 4]
+        # cell-local coordinates (full f32 precision at any box size;
+        # periodicity becomes exact cell arithmetic in the kernel) --
+        # origins and the sentinel fill come from iotas, XLA fuses them
+        lane = jax.lax.broadcasted_iota(jnp.int32, (nz, ny, nx * cap), 2)
+        zc = jax.lax.broadcasted_iota(jnp.int32, (nz, ny, nx * cap), 0)
+        yc = jax.lax.broadcasted_iota(jnp.int32, (nz, ny, nx * cap), 1)
+        cl = spec.cell_len
+        origin = jnp.stack(
+            [
+                (lane // cap).astype(dtype) * jnp.asarray(cl[0], dtype),
+                yc.astype(dtype) * jnp.asarray(cl[1], dtype),
+                zc.astype(dtype) * jnp.asarray(cl[2], dtype),
+                jnp.zeros((nz, ny, nx * cap), dtype),
+            ],
+            axis=-1,
+        )
+        if self.sentinel:
+            slot = (lane % cap).astype(dtype)
+            fill = jnp.stack(
+                [
+                    jnp.zeros((nz, ny, nx * cap), dtype),
+                    1e6 * (1.0 + slot),
+                    jnp.zeros((nz, ny, nx * cap), dtype),
+                    jnp.zeros((nz, ny, nx * cap), dtype),
+                ],
+                axis=-1,
+            )
+        else:
+            fill = jnp.zeros((), dtype)
+        g = jnp.where(ok[..., None], pack[safe] - origin, fill)
 
         hx = self.hx
-        shift_vec = jnp.zeros((4,), dtype).at[0].set(Lx)
 
         def with_halo(a):
-            """x halo of hx cells per side; only the innermost halo cell
-            carries the periodic image (pre-shifted by +-Lx), the outer
-            hx-1 are empty padding (validity stays 0 there)."""
+            """x halo of hx cells per side: plain copies -- cell-local
+            coordinates need no +-Lx shift (the kernel's cell-difference
+            offsets are exact)."""
             pad = jnp.zeros(a.shape[:2] + ((hx - 1) * cap, 4), a.dtype)
-            left = a[:, :, (nx - 1) * cap :, :] - shift_vec
-            # subtracting the shift flips validity 1->1 only in col 0;
-            # cols 1..3 untouched because shift_vec is one-hot on x
-            right = a[:, :, :cap, :] + shift_vec
-            return jnp.concatenate([pad, left, a, right, pad], axis=2)
+            left = a[:, :, (nx - 1) * cap :, :]
+            right = a[:, :, :cap, :]
+            parts = [left, a, right]
+            if hx > 1:
+                parts = [pad] + parts + [pad]
+            return jnp.concatenate(parts, axis=2)
 
         r_i = jnp.moveaxis(g, -1, 2)  # [nz, ny, 4, nx*cap]
-        r_j = jnp.moveaxis(with_halo(g), -1, 2)  # [nz, ny, 4, (nx+2*HX)*cap]
+        r_j = jnp.moveaxis(with_halo(g), -1, 2)  # [nz, ny, 4, (nx+2*hx)*cap]
 
         f, u6, vir = lj_cell_forces_pallas(
             r_i,
@@ -102,8 +133,11 @@ class PallasLJPath:
             shift6=self.shift6,
             rc2=self.rc2,
             interpret=self.interpret,
+            local_coords=True,
             hx=hx,
             jt=self.jt,
+            sentinel=self.sentinel,
+            fast_recip=self.fast_recip,
         )
         # gather back to flat arrays via the inverse slot map (each
         # valid molecule occupies exactly one slot; gathers beat TPU

@@ -99,6 +99,11 @@ class RMMSimulation:
         # tax, no MXU transposes) -- see pallas_lj
         self.jt = True
         self.hx = HX
+        # sentinel invalid slots (y_local = 1e6*(1+slot)): the kernel
+        # never reads the validity plane; needs cell edge >= rc
+        self.sentinel = bool(min(spec.cell_len) ** 2 >= self.rc2)
+        # approx-reciprocal + Newton instead of IEEE divide (f32 TPU)
+        self.fast_recip = not interpret
         self._step_jit = jax.jit(functools.partial(self._step, compute_macro=True))
         # fast step: skips the Upot/virial reduction passes in the kernel
         # (20%); the thermostat needs only kinetic energy
@@ -144,6 +149,8 @@ class RMMSimulation:
             local_coords=True,
             hx=hx,
             jt=self.jt,
+            sentinel=self.sentinel,
+            fast_recip=self.fast_recip,
         )
 
     def _forces(self, planes):
@@ -208,6 +215,20 @@ class RMMSimulation:
             gv,
         )
 
+    def _empty_fill(self, ncols, dtype):
+        """Fill row for empty slots: zeros, or the sentinel y_local =
+        1e6*(1 + slot_in_cell) that keeps every empty slot outside the
+        cutoff of everything (the kernel then never reads validity).
+        Generated from iotas -- XLA fuses it, nothing is materialized."""
+        if not self.sentinel:
+            return jnp.zeros((), dtype)
+        nx, ny, nz = self.spec.dims
+        cap = self.spec.cap
+        tot = nz * ny * nx * cap
+        slot = jax.lax.broadcasted_iota(jnp.int32, (tot, 1), 0) % cap
+        ycol = jax.lax.broadcasted_iota(jnp.int32, (1, ncols), 1) == 1
+        return jnp.where(ycol, 1e6 * (1.0 + slot.astype(dtype)), 0.0)
+
     def _slot_cells(self):
         """Static per-slot cell coordinates [slots, 3] (z-major rows,
         x-cell = lane // cap)."""
@@ -253,7 +274,7 @@ class RMMSimulation:
         idx = bins.slots.reshape(-1)
         safe = jnp.clip(idx, 0, flat.shape[0] - 1)
         ok = (idx >= 0) & valid[safe]
-        g = jnp.where(ok[:, None], flat[safe], 0.0)
+        g = jnp.where(ok[:, None], flat[safe], self._empty_fill(NPX, dtype))
         gre = g.reshape(nz, ny, nx * cap, NPX).transpose(0, 1, 3, 2)
         planes = gre[:, :, :NP_RMM, :]
         forces = gre[:, :, NP_RMM:, :]
@@ -296,7 +317,7 @@ class RMMSimulation:
             ],
             axis=1,
         )
-        g = jnp.where(ok[:, None], packed[safe], 0.0)
+        g = jnp.where(ok[:, None], packed[safe], self._empty_fill(NP_RMM, dtype))
         planes = g.reshape(nz, ny, nx * cap, NP_RMM).transpose(0, 1, 3, 2)
         if bool(bins.overflow):
             raise RuntimeError("cell capacity exceeded at init")

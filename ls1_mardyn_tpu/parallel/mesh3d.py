@@ -1,0 +1,531 @@
+"""3-D Cartesian domain decomposition over a (Px, Py, Pz) device mesh.
+
+The TPU-native equivalent of the reference's static Cartesian process
+grid (/root/reference/src/parallel/DomainDecomposition.{h,cpp}:
+MPIGridDims + MPI_Cart coordinates) combined with the 3-stage
+dimension-wise exchange of IndirectNeighbourCommunicationScheme
+(src/parallel/NeighbourCommunicationScheme.h:172: exchange x, then y,
+then z; diagonal movers ride consecutive stages, so only 6 neighbor
+links are needed instead of 26 -- exactly 3 ppermute rings on the ICI
+mesh axes).
+
+Per device: a local cell block [nxl, nyl, nzl] of the global cell grid.
+  - LEAVING molecules: three sequential ppermute stages (x, y, z); each
+    stage routes by the owner coordinate in that dimension only.
+  - HALO copies: x halo cells are lanes of the j view -> edge cell
+    columns are ppermuted along the x axis; y and z halos are explicit
+    rows ppermuted along their axes (y_halo/z_halo kernel modes).  The
+    y/z halo rows are exchanged AFTER the x halo is attached, so the
+    corner/edge cells arrive transitively (the reference's "diagonal
+    forwarding" in the indirect scheme).
+  - global values: one fused psum over all three axes (agglomerated
+    CollectiveCommunication, src/parallel/CollectiveCommunication.h).
+
+Full-shell zonal method (ZonalMethods/FullShell.h): every pair is
+computed on the owner of i, no force back-exchange.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ls1_mardyn_tpu.models.interaction import PairParams
+from ls1_mardyn_tpu.ops.cells import CellGridSpec, bin_particles, wrap_positions
+from ls1_mardyn_tpu.ops.globals import calculate_global_values
+from ls1_mardyn_tpu.ops.integrator import upd_post_force, upd_pre_force
+from ls1_mardyn_tpu.ops.pallas_lj import HX, lj_cell_forces_pallas
+from ls1_mardyn_tpu.ops.thermostat import apply_velocity_scaling
+from ls1_mardyn_tpu.parallel.decomposition import (
+    _pack_payload,
+    _unpack_payload,
+)
+from ls1_mardyn_tpu.state import Macroscopic, MoleculeState
+
+AX = ("ddx", "ddy", "ddz")
+
+
+@dataclasses.dataclass(frozen=True)
+class Mesh3DConfig:
+    """Static 3-D decomposition configuration.
+
+    grid: (Px, Py, Pz) device grid (MPIGridDims analogue).
+    local cells: (nxl, nyl, nzl) per device; global cell grid is
+    (Px*nxl, Py*nyl, Pz*nzl)."""
+
+    grid: Tuple[int, int, int]
+    nxl: int
+    nyl: int
+    nzl: int
+    cap: int
+    box: Tuple[float, float, float]
+    n_local_cap: int
+    migrate_cap: int
+    tx: int
+    dt: float
+    target_temperature: float
+    thermostat: bool
+    eps24: float
+    sig2: float
+    shift6: float
+    rc2: float
+    interpret: bool = False
+    upot_corr: float = 0.0
+    virial_corr: float = 0.0
+    ms_meta: object = None
+    rc2_lj: float = 0.0
+    screen_alpha: float = 0.0
+
+    @property
+    def n_devices(self) -> int:
+        return int(np.prod(self.grid))
+
+    @property
+    def local_box(self) -> Tuple[float, float, float]:
+        return (
+            self.box[0] / self.grid[0],
+            self.box[1] / self.grid[1],
+            self.box[2] / self.grid[2],
+        )
+
+    @property
+    def local_spec(self) -> CellGridSpec:
+        return CellGridSpec(
+            dims=(self.nxl, self.nyl, self.nzl),
+            box=self.local_box,
+            cap=self.cap,
+        )
+
+
+class Mesh3DSimulation:
+    """Multi-chip driver over a 3-D mesh; same API as SlabSimulation."""
+
+    def __init__(
+        self,
+        cfg: Mesh3DConfig,
+        pp: PairParams,
+        mesh: Optional[Mesh] = None,
+    ):
+        self.cfg = cfg
+        self.pp = pp
+        if mesh is None:
+            devs = np.array(jax.devices()[: cfg.n_devices]).reshape(cfg.grid)
+            mesh = Mesh(devs, AX)
+        for a, g in zip(AX, cfg.grid):
+            assert mesh.shape[a] == g, (mesh.shape, cfg.grid)
+        self.mesh = mesh
+        self.volume = float(np.prod(cfg.box))
+        flat = P((AX[0], AX[1], AX[2]))
+        self._in_spec = flat
+        self._step_sharded = jax.jit(
+            jax.shard_map(
+                self._device_step,
+                mesh=self.mesh,
+                in_specs=(flat, flat),
+                out_specs=(flat, flat, P(), P()),
+                check_vma=False,
+            )
+        )
+        self._force_sharded = jax.jit(
+            jax.shard_map(
+                self._device_forces_entry,
+                mesh=self.mesh,
+                in_specs=(flat,),
+                out_specs=(flat, P(), P()),
+                check_vma=False,
+            )
+        )
+
+    # -- host-side scene distribution --------------------------------------
+    def _owner3(self, r: np.ndarray) -> np.ndarray:
+        cfg = self.cfg
+        lb = cfg.local_box
+        o = np.stack(
+            [
+                np.clip((r[:, d] / lb[d]).astype(int), 0, cfg.grid[d] - 1)
+                for d in range(3)
+            ],
+            axis=1,
+        )
+        return o
+
+    def distribute(self, mol_global: MoleculeState) -> MoleculeState:
+        """Split a global state into per-device blocks stacked on the
+        leading axis in mesh-linear order (x-major to match the device
+        mesh reshape)."""
+        cfg = self.cfg
+        o = self._owner3(np.asarray(mol_global.r))
+        lin = (o[:, 0] * cfg.grid[1] + o[:, 1]) * cfg.grid[2] + o[:, 2]
+        valid = np.asarray(mol_global.valid)
+        parts = []
+        for p in range(cfg.n_devices):
+            sel = np.where((lin == p) & valid)[0]
+            if len(sel) > cfg.n_local_cap:
+                raise ValueError(
+                    f"device {p}: {len(sel)} molecules > capacity"
+                    f" {cfg.n_local_cap}"
+                )
+            pad = cfg.n_local_cap - len(sel)
+            take = lambda a: np.concatenate(
+                [
+                    np.asarray(a)[sel],
+                    np.zeros((pad,) + np.asarray(a).shape[1:],
+                             np.asarray(a).dtype),
+                ]
+            )
+            q = take(mol_global.q)
+            q[len(sel):, 0] = 1.0
+            parts.append(
+                dict(
+                    r=take(mol_global.r), v=take(mol_global.v), q=q,
+                    L=take(mol_global.L), cid=take(mol_global.cid),
+                    mid=take(mol_global.mid),
+                    valid=np.concatenate(
+                        [np.ones(len(sel), bool), np.zeros(pad, bool)]
+                    ),
+                )
+            )
+        stacked = {k: np.concatenate([pt[k] for pt in parts]) for k in parts[0]}
+        dtype = mol_global.r.dtype
+        sh = NamedSharding(self.mesh, self._in_spec)
+        dev = lambda a, dt: jax.device_put(jnp.asarray(a, dt), sh)
+        return MoleculeState(
+            r=dev(stacked["r"], dtype),
+            v=dev(stacked["v"], dtype),
+            q=dev(stacked["q"], dtype),
+            L=dev(stacked["L"], dtype),
+            cid=dev(stacked["cid"], jnp.int32),
+            mid=dev(stacked["mid"], jnp.int32),
+            valid=dev(stacked["valid"], jnp.bool_),
+        )
+
+    def gather_global(self, mol: MoleculeState) -> MoleculeState:
+        return jax.tree.map(lambda a: np.asarray(a), mol)
+
+    # -- per-device bodies --------------------------------------------------
+    def _coords(self):
+        return tuple(jax.lax.axis_index(a) for a in AX)
+
+    def _migrate(self, mol: MoleculeState):
+        """Three sequential dimension-wise leaving-molecule exchanges
+        (IndirectNeighbourCommunicationScheme: x, then y, then z)."""
+        cfg = self.cfg
+        lb = cfg.local_box
+        overflow = jnp.zeros((), jnp.bool_)
+        for d, axname in enumerate(AX):
+            Pn = cfg.grid[d]
+            if Pn == 1:
+                continue
+            me = jax.lax.axis_index(axname)
+            owner = jnp.clip(
+                jnp.floor(mol.r[:, d] / lb[d]).astype(jnp.int32), 0, Pn - 1
+            )
+            dd = jnp.mod(owner - me, Pn)
+            go_up = mol.valid & (dd == 1)
+            go_down = mol.valid & (dd == Pn - 1) & ~go_up
+            too_far = mol.valid & (dd != 0) & ~go_up & ~go_down
+
+            def pick(leave):
+                ordr = jnp.argsort(~leave)[: cfg.migrate_cap].astype(jnp.int32)
+                return ordr, leave[ordr]
+
+            up_idx, up_ok = pick(go_up)
+            dn_idx, dn_ok = pick(go_down)
+            overflow = overflow | (
+                (jnp.sum(go_up) > cfg.migrate_cap)
+                | (jnp.sum(go_down) > cfg.migrate_cap)
+                | jnp.any(too_far)
+            )
+            buf_up = _pack_payload(mol, up_idx, up_ok)
+            buf_dn = _pack_payload(mol, dn_idx, dn_ok)
+            perm_up = [(i, (i + 1) % Pn) for i in range(Pn)]
+            perm_dn = [(i, (i - 1) % Pn) for i in range(Pn)]
+            rx_below = jax.lax.ppermute(buf_up, axname, perm_up)
+            rx_above = jax.lax.ppermute(buf_dn, axname, perm_dn)
+            keep = mol.valid & ~(go_up | go_down)
+            rr, rv, rq, rL, rcid, rmid, rvalid = _unpack_payload(
+                jnp.concatenate([rx_below, rx_above], axis=0)
+            )
+            cat = lambda a, b: jnp.concatenate([a, b], axis=0)
+            r = cat(mol.r, rr)
+            v = cat(mol.v, rv)
+            q = cat(mol.q, rq)
+            L = cat(mol.L, rL)
+            cid = cat(mol.cid, rcid)
+            mid = cat(mol.mid, rmid)
+            valid = cat(keep, rvalid)
+            ordr = jnp.argsort(~valid)[: cfg.n_local_cap]
+            overflow = overflow | (jnp.sum(valid) > cfg.n_local_cap)
+            sel = lambda a: a[ordr]
+            mol = MoleculeState(
+                r=sel(r), v=sel(v), q=sel(q), L=sel(L),
+                cid=sel(cid), mid=sel(mid), valid=sel(valid),
+            )
+        return mol, overflow
+
+    def _pack_planes(self, mol: MoleculeState) -> jnp.ndarray:
+        dtype = mol.r.dtype
+        if self.cfg.ms_meta is None:
+            return jnp.concatenate(
+                [mol.r, mol.valid.astype(dtype)[:, None]], axis=1
+            )
+        from ls1_mardyn_tpu.ops.pallas_ms_path import site_offsets_pp
+
+        meta = self.cfg.ms_meta
+        sites = site_offsets_pp(meta, mol)
+        cols = [
+            mol.r,
+            mol.valid.astype(dtype)[:, None],
+            mol.cid.astype(dtype)[:, None],
+        ]
+        n = mol.capacity
+        for key in ("lj", "charge", "dip", "dip_e", "quad", "quad_e"):
+            cols.append(sites[key].reshape(n, -1))
+        packed = jnp.concatenate(cols, axis=1)
+        pad = meta.P - packed.shape[1]
+        if pad:
+            packed = jnp.concatenate(
+                [packed, jnp.zeros((n, pad), dtype)], axis=1
+            )
+        return packed
+
+    def _local_views(self, mol: MoleculeState):
+        """Bin into the local cell block; attach x halo lanes (ppermute
+        along ddx), then y halo rows, then z halo rows.  Because y rows
+        are exchanged after x lanes are attached (and z after y), the
+        edge/corner halos arrive transitively -- the indirect scheme's
+        diagonal forwarding."""
+        cfg = self.cfg
+        spec = cfg.local_spec
+        cx, cy, cz = self._coords()
+        gx, gy, gz = cfg.grid
+        dtype = mol.r.dtype
+        lb = cfg.local_box
+        org = jnp.stack(
+            [
+                cx.astype(dtype) * lb[0],
+                cy.astype(dtype) * lb[1],
+                cz.astype(dtype) * lb[2],
+            ]
+        )
+        r_loc = mol.r - org[None, :]
+        bins = bin_particles(r_loc, mol.valid, spec)
+        nxl, nyl, nzl, cap = cfg.nxl, cfg.nyl, cfg.nzl, cfg.cap
+        idx = bins.slots.reshape(nzl, nyl, nxl * cap)
+        safe = jnp.clip(idx, 0, mol.capacity - 1)
+        ok = (idx >= 0) & mol.valid[safe]
+        pack = self._pack_planes(mol)
+        Pn = pack.shape[1]
+        g = jnp.where(ok[..., None], pack[safe], 0.0)  # [nzl, nyl, W, P]
+
+        def edge_shift(axis_name, coord, gridn, plane, L):
+            """One-hot plane shift vector applied on the periodic link."""
+            sv = jnp.zeros((Pn,), dtype).at[plane].set(L)
+            return sv
+
+        # x halo lanes: ppermute edge cell columns along ddx (or local
+        # wrap when gx == 1)
+        sx = jnp.zeros((Pn,), dtype).at[0].set(cfg.box[0])
+        left_src = g[:, :, (nxl - 1) * cap:, :]   # my rightmost cell
+        right_src = g[:, :, :cap, :]              # my leftmost cell
+        if gx > 1:
+            perm_up = [(i, (i + 1) % gx) for i in range(gx)]
+            perm_dn = [(i, (i - 1) % gx) for i in range(gx)]
+            left = jax.lax.ppermute(left_src, AX[0], perm_up)
+            right = jax.lax.ppermute(right_src, AX[0], perm_dn)
+            wl = left[..., 3:4] > 0.5
+            wr = right[..., 3:4] > 0.5
+            left = jnp.where((cx == 0) & wl, left - sx, left)
+            right = jnp.where((cx == gx - 1) & wr, right + sx, right)
+        else:
+            left = left_src - sx
+            right = right_src + sx
+        pad = jnp.zeros(g.shape[:2] + ((HX - 1) * cap, Pn), dtype)
+        parts = [left, g, right]
+        if HX > 1:
+            parts = [pad] + parts + [pad]
+        gj = jnp.concatenate(parts, axis=2)  # [nzl, nyl, Wj, P]
+
+        # y halo rows (after x: the x-halo lanes ride along)
+        sy = jnp.zeros((Pn,), dtype).at[1].set(cfg.box[1])
+        lo_src = gj[:, -1:, :, :]
+        hi_src = gj[:, :1, :, :]
+        if gy > 1:
+            perm_up = [(i, (i + 1) % gy) for i in range(gy)]
+            perm_dn = [(i, (i - 1) % gy) for i in range(gy)]
+            below = jax.lax.ppermute(lo_src, AX[1], perm_up)
+            above = jax.lax.ppermute(hi_src, AX[1], perm_dn)
+            wb = below[..., 3:4] > 0.5
+            wa = above[..., 3:4] > 0.5
+            below = jnp.where((cy == 0) & wb, below - sy, below)
+            above = jnp.where((cy == gy - 1) & wa, above + sy, above)
+        else:
+            below = lo_src - sy
+            above = hi_src + sy
+        gj = jnp.concatenate([below, gj, above], axis=1)  # [nzl, nyl+2, ...]
+
+        # z halo rows (after y: corner cells ride along)
+        sz = jnp.zeros((Pn,), dtype).at[2].set(cfg.box[2])
+        lo_src = gj[-1:, :, :, :]
+        hi_src = gj[:1, :, :, :]
+        if gz > 1:
+            perm_up = [(i, (i + 1) % gz) for i in range(gz)]
+            perm_dn = [(i, (i - 1) % gz) for i in range(gz)]
+            below = jax.lax.ppermute(lo_src, AX[2], perm_up)
+            above = jax.lax.ppermute(hi_src, AX[2], perm_dn)
+            wb = below[..., 3:4] > 0.5
+            wa = above[..., 3:4] > 0.5
+            below = jnp.where((cz == 0) & wb, below - sz, below)
+            above = jnp.where((cz == gz - 1) & wa, above + sz, above)
+        else:
+            below = lo_src - sz
+            above = hi_src + sz
+        gj = jnp.concatenate([below, gj, above], axis=0)  # [nzl+2, nyl+2, ..]
+
+        r_i = jnp.moveaxis(g, -1, 2)
+        r_j = jnp.moveaxis(gj, -1, 2)
+        return r_i, r_j, bins
+
+    def _device_forces(self, mol: MoleculeState):
+        cfg = self.cfg
+        r_i, r_j, bins = self._local_views(mol)
+        dtype = mol.r.dtype
+        zero = jnp.zeros((), dtype)
+        if cfg.ms_meta is None:
+            f, u6, vir = lj_cell_forces_pallas(
+                r_i,
+                r_j,
+                nx=cfg.nxl,
+                ny=cfg.nyl,
+                nz=cfg.nzl,
+                cap=cfg.cap,
+                tx=cfg.tx,
+                box=cfg.box,
+                eps24=cfg.eps24,
+                sig2=cfg.sig2,
+                shift6=cfg.shift6,
+                rc2=cfg.rc2,
+                interpret=cfg.interpret,
+                z_halo=True,
+                y_halo=True,
+                jt=True,
+            )
+            fxyz = jnp.moveaxis(f[:, :, :3, :], 2, -1).reshape(-1, 3)
+            src = jnp.clip(bins.slot_of, 0, fxyz.shape[0] - 1)
+            F = jnp.where(mol.valid[:, None], fxyz[src], 0.0)
+            M = jnp.zeros_like(F)
+            return F, M, (u6, zero, zero, vir), bins.overflow
+        from ls1_mardyn_tpu.ops.pallas_multisite import (
+            multisite_cell_forces_pallas,
+        )
+
+        out, u6, uX, my_rf = multisite_cell_forces_pallas(
+            r_i,
+            r_j,
+            nx=cfg.nxl,
+            ny=cfg.nyl,
+            nz=cfg.nzl,
+            cap=cfg.cap,
+            tx=cfg.tx,
+            box=cfg.box,
+            rc2=cfg.rc2,
+            rc2_lj=cfg.rc2_lj or cfg.rc2,
+            screen_alpha=cfg.screen_alpha,
+            meta=cfg.ms_meta,
+            interpret=cfg.interpret,
+            z_halo=True,
+            y_halo=True,
+        )
+        flat = jnp.moveaxis(out, 2, -1).reshape(-1, out.shape[2])
+        src = jnp.clip(bins.slot_of, 0, flat.shape[0] - 1)
+        got = jnp.where(mol.valid[:, None], flat[src], 0.0)
+        vir = jnp.sum(out[:, :, 6:9, :])
+        F, M = got[:, 0:3], got[:, 3:6]
+        return F, M, (u6, uX, my_rf, vir), bins.overflow
+
+    def _psum_all(self, t):
+        for a in AX:
+            t = jax.lax.psum(t, a)
+        return t
+
+    def _device_forces_entry(self, mol: MoleculeState):
+        F, M, (u6, uX, my_rf, vir), _ovf = self._device_forces(mol)
+        packed = self._psum_all(jnp.stack([u6, uX, my_rf, vir]))
+        ovf = self._psum_all(_ovf.astype(jnp.int32))
+        return (F, M), packed, ovf
+
+    def _device_step(self, mol: MoleculeState, F_prev):
+        cfg = self.cfg
+        from ls1_mardyn_tpu.state import Forces
+
+        dtype = mol.r.dtype
+        F_prev, M_prev = F_prev
+        zeros3 = jnp.zeros_like(F_prev)
+        forces_prev = Forces(F=F_prev, M=M_prev, Vi=zeros3)
+        mol = upd_pre_force(mol, forces_prev, self.pp, cfg.dt)
+        mol = dataclasses.replace(mol, r=wrap_positions(mol.r, cfg.box))
+        mol, mig_overflow = self._migrate(mol)
+        F, M, (u6, uX, my_rf, vir), bin_overflow = self._device_forces(mol)
+        forces = Forces(F=F, M=M, Vi=zeros3)
+        mol, mv2, iw2 = upd_post_force(mol, forces, self.pp, cfg.dt)
+
+        nloc = jnp.sum(mol.valid).astype(dtype)
+        rdof = jnp.sum(
+            jnp.where(mol.valid, self.pp.rot_dof[mol.cid], 0)
+        ).astype(dtype)
+        packed = jnp.stack(
+            [u6, uX, my_rf, vir, jnp.sum(mv2), jnp.sum(iw2), nloc, rdof]
+        )
+        u6g, uXg, rfg, virg, summv2, sumiw2, ng, rdofg = self._psum_all(packed)
+
+        macro = Macroscopic(
+            upot6lj=u6g,
+            upot_xpoles=uXg + cfg.upot_corr,
+            virial=virg + cfg.virial_corr,
+            my_rf=rfg,
+        )
+        gv = calculate_global_values(
+            macro,
+            summv2,
+            sumiw2,
+            ng,
+            rdofg,
+            self.volume,
+            cfg.target_temperature,
+            nve=not cfg.thermostat,
+        )
+        if cfg.thermostat and cfg.target_temperature > 0:
+            mol = apply_velocity_scaling(mol, gv.beta_trans, gv.beta_rot)
+        overflow = (
+            self._psum_all(
+                (mig_overflow | bin_overflow).astype(jnp.int32)
+            )
+            > 0
+        )
+        return mol, (F, M), gv, overflow
+
+    # -- host API -----------------------------------------------------------
+    def compute_forces(self, mol: MoleculeState):
+        (F, M), packed, ovf = self._force_sharded(mol)
+        return F, M, packed, ovf
+
+    def step(self, mol: MoleculeState, FM):
+        return self._step_sharded(mol, FM)
+
+    def run(self, mol: MoleculeState, steps: int, check_overflow_every: int = 0):
+        (F, M), _, ovf = self._force_sharded(mol)
+        gv = None
+        for i in range(steps):
+            mol, (F, M), gv, overflow = self._step_sharded(mol, (F, M))
+            if check_overflow_every and (i % check_overflow_every == 0):
+                if bool(np.asarray(overflow)):
+                    raise RuntimeError(
+                        "mesh3d: migration or cell-capacity overflow"
+                    )
+        return mol, gv

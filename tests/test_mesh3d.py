@@ -1,0 +1,112 @@
+"""3-D Cartesian mesh decomposition tests on a 2x2x2 virtual CPU mesh.
+
+The analogue of the reference's DomainDecompositionTest for the full
+Cartesian grid (src/parallel/DomainDecomposition.h MPIGridDims +
+IndirectNeighbourCommunicationScheme 3-stage exchange): the PAR run
+over (2,2,2) must reproduce the SEQ single-chip run on identical
+inputs (SURVEY.md section 4 cross-check).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from ls1_mardyn_tpu.io.generators import cubic_grid
+from ls1_mardyn_tpu.ops.cells import CellGridSpec
+from ls1_mardyn_tpu.ops.pallas_path import PallasLJPath
+from ls1_mardyn_tpu.parallel.mesh3d import AX, Mesh3DConfig, Mesh3DSimulation
+from ls1_mardyn_tpu.scene import build_scene
+from ls1_mardyn_tpu.simulation import SimConfig, SingleChipSimulation
+
+GRID = (2, 2, 2)
+
+
+def _scene(nx=4, ny=4, nz=4, rho=0.5, T=1.0, cell=2.6, rc=2.5, seed=11):
+    box = (nx * cell, ny * cell, nz * cell)
+    n = int(rho * box[0] * box[1] * box[2])
+    data = cubic_grid(n, list(box), T, seed=seed)
+    mol, pp, table, gbox = build_scene(data, cutoff=rc, dtype=jnp.float64)
+    return mol, pp, table, box, rc, n, T
+
+
+def _mesh_sim(mol, pp, table, box, rc, n, T, dims, dt=0.002):
+    nx, ny, nz = dims
+    gx, gy, gz = GRID
+    cfg = Mesh3DConfig(
+        grid=GRID,
+        nxl=nx // gx,
+        nyl=ny // gy,
+        nzl=nz // gz,
+        cap=32,
+        box=box,
+        n_local_cap=2 * n // 8 + 64,
+        migrate_cap=64,
+        tx=nx // gx,
+        dt=dt,
+        target_temperature=T,
+        thermostat=True,
+        eps24=float(table.eps24[0, 0, 0, 0]),
+        sig2=float(table.sig2[0, 0, 0, 0]),
+        shift6=float(table.shift6[0, 0, 0, 0]),
+        rc2=rc * rc,
+        interpret=True,
+    )
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(GRID), AX)
+    return Mesh3DSimulation(cfg, pp, mesh=mesh)
+
+
+def test_mesh3d_forces_match_single_chip():
+    mol, pp, table, box, rc, n, T = _scene()
+    sim = _mesh_sim(mol, pp, table, box, rc, n, T, (4, 4, 4))
+
+    spec = CellGridSpec(dims=(4, 4, 4), box=box, cap=32)
+    path = PallasLJPath(table, spec, tx=4, interpret=True)
+    f_ref, m_ref, _ = jax.jit(path.__call__)(mol)
+
+    mol_sh = sim.distribute(mol)
+    (F_sh, M_sh), packed, ovf = sim._force_sharded(mol_sh)
+    assert int(np.asarray(ovf).max()) == 0
+    u6, uX, rf, vir = np.asarray(packed)
+
+    mids_sh = np.asarray(mol_sh.mid)
+    valid_sh = np.asarray(mol_sh.valid)
+    Fs = np.asarray(F_sh)
+    F_by_id = {mids_sh[i]: Fs[i] for i in np.where(valid_sh)[0]}
+    assert len(F_by_id) == n  # disjunctivity: every molecule owned once
+    mids = np.asarray(mol.mid)
+    F_ref = np.asarray(f_ref.F)
+    scale = np.abs(F_ref).max()
+    for i in range(n):
+        np.testing.assert_allclose(
+            F_by_id[mids[i]] / scale, F_ref[i] / scale, atol=1e-12
+        )
+    np.testing.assert_allclose(float(u6), float(m_ref.upot6lj), rtol=1e-12)
+    np.testing.assert_allclose(float(vir), float(m_ref.virial), rtol=1e-12)
+
+
+def test_mesh3d_steps_match_single_chip():
+    """5 NVT steps across the 2x2x2 mesh (migration through faces,
+    edges, and corners included) must reproduce the single-chip global
+    observables."""
+    mol, pp, table, box, rc, n, T = _scene()
+    sim = _mesh_sim(mol, pp, table, box, rc, n, T, (4, 4, 4))
+    mol_sh = sim.distribute(mol)
+    mol_sh, gv = sim.run(mol_sh, 5, check_overflow_every=1)
+
+    spec = CellGridSpec(dims=(4, 4, 4), box=box, cap=32)
+    path = PallasLJPath(table, spec, tx=4, interpret=True)
+    cfg1 = SimConfig(dt=0.002, target_temperature=T, thermostat=True)
+    ssim = SingleChipSimulation(mol, pp, box, cfg1, force_fn=path)
+    gv1 = ssim.run(5)
+
+    np.testing.assert_allclose(
+        float(gv.temperature), float(gv1.temperature), rtol=1e-10
+    )
+    np.testing.assert_allclose(float(gv.upot), float(gv1.upot), rtol=1e-9)
+    assert int(float(gv.n)) == n
+    # no molecule lost or duplicated across 3-stage migrations
+    g = sim.gather_global(mol_sh)
+    mids = np.sort(np.asarray(g.mid)[np.asarray(g.valid)])
+    assert len(mids) == n and len(np.unique(mids)) == n
