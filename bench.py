@@ -45,14 +45,23 @@ def main():
     skin = 0.2
     nd = max(4, int(np.floor(L / (rc + skin))))
     nd -= nd % 4  # keep nx divisible by the x-tile
-    spec = CellGridSpec(dims=(nd, nd, nd), box=tuple(float(b) for b in np.asarray(box)), cap=32)
-    assert min(spec.cell_len) >= rc, (spec.cell_len, rc)
-
-    sim = RMMSimulation(
-        table, pp, box, spec, dt=0.002, target_temperature=temperature,
-        thermostat=True, tx=4, rebin_every=16, sample_every=16,
-    )
-    sim.init_from_molecules(mol)
+    # lattice aliasing against the cell grid can exceed cap=32 for some
+    # N; retry with doubled capacity (default-N behavior unchanged)
+    cap = int(os.environ.get("LS1_BENCH_CAP", 32))
+    while True:
+        spec = CellGridSpec(dims=(nd, nd, nd), box=tuple(float(b) for b in np.asarray(box)), cap=cap)
+        assert min(spec.cell_len) >= rc, (spec.cell_len, rc)
+        sim = RMMSimulation(
+            table, pp, box, spec, dt=0.002, target_temperature=temperature,
+            thermostat=True, tx=4, rebin_every=16, sample_every=16,
+        )
+        try:
+            sim.init_from_molecules(mol)
+            break
+        except RuntimeError:
+            if cap >= 256:
+                raise
+            cap *= 2
     # warmup (compile + cache both step variants and rebin); NB
     # block_until_ready does not reliably block through the axon remote
     # backend, so sync via an actual scalar readback

@@ -140,7 +140,7 @@ class MDSimulation:
         )
         import dataclasses as _dc
 
-        # long-range electrostatics (Ewald; the bhfmm capability slot)
+        # long-range electrostatics (Ewald/PME; the bhfmm capability slot)
         self.ewald = None
         screen_alpha = 0.0
         if config.electrostatic_solver == "Ewald" and self.table.has_electrostatics():
@@ -149,12 +149,36 @@ class MDSimulation:
             eparams = EwaldParams.auto(
                 self.box, config.cutoff, accuracy=config.ewald_accuracy
             )
-            self.ewald = EwaldSolver(self.box, eparams, dtype=dtype)
-            screen_alpha = eparams.alpha
-            global_log.info(
-                "electrostatics: Ewald alpha=%.4f kmax=%d (%d k-vectors)",
-                eparams.alpha, eparams.kmax, self.ewald.kvec.shape[0],
-            )
+            method = getattr(config, "ewald_method", "auto")
+            if method == "auto":
+                # direct k-space costs O(N_sites * K) matmul work; the
+                # SPME mesh costs O(N_sites * p^3 + G^3 log G).  Pick
+                # the mesh once the matmuls dominate (the analogue of
+                # the reference enabling ENABLE_FMM_FFT at scale).
+                K = 4.0 / 3.0 * np.pi * eparams.kmax ** 3
+                nsites = int(self.mol.capacity) * int(
+                    np.asarray(self.pp.charge_q).shape[1]
+                )
+                method = "pme" if nsites * K > 2e8 else "direct"
+            if method == "pme":
+                from ls1_mardyn_tpu.ops.pme import PMEParams, PMESolver
+
+                pparams = PMEParams.auto(
+                    self.box, config.cutoff, accuracy=config.ewald_accuracy
+                )
+                self.ewald = PMESolver(self.box, pparams, dtype=dtype)
+                screen_alpha = pparams.alpha
+                global_log.info(
+                    "electrostatics: SPME alpha=%.4f grid=%s order=%d",
+                    pparams.alpha, pparams.grid, pparams.order,
+                )
+            else:
+                self.ewald = EwaldSolver(self.box, eparams, dtype=dtype)
+                screen_alpha = eparams.alpha
+                global_log.info(
+                    "electrostatics: Ewald alpha=%.4f kmax=%d (%d k-vectors)",
+                    eparams.alpha, eparams.kmax, self.ewald.kvec.shape[0],
+                )
         self._screen_alpha = screen_alpha
         if screen_alpha:
             sim_cfg = _dc.replace(sim_cfg, screen_alpha=screen_alpha)

@@ -72,6 +72,7 @@ class XMLConfig:
     thermostat_type: Optional[str] = None
     electrostatic_solver: Optional[str] = None  # None | "Ewald"
     ewald_accuracy: float = 1e-5
+    ewald_method: str = "auto"  # auto | direct | pme
     chemical_potentials: List[PluginSpec] = dataclasses.field(default_factory=list)
     config_dir: str = "."
 
@@ -277,8 +278,12 @@ def _read_body(sim: ET.Element, cfg: XMLConfig, base_dir: str) -> XMLConfig:
         ):
             # the reference plugs bhfmm here (Simulation.cpp:292-302);
             # our long-range electrostatics solver is Ewald summation
+            # (direct k-space or SPME mesh -- the FMM-FFT analogue)
             cfg.electrostatic_solver = "Ewald"
             cfg.ewald_accuracy = _get(el, "accuracy", 1e-5)
+            m = el.find("method")
+            if m is not None and m.text:
+                cfg.ewald_method = m.text.strip().lower()
         lr = algo.find("longrange")
         if lr is not None:
             cfg.longrange = lr.get("type", cfg.longrange)

@@ -145,6 +145,30 @@ def reciprocal_energy_forces(
     F = jnp.sum(f_site, axis=1)
     M = jnp.sum(jnp.cross(sites["charge"], f_site), axis=1)
 
+    u_corr, F_c, M_c = self_intra_corrections(mol, pp, alpha, rs, wq)
+
+    share = jnp.asarray(global_share, dtype)
+    return share * u_recip + u_corr, F + F_c, M + M_c
+
+
+def self_intra_corrections(
+    mol: MoleculeState,
+    pp: PairParams,
+    alpha: float,
+    rs: jnp.ndarray,  # [N, NC, 3] absolute charge-site positions
+    wq: jnp.ndarray,  # [N, NC] validity-weighted site charges
+):
+    """Self-energy and intramolecular-exclusion corrections shared by
+    the direct (EwaldSolver) and mesh (PMESolver) k-space paths.
+
+    Returns (u_self + u_intra, F [N,3], M [N,3]).  Subtracting these
+    from the reciprocal sum makes (k-space + erfc-screened real-space
+    pair sum) equal the true periodic Coulomb sum over *distinct*
+    molecules (intramolecular pairs are excluded interactions in the
+    reference's model -- the pair loop runs only between molecules)."""
+    dtype = rs.dtype
+    offs = rs - mol.r[:, None, :]  # site offsets from the COM
+
     # self energy
     a = jnp.asarray(alpha, dtype)
     u_self = -a / jnp.sqrt(jnp.asarray(np.pi, dtype)) * jnp.sum(wq * wq)
@@ -153,7 +177,7 @@ def reciprocal_energy_forces(
     # (and their forces/torques)
     drs = rs[:, :, None, :] - rs[:, None, :, :]  # [N,NC,NC,3]
     dist2 = jnp.sum(drs * drs, axis=-1)
-    NC = q_site.shape[1]
+    NC = wq.shape[1]
     eye = jnp.eye(NC, dtype=bool)
     pair_ok = (
         (~eye)[None]
@@ -174,11 +198,9 @@ def reciprocal_energy_forces(
         0.0,
     )
     f_intra_site = jnp.sum(fmag[..., None] * drs, axis=2)  # [N,NC,3]
-    F = F + jnp.sum(f_intra_site, axis=1)
-    M = M + jnp.sum(jnp.cross(sites["charge"], f_intra_site), axis=1)
-
-    share = jnp.asarray(global_share, dtype)
-    return share * u_recip + u_self + u_intra, F, M
+    F = jnp.sum(f_intra_site, axis=1)
+    M = jnp.sum(jnp.cross(offs, f_intra_site), axis=1)
+    return u_self + u_intra, F, M
 
 
 class EwaldSolver:

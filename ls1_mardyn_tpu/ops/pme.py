@@ -1,0 +1,279 @@
+"""Smooth particle-mesh Ewald (SPME): O(N log N) periodic electrostatics.
+
+The scalable long-range solver complementing ops/ewald.py (direct
+k-space matmuls, O(N*K)).  This is the TPU-native realization of the
+reference's FMM-FFT capability (/root/reference/src/bhfmm/fft/
+FFTAcceleration*: grid-based far field with FFT convolution;
+cmake ENABLE_FMM_FFT) -- as SURVEY.md section 7 step 9 argues, a
+uniform-grid FFT method is the idiomatic TPU equivalent of the
+rotation-based FMM tree: XLA's batched 3-D FFTs run on the MXU, and
+nothing is tree-shaped.
+
+Method (Essmann et al., JCP 103, 8577 (1995)):
+  - charges spread onto a [G1,G2,G3] mesh with cardinal B-splines of
+    order p (scatter-free: contributions are sorted by grid id and
+    segment-reduced with a cumsum -- the same sort-based trick as
+    ops/cells.bin_by_id, because TPU scatters serialize)
+  - Q_hat = FFT(Q); energy = 1/2 sum_k G(k) |b1 b2 b3|^2 |Q_hat|^2
+    with G(k) = 4 pi/(V k^2) exp(-k^2 / 4 alpha^2)
+  - phi = IFFT(G * |B|^2 * Q_hat): the convolved potential mesh;
+    U = 1/2 sum_mesh Q * phi (identical by Parseval)
+  - forces: analytic B-spline derivative interpolation of phi (exactly
+    conservative w.r.t. the discretized energy; gathers only)
+
+Self-energy and intramolecular exclusion corrections are shared with
+ops/ewald.py (self_intra_corrections).  The erfc-screened real-space
+part rides the standard pair kernels (screen_alpha), exactly as for
+direct Ewald.
+
+Multi-chip: each device spreads its local molecules, one psum merges
+the global mesh (the analogue of the reference's allreduce of global
+multipole levels, UniformPseudoParticleContainer.h:95-135), and force
+interpolation needs no further communication.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ls1_mardyn_tpu.models.interaction import PairParams, site_offsets
+from ls1_mardyn_tpu.ops.ewald import self_intra_corrections
+from ls1_mardyn_tpu.state import MoleculeState
+
+
+def bspline_weights(frac, p: int):
+    """Cardinal B-spline values M_p(frac + j) for j = 0..p-1.
+
+    frac: [...] fractional coordinates in [0, 1).  Returns [..., p]
+    weights summing to 1.  Uses the standard recursion
+    M_n(u) = (u M_{n-1}(u) + (n-u) M_{n-1}(u-1)) / (n-1)."""
+    u = frac[..., None] + jnp.arange(p, dtype=frac.dtype)  # in (0, p)
+    # M_2(u) = 1 - |u - 1| on (0,2)
+    M = jnp.maximum(0.0, 1.0 - jnp.abs(u - 1.0))
+    for n in range(3, p + 1):
+        um1 = u - 1.0
+        Mm1 = jnp.concatenate(
+            [jnp.zeros_like(M[..., :1]), M[..., :-1]], axis=-1
+        )  # M_{n-1}(u-1) via shift: M_{n-1} evaluated at (frac + j - 1)
+        M = (u * M + (n - u) * Mm1) / (n - 1)
+    return M
+
+
+def bspline_weights_and_derivs(frac, p: int):
+    """(M_p(frac+j), M_p'(frac+j)) for j = 0..p-1, using
+    M_p'(u) = M_{p-1}(u) - M_{p-1}(u-1)."""
+    u = frac[..., None] + jnp.arange(p, dtype=frac.dtype)
+    M = jnp.maximum(0.0, 1.0 - jnp.abs(u - 1.0))
+    for n in range(3, p):
+        Mm1 = jnp.concatenate(
+            [jnp.zeros_like(M[..., :1]), M[..., :-1]], axis=-1
+        )
+        M = (u * M + (n - u) * Mm1) / (n - 1)
+    Mpm1 = M  # M_{p-1}(frac + j)
+    Mm1 = jnp.concatenate(
+        [jnp.zeros_like(M[..., :1]), M[..., :-1]], axis=-1
+    )
+    dM = Mpm1 - Mm1
+    M = (u * Mpm1 + (p - u) * Mm1) / (p - 1)
+    return M, dM
+
+
+def _bsq(G: int, p: int, dtype):
+    """|b(m)|^2 Euler exponential-spline factors for one dimension:
+    1 / |sum_{j=0}^{p-2} M_p(j+1) e^{2 pi i m j / G}|^2."""
+    m = np.arange(G)
+    j = np.arange(p - 1)
+    Mj = np.asarray(
+        bspline_weights(jnp.asarray([0.0], jnp.float64), p)[0]
+    )  # M_p(j) for j = 0..p-1 at frac 0 -> M_p(0), M_p(1), ...
+    ph = np.exp(2.0 * np.pi * 1j * np.outer(m, j) / G)
+    den = ph @ Mj[1:p]
+    b2 = 1.0 / np.maximum(np.abs(den) ** 2, 1e-300)
+    return b2.astype(dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class PMEParams:
+    alpha: float
+    grid: Tuple[int, int, int]
+    order: int = 4
+
+    @staticmethod
+    def auto(box, rc: float, accuracy: float = 1e-5) -> "PMEParams":
+        box = np.asarray(box, float)
+        alpha = float(np.sqrt(-np.log(accuracy)) / rc)
+        # mesh spacing ~ 1/(2 alpha) gives k_max ~ 2 pi alpha sqrt(-ln eps)
+        kmax = alpha * np.sqrt(-np.log(accuracy)) / np.pi
+        G = tuple(int(2 ** np.ceil(np.log2(max(8, 2 * kmax * L))))
+                  for L in box)
+        return PMEParams(alpha=alpha, grid=G, order=4)
+
+
+def _grid_indices_weights(rs, wq, box, grid, p, dtype, with_derivs=False):
+    """Flattened mesh indices [NS, p^3] + spreading weights [NS, p^3]
+    (and d/dx,d/dy,d/dz weight products when with_derivs)."""
+    G = jnp.asarray(grid, jnp.int32)
+    Gf = jnp.asarray(grid, dtype)
+    L = jnp.asarray(box, dtype)
+    u = rs / L * Gf  # scaled coordinates [NS, 3]
+    base = jnp.floor(u).astype(jnp.int32)
+    frac = u - base.astype(dtype)
+    if with_derivs:
+        w, dw = bspline_weights_and_derivs(frac, p)  # [NS, 3, p]
+    else:
+        w = bspline_weights(frac, p)
+        dw = None
+    joff = jnp.arange(p, dtype=jnp.int32)
+    idx3 = jnp.mod(base[:, :, None] - joff[None, None, :], G[None, :, None])
+    # combined [NS, p, p, p]
+    wx, wy, wz = w[:, 0, :], w[:, 1, :], w[:, 2, :]
+    W = wx[:, :, None, None] * wy[:, None, :, None] * wz[:, None, None, :]
+    lin = (
+        (idx3[:, 0, :, None, None] * grid[1] + idx3[:, 1, None, :, None])
+        * grid[2]
+        + idx3[:, 2, None, None, :]
+    )
+    out = dict(
+        lin=lin.reshape(lin.shape[0], -1),
+        W=W.reshape(W.shape[0], -1),
+    )
+    if with_derivs:
+        dwx, dwy, dwz = dw[:, 0, :], dw[:, 1, :], dw[:, 2, :]
+        scale = Gf / L  # du/dr
+        DX = (dwx[:, :, None, None] * wy[:, None, :, None]
+              * wz[:, None, None, :]) * scale[0]
+        DY = (wx[:, :, None, None] * dwy[:, None, :, None]
+              * wz[:, None, None, :]) * scale[1]
+        DZ = (wx[:, :, None, None] * wy[:, None, :, None]
+              * dwz[:, None, None, :]) * scale[2]
+        out["D"] = [a.reshape(a.shape[0], -1) for a in (DX, DY, DZ)]
+    return out
+
+
+def _spread_flat(lin, vals, ng: int, dtype):
+    """Sum `vals` into a length-`ng` mesh by flat index `lin` --
+    scatter-free (sort + cumsum + segment-boundary gathers, the
+    bin_by_id trick, because TPU scatters serialize)."""
+    order = jnp.argsort(lin)
+    lin_s = lin[order]
+    vals_s = vals[order]
+    csum = jnp.concatenate([jnp.zeros((1,), dtype), jnp.cumsum(vals_s)])
+    edges = jnp.searchsorted(lin_s, jnp.arange(ng + 1, dtype=lin.dtype))
+    return csum[edges[1:]] - csum[edges[:-1]]
+
+
+def spread_charges(rs, wq, box, grid, p, dtype):
+    """Charge mesh Q [G1,G2,G3] from site positions/charges."""
+    giw = _grid_indices_weights(rs, wq, box, grid, p, dtype)
+    vals = (wq[:, None] * giw["W"]).reshape(-1)
+    lin = giw["lin"].reshape(-1)
+    ng = int(np.prod(grid))
+    return _spread_flat(lin, vals, ng, dtype).reshape(grid)
+
+
+def _recip_kernel(box, grid, alpha, dtype):
+    """G(k) * |b1 b2 b3|^2 on the FFT mesh (numpy, trace-time const)."""
+    box = np.asarray(box, float)
+    V = float(np.prod(box))
+    ks = []
+    for d, G in enumerate(grid):
+        m = np.fft.fftfreq(G) * G  # integer frequencies, centered
+        ks.append(2.0 * np.pi * m / box[d])
+    KX, KY, KZ = np.meshgrid(*ks, indexing="ij")
+    k2 = KX ** 2 + KY ** 2 + KZ ** 2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        g = 4.0 * np.pi / V * np.exp(-k2 / (4.0 * alpha ** 2)) / k2
+    g[0, 0, 0] = 0.0  # tinfoil boundary: drop k=0
+    return g
+
+
+def _full_kernel(box, grid, alpha, order, dtype):
+    g = _recip_kernel(box, grid, alpha, np.float64)
+    b2 = [
+        _bsq(G, order, np.float64) for G in grid
+    ]
+    B2 = (
+        b2[0][:, None, None] * b2[1][None, :, None] * b2[2][None, None, :]
+    )
+    return (g * B2).astype(dtype)
+
+
+class PMESolver:
+    """Reciprocal-space energy/forces/torques via SPME.
+
+    Drop-in alternative to EwaldSolver: combine with the erfc-screened
+    real-space pair interaction (same alpha) plus the shared self/intra
+    corrections (applied here, like EwaldSolver)."""
+
+    def __init__(self, box, params: PMEParams, dtype=jnp.float64):
+        self.params = params
+        self.box = tuple(float(b) for b in np.asarray(box))
+        self.kern = jnp.asarray(
+            _full_kernel(self.box, params.grid, params.alpha, params.order,
+                         np.float64),
+            dtype,
+        )
+
+    def mesh_energy_forces(self, rs, wq, psum=None, global_share=1.0):
+        """(U_recip, site forces [NS,3]) from absolute charge-site
+        positions rs [NS,3] and weighted charges wq [NS]."""
+        p = self.params.order
+        grid = self.params.grid
+        dtype = rs.dtype
+        giw = _grid_indices_weights(
+            rs, wq, self.box, grid, p, dtype, with_derivs=True
+        )
+        ng = int(np.prod(grid))
+        vals = (wq[:, None] * giw["W"]).reshape(-1)
+        lin = giw["lin"].reshape(-1)
+        Q = _spread_flat(lin, vals, ng, dtype).reshape(grid)
+        if psum is not None:
+            Q = psum(Q)
+        Qh = jnp.fft.fftn(Q)
+        conv = self.kern.astype(dtype) * Qh
+        # phi must be the UNNORMALIZED inverse transform (ifftn * ng)
+        # for U = 1/2 sum_mesh Q*phi to equal the Parseval k-sum
+        # 1/2 sum_k kern |Qh|^2 (jnp.fft.ifftn divides by ng).
+        phi = jnp.real(jnp.fft.ifftn(conv)).astype(dtype) * ng
+        u = 0.5 * jnp.sum(Q * phi) * jnp.asarray(global_share, dtype)
+        # force: F_d = -q * sum_support dW_d * phi
+        phi_flat = phi.reshape(-1)
+        ph = phi_flat[giw["lin"]]  # [NS, p^3]
+        F = jnp.stack(
+            [-jnp.sum(giw["D"][d] * ph, axis=1) * wq for d in range(3)],
+            axis=-1,
+        )
+        return u, F
+
+    def __call__(
+        self,
+        mol: MoleculeState,
+        pp: PairParams,
+        psum=None,
+        global_share: float = 1.0,
+    ):
+        """(U_recip + self + intra corrections, F [N,3], M [N,3]) --
+        same contract as ewald.reciprocal_energy_forces."""
+        dtype = mol.r.dtype
+        sites = site_offsets(pp, mol.q, mol.cid)
+        q_site = pp.charge_q[mol.cid]
+        wq = q_site * mol.valid[:, None].astype(dtype)
+        rs = mol.r[:, None, :] + sites["charge"]  # [N, NC, 3]
+        n, NC, _ = rs.shape
+        u, f_site = self.mesh_energy_forces(
+            rs.reshape(-1, 3), wq.reshape(-1), psum=psum,
+            global_share=global_share,
+        )
+        f_site = f_site.reshape(n, NC, 3)
+        F = jnp.sum(f_site, axis=1)
+        M = jnp.sum(jnp.cross(sites["charge"], f_site), axis=1)
+        u_corr, F_c, M_c = self_intra_corrections(
+            mol, pp, self.params.alpha, rs, wq
+        )
+        return u + u_corr, F + F_c, M + M_c

@@ -86,6 +86,13 @@ class SlabConfig:
     # the pair kernel computes the erfc-screened real-space part.
     ewald_kmax: int = 0
     ewald_alpha: float = 0.0
+    # SPME mesh k-space instead of the direct sum: non-empty grid
+    # enables it (each device spreads its local molecules, one psum
+    # merges the global charge mesh -- the analogue of the reference's
+    # allreduce of global multipole levels,
+    # UniformPseudoParticleContainer.h:95-135)
+    pme_grid: Tuple[int, ...] = ()
+    pme_order: int = 4
 
     @property
     def slab_h(self) -> float:
@@ -152,7 +159,19 @@ class SlabSimulation:
         self.mesh = mesh
         self.volume = float(np.prod(cfg.box))
         self._ewald_k = None
-        if cfg.ewald_kmax > 0:
+        self._pme = None
+        if cfg.pme_grid:
+            from ls1_mardyn_tpu.ops.pme import PMEParams, PMESolver
+
+            self._pme = PMESolver(
+                cfg.box,
+                PMEParams(
+                    alpha=cfg.ewald_alpha,
+                    grid=tuple(cfg.pme_grid),
+                    order=cfg.pme_order,
+                ),
+            )
+        elif cfg.ewald_kmax > 0:
             from ls1_mardyn_tpu.ops.ewald import make_kvectors
 
             k, c = make_kvectors(
@@ -517,7 +536,17 @@ class SlabSimulation:
         got = jnp.where(mol.valid[:, None], flat[src], 0.0)
         vir = jnp.sum(out[:, :, 6:9, :])
         F, M = got[:, 0:3], got[:, 3:6]
-        if self._ewald_k is not None:
+        if self._pme is not None:
+            u_ew, F_ew, M_ew = self._pme(
+                mol,
+                self.pp,
+                psum=lambda t: jax.lax.psum(t, AXIS),
+                global_share=1.0 / cfg.n_devices,
+            )
+            F = F + F_ew
+            M = M + M_ew
+            uX = uX + u_ew
+        elif self._ewald_k is not None:
             from ls1_mardyn_tpu.ops.ewald import reciprocal_energy_forces
 
             kvec, coeff = self._ewald_k

@@ -82,6 +82,21 @@ class ParallelMDSimulation:
         if not interpret:
             u = 128 // tx
             cap = ((cap + u - 1) // u) * u
+        # long-range electrostatics: reuse the single-chip driver's
+        # solver selection (direct Ewald vs SPME mesh) and shard its
+        # k-space (psum of structure factors / of the charge mesh)
+        screen_alpha = float(getattr(base, "_screen_alpha", 0.0) or 0.0)
+        ewald_kmax = 0
+        ewald_alpha = 0.0
+        pme_grid = ()
+        pme_order = 4
+        if base.ewald is not None:
+            ewald_alpha = float(base.ewald.params.alpha)
+            if hasattr(base.ewald.params, "grid"):
+                pme_grid = tuple(base.ewald.params.grid)
+                pme_order = int(base.ewald.params.order)
+            else:
+                ewald_kmax = int(base.ewald.params.kmax)
         slab_cfg = SlabConfig(
             n_devices=n_devices,
             nz_local=nz // n_devices,
@@ -104,6 +119,11 @@ class ParallelMDSimulation:
             virial_corr=float(getattr(base.lrc, "virial_corr", 0.0)),
             ms_meta=None if is_1clj else _MSMeta(self.table),
             rc2_lj=float(self.table.lj_cutoff**2),
+            screen_alpha=screen_alpha,
+            ewald_kmax=ewald_kmax,
+            ewald_alpha=ewald_alpha,
+            pme_grid=pme_grid,
+            pme_order=pme_order,
         )
         self.sim = SlabSimulation(slab_cfg, self.pp)
         self.mol_sharded = self.sim.distribute(mol)

@@ -108,3 +108,51 @@ def test_sharded_ewald_matches_single_chip():
     mol2, FM2, gv, overflow = sim._step_sharded(mol_sh, FM)
     assert not bool(overflow)
     assert np.isfinite(float(gv.upot)) and float(gv.upot) < 0
+
+
+def test_sharded_pme_matches_single_chip():
+    """SPME mesh k-space under shard_map (psum of the charge mesh) must
+    equal the single-chip PMESolver per molecule id."""
+    from ls1_mardyn_tpu.ops.pallas_multisite import _MSMeta
+    from ls1_mardyn_tpu.ops.pme import PMEParams, PMESolver
+
+    mol, pp, table, box, n = _salt_scene()
+    dims = (2, 2, 8)
+    grid = (16, 16, 64)
+
+    spec = CellGridSpec(dims=dims, box=box, cap=32)
+    path = PallasMultiSitePath(table, spec, tx=2, interpret=True,
+                               screen_alpha=ALPHA)
+    f_pair, m_pair, _ = jax.jit(path.__call__)(mol)
+    solver = PMESolver(box, PMEParams(alpha=ALPHA, grid=grid, order=4),
+                       dtype=jnp.float64)
+    u_ew, F_ew, M_ew = jax.jit(solver.__call__)(mol, pp)
+    F_ref = np.asarray(f_pair.F) + np.asarray(F_ew)
+    uX_ref = float(m_pair.upot_xpoles) + float(u_ew)
+
+    cfg = SlabConfig(
+        n_devices=P, nz_local=1, ny=2, nx=2, cap=32, box=box,
+        n_local_cap=2 * n // P + 64, migrate_cap=64, tx=2, dt=0.001,
+        target_temperature=0.8, thermostat=True,
+        eps24=0.0, sig2=0.0, shift6=0.0,
+        rc2=RC * RC, interpret=True,
+        ms_meta=_MSMeta(table), rc2_lj=float(table.lj_cutoff**2),
+        screen_alpha=ALPHA, ewald_alpha=ALPHA,
+        pme_grid=grid, pme_order=4,
+    )
+    mesh = Mesh(np.array(jax.devices()[:P]), ("dd",))
+    sim = SlabSimulation(cfg, pp, mesh=mesh)
+    mol_sh = sim.distribute(mol)
+    (F_sh, M_sh), u6, uX, rf, vir = sim._force_sharded(mol_sh)
+
+    mids_sh = np.asarray(mol_sh.mid)
+    valid_sh = np.asarray(mol_sh.valid)
+    Fs = np.asarray(F_sh)
+    by_id = {mids_sh[i]: Fs[i] for i in np.where(valid_sh)[0]}
+    mids = np.asarray(mol.mid)
+    scale = np.abs(F_ref).max()
+    for i in range(n):
+        np.testing.assert_allclose(
+            by_id[mids[i]] / scale, F_ref[i] / scale, atol=1e-11
+        )
+    np.testing.assert_allclose(float(uX), uX_ref, rtol=1e-10)

@@ -1,0 +1,93 @@
+"""Smooth particle-mesh Ewald validation.
+
+Same ground truths as test_ewald.py (the role of the reference's bhfmm
+FFT-accelerated far field, src/bhfmm/fft/): the mesh path must agree
+with the direct k-space Ewald path and with known lattice sums.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ls1_mardyn_tpu.ops.ewald import EwaldParams, EwaldSolver
+from ls1_mardyn_tpu.ops.pme import PMEParams, PMESolver
+
+from test_ewald import MADELUNG_NACL, _charge_scene, _nacl, _real_space_direct
+
+
+def test_madelung_constant_nacl_pme():
+    r, q, box = _nacl(cells=4, d=1.0)
+    rc = 1.9
+    mol, pp, table = _charge_scene(r, q, box, rc)
+    params = PMEParams(alpha=2.0, grid=(32, 32, 32), order=6)
+    solver = PMESolver(box, params, dtype=jnp.float64)
+    u_recip, F_recip, M_recip = solver(mol, pp)
+    u_real, F_real = _real_space_direct(mol, pp, box, params.alpha, rc)
+    u_total = float(u_recip) + u_real
+    n = len(r)
+    madelung = -2.0 * u_total / n
+    np.testing.assert_allclose(madelung, MADELUNG_NACL, rtol=1e-5)
+    Ftot = np.asarray(F_recip) + np.asarray(F_real)
+    np.testing.assert_allclose(Ftot, 0.0, atol=1e-6)
+
+
+def test_pme_matches_direct_ewald():
+    """Mesh k-space must agree with the direct [N,K]-matmul k-space on
+    a disordered charge system (energy and per-molecule forces)."""
+    rng = np.random.default_rng(11)
+    n = 48
+    box = np.array([6.0, 6.0, 6.0])
+    r = rng.uniform(0.0, 6.0, size=(n, 3))
+    q = np.where(np.arange(n) % 2 == 0, 1.0, -1.0)
+    rc = 2.9
+    alpha = 1.8
+    mol, pp, table = _charge_scene(r, q, box, rc)
+    direct = EwaldSolver(box, EwaldParams(alpha=alpha, kmax=16), jnp.float64)
+    mesh = PMESolver(
+        box, PMEParams(alpha=alpha, grid=(48, 48, 48), order=6), jnp.float64
+    )
+    u_d, F_d, M_d = direct(mol, pp)
+    u_m, F_m, M_m = mesh(mol, pp)
+    np.testing.assert_allclose(float(u_m), float(u_d), rtol=2e-5)
+    scale = np.abs(np.asarray(F_d)).max()
+    np.testing.assert_allclose(
+        np.asarray(F_m), np.asarray(F_d), atol=2e-4 * scale
+    )
+
+
+def test_pme_forces_match_energy_gradient():
+    """The interpolated forces are the exact gradient of the
+    discretized mesh energy."""
+    rng = np.random.default_rng(12)
+    n = 16
+    box = np.array([5.0, 5.0, 5.0])
+    r = rng.uniform(0.0, 5.0, size=(n, 3))
+    q = np.where(np.arange(n) % 2 == 0, 1.0, -1.0)
+    rc = 2.4
+    alpha = 2.0
+    mol, pp, table = _charge_scene(r, q, box, rc)
+    solver = PMESolver(
+        box, PMEParams(alpha=alpha, grid=(32, 32, 32), order=4), jnp.float64
+    )
+
+    def u_of(rpos):
+        m = dataclasses.replace(mol, r=rpos)
+        u, _, _ = solver(m, pp)
+        return float(u)
+
+    _, F, _ = solver(mol, pp)
+    F = np.asarray(F)
+    h = 1e-5
+    for (i, d) in ((0, 0), (3, 1), (7, 2)):
+        rp = mol.r.at[i, d].add(h)
+        rm = mol.r.at[i, d].add(-h)
+        fd = -(u_of(rp) - u_of(rm)) / (2 * h)
+        np.testing.assert_allclose(F[i, d], fd, rtol=5e-4, atol=1e-7)
+
+
+def test_pme_params_auto():
+    p = PMEParams.auto(np.array([10.0, 10.0, 10.0]), rc=3.0)
+    assert all(g >= 8 and (g & (g - 1)) == 0 for g in p.grid)
+    assert p.alpha > 0
