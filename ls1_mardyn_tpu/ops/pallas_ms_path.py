@@ -44,15 +44,20 @@ class PallasMultiSitePath:
                 t for t in (4, 2, 1) if nx % t == 0
             )
         assert nx % tx == 0, (nx, tx)
-        # compiled-mode vmem guard: the kernel's pair tiles are
-        # [tx*cap, (tx+2)*cap] with many live temporaries per site-pair
-        # term; cap > 128 exceeds the ~100MB scoped-vmem budget (seen
-        # on small grids with huge cutoffs, e.g. CO2 3x3x3 @ cap 256).
-        # The driver catches this and falls back to the general path.
-        assert interpret or spec.cap <= 128, (
-            f"multi-site Pallas kernel: cap={spec.cap} exceeds the vmem "
-            "budget (<=128); use the general traversal"
-        )
+        # vmem control: the kernel's pair tiles are [tx*cap, window]
+        # with many live temporaries per site-pair term.  cap <= 128
+        # runs the full (tx+2)*cap window in one pass; larger caps
+        # (small grids with huge cutoffs, e.g. CO2 3x3x3 @ cap 256)
+        # switch to the windowed kernel: 128-lane j chunks bound the
+        # live temporaries regardless of cap.
+        self.jw = 0
+        if spec.cap > 128:
+            win = (tx + 2 * HX) * spec.cap
+            self.jw = 128 if (not interpret or win % 128 == 0) else spec.cap
+            assert spec.cap <= 1024, (
+                f"multi-site Pallas kernel: cap={spec.cap} row blocks "
+                "exceed vmem; use the general traversal"
+            )
         self.tx = tx
         self.interpret = interpret
         self.screen_alpha = float(screen_alpha)
@@ -124,6 +129,7 @@ class PallasMultiSitePath:
             screen_alpha=self.screen_alpha,
             meta=self.meta,
             interpret=self.interpret,
+            jw=self.jw,
         )
         flat = jnp.moveaxis(out, 2, -1).reshape(-1, out.shape[2])  # [slots, NOUT]
         src = jnp.clip(bins.slot_of, 0, flat.shape[0] - 1)

@@ -121,6 +121,7 @@ def _ms_row_kernel(
     z_halo: bool,
     y_halo: bool,
     interpret: bool,
+    jw: int,
     out_dtype,
 ):
     row_refs = refs[:9]
@@ -129,6 +130,10 @@ def _ms_row_kernel(
     txc = tx * cap
     win = (tx + 2 * HX) * cap
     n_tiles = nx // tx
+    # j-window chunking: live pair temporaries are [txc, jwc] instead of
+    # [txc, win], which is what lifts the cap<=128 vmem bound
+    jwc = jw if jw else win
+    n_chunks = win // jwc
 
     pz = pl.program_id(0)
     py = pl.program_id(1)
@@ -143,9 +148,8 @@ def _ms_row_kernel(
     subP = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
     ohr = [(subP == c).astype(out_dtype) for c in range(P)]
 
-    il = jax.lax.broadcasted_iota(jnp.int32, (txc, win), 0)
-    jl = jax.lax.broadcasted_iota(jnp.int32, (txc, win), 1)
-    not_self = (jl != il + HX * cap).astype(out_dtype)
+    ilc = jax.lax.broadcasted_iota(jnp.int32, (txc, jwc), 0)
+    jlc = jax.lax.broadcasted_iota(jnp.int32, (txc, jwc), 1)
 
     lane_out = jax.lax.broadcasted_iota(jnp.int32, (1, txc), 1)
     sub_out = jax.lax.broadcasted_iota(jnp.int32, (NOUT, 1), 0)
@@ -176,32 +180,13 @@ def _ms_row_kernel(
         def icol3(base, s):
             return (col(base + 3 * s), col(base + 3 * s + 1), col(base + 3 * s + 2))
 
-        Fx = Fy = Fz = 0.0
-        Mx = My = Mz = 0.0
-        Vx = Vy = Vz = 0.0
-        u6_t = uX_t = rf_t = 0.0
-
-        for k, (dz, dy) in enumerate(_OFFS):
-            H = row_refs[k][0, 0, :, pl.ds(off, win)]  # [P, win]
-            zidx = pz + dz
-            yidx = py + dy
-            if y_halo:
-                sy = jnp.zeros((), out_dtype)
-            else:
-                sy = jnp.where(
-                    yidx < 0, -by, jnp.where(yidx >= ny, by, 0.0)
-                ).astype(out_dtype)
-            if z_halo:
-                # explicit halo rows from the slab exchange carry any
-                # global-z periodic shift already
-                sz = jnp.zeros((), out_dtype)
-            else:
-                sz = jnp.where(
-                    zidx < 0, -bz, jnp.where(zidx >= nz, bz, 0.0)
-                ).astype(out_dtype)
+        def chunk(k, is_center, jbase, sy, sz):
+            """One [txc, jwc] slab of the pair matrix against neighbor
+            row k; returns lane-reduced ([txc,1] x 9) + 3 scalars."""
+            H = row_refs[k][0, 0, :, pl.ds(off + jbase, jwc)]  # [P, jwc]
 
             def row(c):
-                return jnp.sum(H * ohr[c], axis=0, keepdims=True)  # [1, win]
+                return jnp.sum(H * ohr[c], axis=0, keepdims=True)  # [1, jwc]
 
             xj = row(0)
             yj = row(1) + sy
@@ -210,18 +195,26 @@ def _ms_row_kernel(
             cidj = row(4)
             ohj_rows = [
                 (jnp.abs(cidj - kk) < 0.5).astype(out_dtype) for kk in kvals
-            ]  # each [1, win]
+            ]  # each [1, jwc]
 
             def jcol3(base, s):
                 return (row(base + 3 * s), row(base + 3 * s + 1), row(base + 3 * s + 2))
 
-            drm = (xi - xj, yi - yj, zi - zj)  # [txc, win]
+            drm = (xi - xj, yi - yj, zi - zj)  # [txc, jwc]
             com2 = _dot(drm, drm)
             ok = (wi * wj > 0.5).astype(out_dtype)
-            if k == _CENTER:
-                ok = ok * not_self
+            if is_center:
+                # self pair: the j window starts HX*cap left of the i
+                # tile, so the self slot is at global window index
+                # il + HX*cap
+                ok = ok * (jbase + jlc != ilc + HX * cap).astype(out_dtype)
             mlj = jnp.where(com2 < cut2lj, ok, 0.0)
             mel = jnp.where(com2 < cut2, ok, 0.0)
+
+            Fx = Fy = Fz = 0.0
+            Mx = My = Mz = 0.0
+            Vx = Vy = Vz = 0.0
+            u6_t = uX_t = rf_t = 0.0
 
             def coupling(tbl, sa, sb):
                 # sum of python-scalar coefficients times component
@@ -431,14 +424,53 @@ def _ms_row_kernel(
                     rf_t = rf_t + jnp.sum(rf)
                     add_block(f, m1, u, dia)
 
-        # reduce over lanes and transpose to lane vectors
-        zero2 = jnp.zeros((txc, win), out_dtype)
+            # lane-reduce this chunk's contributions
+            zero2 = jnp.zeros((txc, jwc), out_dtype)
 
-        def red(a):
-            return jnp.sum(a + zero2, axis=1, keepdims=True)  # [txc,1]
+            def red(a):
+                return jnp.sum(a + zero2, axis=1, keepdims=True)  # [txc,1]
 
-        cols = [red(Fx), red(Fy), red(Fz), red(Mx), red(My), red(Mz),
-                red(Vx), red(Vy), red(Vz)]
+            return (
+                red(Fx), red(Fy), red(Fz), red(Mx), red(My), red(Mz),
+                red(Vx), red(Vy), red(Vz),
+                u6_t + jnp.zeros((), out_dtype),
+                uX_t + jnp.zeros((), out_dtype),
+                rf_t + jnp.zeros((), out_dtype),
+            )
+
+        zcol = jnp.zeros((txc, 1), out_dtype)
+        zs = jnp.zeros((), out_dtype)
+        acc = (zcol,) * 9 + (zs,) * 3
+        for k, (dz, dy) in enumerate(_OFFS):
+            zidx = pz + dz
+            yidx = py + dy
+            if y_halo:
+                sy = jnp.zeros((), out_dtype)
+            else:
+                sy = jnp.where(
+                    yidx < 0, -by, jnp.where(yidx >= ny, by, 0.0)
+                ).astype(out_dtype)
+            if z_halo:
+                # explicit halo rows from the slab exchange carry any
+                # global-z periodic shift already
+                sz = jnp.zeros((), out_dtype)
+            else:
+                sz = jnp.where(
+                    zidx < 0, -bz, jnp.where(zidx >= nz, bz, 0.0)
+                ).astype(out_dtype)
+            if n_chunks == 1:
+                vals = chunk(k, k == _CENTER, 0, sy, sz)
+                acc = tuple(a + v for a, v in zip(acc, vals))
+            else:
+                def body(c, carry, _k=k, _sy=sy, _sz=sz):
+                    jb = pl.multiple_of(c * jwc, jwc)
+                    vals = chunk(_k, _k == _CENTER, jb, _sy, _sz)
+                    return tuple(a + v for a, v in zip(carry, vals))
+
+                acc = jax.lax.fori_loop(0, n_chunks, body, acc)
+
+        cols = acc[:9]
+        u6_t, uX_t, rf_t = acc[9], acc[10], acc[11]
 
         def to_lane(v):
             return jax.lax.dot_general(
@@ -447,9 +479,9 @@ def _ms_row_kernel(
             )
 
         scal = (
-            0.5 * (u6_t + 0.0 * jnp.zeros((), out_dtype)) * lane_oh[0]
-            + 0.5 * (uX_t + 0.0) * lane_oh[1]
-            + 0.5 * (rf_t + 0.0) * lane_oh[2]
+            0.5 * u6_t * lane_oh[0]
+            + 0.5 * uX_t * lane_oh[1]
+            + 0.5 * rf_t * lane_oh[2]
         )
         out = scal * ohr_out[9]
         for c, v in enumerate(cols):
@@ -464,7 +496,7 @@ def _ms_row_kernel(
     jax.jit,
     static_argnames=(
         "nx", "ny", "nz", "cap", "tx", "box", "rc2", "rc2_lj",
-        "screen_alpha", "interpret", "z_halo", "y_halo", "meta",
+        "screen_alpha", "interpret", "z_halo", "y_halo", "meta", "jw",
     ),
 )
 def multisite_cell_forces_pallas(
@@ -484,13 +516,23 @@ def multisite_cell_forces_pallas(
     interpret: bool = False,
     z_halo: bool = False,
     y_halo: bool = False,
+    jw: int = 0,
 ):
+    """jw > 0 chunks the j window into jw-lane slabs (an in-kernel
+    fori_loop), bounding live pair temporaries at [tx*cap, jw] -- this
+    is what admits cap > 128 without blowing the scoped-vmem budget.
+    jw must divide (tx+2*HX)*cap and (compiled) be a multiple of 128.
+    jw == 0 keeps the single full-window pass."""
     P = r_i.shape[2]
     Wj = (nx + 2 * HX) * cap
     assert r_i.shape == (nz, ny, P, nx * cap), r_i.shape
     assert r_j.shape == (
         (nz + 2 if z_halo else nz), (ny + 2 if y_halo else ny), P, Wj
     ), r_j.shape
+    if jw:
+        win = (tx + 2 * HX) * cap
+        assert win % jw == 0, (win, jw)
+        assert interpret or jw % 128 == 0, jw
     out_dtype = r_i.dtype
 
     i_spec = pl.BlockSpec(
@@ -533,6 +575,7 @@ def multisite_cell_forces_pallas(
         z_halo=z_halo,
         y_halo=y_halo,
         interpret=interpret,
+        jw=jw,
         out_dtype=out_dtype,
     )
     out = pl.pallas_call(
