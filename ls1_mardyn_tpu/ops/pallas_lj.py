@@ -53,6 +53,28 @@ _CENTER = 4
 HX = 1  # x-halo cells per side in the j view
 NPLANE = 4
 
+# Sentinel scale for invalid slots (y_local = SENTINEL_SCALE*(1+slot)).
+# Two invalid slots with the SAME slot index in neighboring (y,z) rows
+# carry identical sentinels; their separation is exactly one cell edge
+# applied as `sentinel - cell_edge` in f32.  The scale must be small
+# enough that this subtraction survives rounding: at 1e6 the ulp of
+# slot*scale reaches/exceeds the cell edge, the shifted sentinel rounds
+# back onto its neighbor-row twin, dr2 collapses to ~0, and the kernel
+# emits garbage pairs or NaNs.  At 1e3, ulp(1e3*(1+cap)) <= 0.0625 for
+# cap <= 1024 -- negligible against the sentinel_eligible() margin.
+SENTINEL_SCALE = 1e3
+
+
+def sentinel_eligible(cell_len, rc2: float, cap: int) -> bool:
+    """Sentinel mode is safe iff every same-slot neighbor-row sentinel
+    pair stays outside the cutoff after f32 rounding of the cell-edge
+    shift (requires cell edge >= rc plus the rounding margin)."""
+    import numpy as np
+
+    edge = float(min(cell_len))
+    ulp = float(np.spacing(np.float32(SENTINEL_SCALE * (1 + cap))))
+    return (edge - 2.0 * ulp) ** 2 >= rc2
+
 
 def _lj_row_kernel(
     i_ref,
@@ -356,7 +378,7 @@ def lj_cell_forces_pallas(
     broadcasts ride the idle MXU via selector matmuls.
 
     sentinel=True (jt only, local_coords only, requires min cell edge
-    >= rc): invalid slots carry y_local = 1e6*(1 + slot_in_cell)
+    >= rc): invalid slots carry y_local = SENTINEL_SCALE*(1 + slot)
     instead of 0, which the rc2 test masks out against every other
     slot, so the validity plane is never read (saves one MXU broadcast
     and the w-mask ops per neighbor row).
@@ -437,6 +459,242 @@ def lj_cell_forces_pallas(
         ),
         interpret=interpret,
     )(r_i, *([r_j] * 9))
+    scal = out[:, :, 3, :].reshape(nz, ny, nx // tx, tx * cap)
+    u6 = jnp.sum(scal[..., 0])
+    vir = jnp.sum(scal[..., 1])
+    return out, u6, vir
+
+
+def _lj_zb_kernel(
+    i_ref,
+    jm_ref,
+    j0_ref,
+    jp_ref,
+    f_ref,
+    *,
+    nx: int,
+    cap: int,
+    tx: int,
+    ny: int,
+    nz: int,
+    box: Tuple[float, float, float],
+    eps24: float,
+    sig2: float,
+    shift6: float,
+    rc2: float,
+    compute_macro: bool,
+    hx: int,
+    sentinel: bool,
+    fast_recip: bool,
+    pj: int,
+    out_dtype,
+):
+    """z-banded jt kernel: one program per z plane; the three j z-planes
+    (below/own/above) live in VMEM whole, so each j row is fetched from
+    HBM once per neighboring plane (3x total) instead of once per
+    neighboring (z,y) row (9x).  The j view carries `pj` planes (pad to
+    a full 8-sublane tile so every dynamic y-row slice is tile-aligned;
+    pj=4 packs two y rows per sublane tile and odd rows pay a shift).
+    Layout, masks and physics otherwise match the jt branch of
+    _lj_row_kernel (cell-local coordinates; periodicity is pure index
+    arithmetic)."""
+    _bx, by, bz = box
+    txc = tx * cap
+    win = (tx + 2 * hx) * cap
+    n_tiles = nx // tx
+
+    e24 = jnp.asarray(eps24, out_dtype)
+    s2 = jnp.asarray(sig2, out_dtype)
+    sh6 = jnp.asarray(shift6, out_dtype)
+    cut2 = jnp.asarray(rc2, out_dtype)
+
+    sub4 = jax.lax.broadcasted_iota(jnp.int32, (NPLANE, 1), 0)
+    ohr = [(sub4 == c).astype(out_dtype) for c in range(NPLANE)]
+
+    clx = _bx / nx
+    cly = by / ny
+    clz = bz / nz
+    subPc = jax.lax.broadcasted_iota(jnp.int32, (pj, txc), 0)
+    Bsel = [(subPc == c).astype(out_dtype) for c in range(NPLANE)]
+    wlT = jax.lax.broadcasted_iota(jnp.int32, (win, txc), 0)
+    ilT = jax.lax.broadcasted_iota(jnp.int32, (win, txc), 1)
+    not_selfT = wlT != ilT + hx * cap
+    xoffT = ((ilT // cap) - (wlT // cap) + hx).astype(out_dtype) * clx
+
+    lane_txc = jax.lax.broadcasted_iota(jnp.int32, (1, txc), 1)
+    lane0 = (lane_txc == 0).astype(out_dtype)
+    lane1 = (lane_txc == 1).astype(out_dtype)
+
+    def yrow(y, _):
+        def tile(t, __):
+            off = pl.multiple_of(t * txc, txc)
+            ti = i_ref[0, y, :, pl.ds(off, txc)]  # [4, txc]
+            u6_t = jnp.zeros((), out_dtype)
+            vir_t = jnp.zeros((), out_dtype)
+
+            xi = jnp.sum(ti * ohr[0], axis=0, keepdims=True)
+            yi = jnp.sum(ti * ohr[1], axis=0, keepdims=True)
+            zi = jnp.sum(ti * ohr[2], axis=0, keepdims=True)
+            if not sentinel:
+                wi = jnp.sum(ti * ohr[3], axis=0, keepdims=True)
+            fx = jnp.zeros((1, txc), out_dtype)
+            fy = jnp.zeros((1, txc), out_dtype)
+            fz = jnp.zeros((1, txc), out_dtype)
+            for dzi, jref in ((-1, jm_ref), (0, j0_ref), (1, jp_ref)):
+                for dy in (-1, 0, 1):
+                    # periodic y wrap is pure index arithmetic: values
+                    # are cell-local, so no +-L shift is ever needed
+                    yj_row = jax.lax.rem(y + dy + ny, ny)
+                    H = jref[0, yj_row, :, pl.ds(off, win)]  # [pj, win]
+
+                    def jplane(c):
+                        return jax.lax.dot_general(
+                            H, Bsel[c], (((0,), (0,)), ((), ())),
+                            preferred_element_type=out_dtype,
+                        )  # [win, txc]
+
+                    Xj = jplane(0)
+                    Yj = jplane(1)
+                    Zj = jplane(2)
+                    Wj = None if sentinel else jplane(3)
+                    yis = yi - jnp.asarray(dy * cly, out_dtype)
+                    zis = zi - jnp.asarray(dzi * clz, out_dtype)
+                    dx = xi - Xj + xoffT
+                    dyv = yis - Yj
+                    dzv = zis - Zj
+                    dr2 = dx * dx + dyv * dyv + dzv * dzv
+                    mask = dr2 < cut2
+                    if not sentinel:
+                        mask = mask & (Wj * wi > 0.5)
+                    if dzi == 0 and dy == 0:
+                        mask = mask & not_selfT
+                    if fast_recip:
+                        den = jnp.where(
+                            mask, dr2, jnp.asarray(1e30, out_dtype)
+                        )
+                        r0 = pl.reciprocal(den, approx=True)
+                        invdr2 = r0 * (2.0 - den * r0)
+                        mf = mask.astype(out_dtype) if compute_macro else None
+                    else:
+                        mf = mask.astype(out_dtype)
+                        invdr2 = mf / jnp.where(mask, dr2, 1.0)
+                    lj6 = s2 * invdr2
+                    lj6 = lj6 * lj6 * lj6
+                    lj12 = lj6 * lj6
+                    lj12m6 = lj12 - lj6
+                    fac = e24 * (lj12 + lj12m6) * invdr2
+                    if compute_macro:
+                        u6_t = u6_t + jnp.sum(e24 * lj12m6 + sh6 * mf)
+                        vir_t = vir_t + jnp.sum(fac * dr2)
+                    fx = fx + jnp.sum(fac * dx, axis=0, keepdims=True)
+                    fy = fy + jnp.sum(fac * dyv, axis=0, keepdims=True)
+                    fz = fz + jnp.sum(fac * dzv, axis=0, keepdims=True)
+            scal = (0.5 * u6_t) * lane0 + (0.5 * vir_t) * lane1
+            out4 = ohr[0] * fx + ohr[1] * fy + ohr[2] * fz + ohr[3] * scal
+            f_ref[0, y, :, pl.ds(off, txc)] = out4
+            return __
+
+        jax.lax.fori_loop(0, n_tiles, tile, 0)
+        return _
+
+    jax.lax.fori_loop(0, ny, yrow, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nx", "ny", "nz", "cap", "tx", "box", "eps24", "sig2", "shift6",
+        "rc2", "interpret", "compute_macro", "hx", "sentinel", "fast_recip",
+    ),
+)
+def lj_cell_forces_pallas_zb(
+    r_i: jnp.ndarray,  # [nz, ny, 4, nx*cap]
+    r_j: jnp.ndarray,  # [nz, ny, 4, (nx+2*hx)*cap]: x halo only
+    *,
+    nx: int,
+    ny: int,
+    nz: int,
+    cap: int,
+    tx: int,
+    box: Tuple[float, float, float],
+    eps24: float,
+    sig2: float,
+    shift6: float,
+    rc2: float,
+    interpret: bool = False,
+    compute_macro: bool = True,
+    hx: int = HX,
+    sentinel: bool = False,
+    fast_recip: bool = False,
+):
+    """z-banded variant of lj_cell_forces_pallas (jt + local-coords
+    modes only): grid over z planes, the 3 neighbor z-planes held whole
+    in VMEM.  Cuts j HBM traffic from 9x the array to 3x -- the row
+    kernel is DMA-bound at the ~27 GB/s throttled bandwidth, so the
+    fetch reduction is the dominant lever.  Periodicity costs nothing:
+    values are cell-local (no +-L shift), so the z wrap rides the
+    BlockSpec index-map mod and the y wrap is a scalar index mod in the
+    kernel -- no halo planes are ever materialized.
+
+    r_j may carry MORE than 4 planes (e.g. the RMM state's full 8):
+    extra planes are ignored, and a multiple-of-8 plane count makes
+    every dynamic y-row slice sublane-tile aligned (pj=4 packs two y
+    rows per tile; odd rows then pay a per-load shift)."""
+    Wj = (nx + 2 * hx) * cap
+    pj = r_j.shape[2]
+    assert r_i.shape == (nz, ny, NPLANE, nx * cap), r_i.shape
+    assert r_j.shape == (nz, ny, pj, Wj) and pj >= NPLANE, r_j.shape
+    assert nx % tx == 0
+    if not interpret:
+        assert (tx * cap) % 128 == 0
+    i_spec = pl.BlockSpec(
+        (1, ny, NPLANE, nx * cap), lambda z: (z, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    j_specs = [
+        pl.BlockSpec(
+            (1, ny, pj, Wj),
+            functools.partial(
+                lambda z, dz: ((z + dz) % nz, 0, 0, 0), dz=dz
+            ),
+            memory_space=pltpu.VMEM,
+        )
+        for dz in (-1, 0, 1)
+    ]
+    out_spec = pl.BlockSpec(
+        (1, ny, NPLANE, nx * cap), lambda z: (z, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kernel = functools.partial(
+        _lj_zb_kernel,
+        nx=nx,
+        cap=cap,
+        tx=tx,
+        ny=ny,
+        nz=nz,
+        box=box,
+        eps24=eps24,
+        sig2=sig2,
+        shift6=shift6,
+        rc2=rc2,
+        compute_macro=compute_macro,
+        hx=hx,
+        sentinel=sentinel,
+        fast_recip=fast_recip,
+        pj=pj,
+        out_dtype=r_i.dtype,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(nz,),
+        in_specs=[i_spec] + j_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((nz, ny, NPLANE, nx * cap), r_i.dtype),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(r_i, r_j, r_j, r_j)
     scal = out[:, :, 3, :].reshape(nz, ny, nx // tx, tx * cap)
     u6 = jnp.sum(scal[..., 0])
     vir = jnp.sum(scal[..., 1])

@@ -18,7 +18,7 @@ import numpy as np
 
 from ls1_mardyn_tpu.models.interaction import PairParams
 from ls1_mardyn_tpu.ops.cells import CellGridSpec, bin_particles
-from ls1_mardyn_tpu.ops.pallas_lj import lj_cell_forces_pallas
+from ls1_mardyn_tpu.ops.pallas_lj import SENTINEL_SCALE, lj_cell_forces_pallas
 from ls1_mardyn_tpu.state import Forces, Macroscopic, MoleculeState
 
 
@@ -51,7 +51,9 @@ class PallasLJPath:
         # tax, no MXU transposes) -- see pallas_lj
         self.jt = True
         self.hx = 1
-        self.sentinel = bool(min(spec.cell_len) ** 2 >= self.rc2)
+        from ls1_mardyn_tpu.ops.pallas_lj import sentinel_eligible
+
+        self.sentinel = sentinel_eligible(spec.cell_len, self.rc2, spec.cap)
         self.fast_recip = not interpret
 
     def __call__(self, mol: MoleculeState) -> Tuple[Forces, Macroscopic, jnp.ndarray]:
@@ -92,7 +94,7 @@ class PallasLJPath:
             fill = jnp.stack(
                 [
                     jnp.zeros((nz, ny, nx * cap), dtype),
-                    1e6 * (1.0 + slot),
+                    SENTINEL_SCALE * (1.0 + slot),
                     jnp.zeros((nz, ny, nx * cap), dtype),
                     jnp.zeros((nz, ny, nx * cap), dtype),
                 ],

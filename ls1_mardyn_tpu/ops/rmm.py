@@ -38,7 +38,12 @@ import numpy as np
 from ls1_mardyn_tpu.models.interaction import PairParams
 from ls1_mardyn_tpu.ops.cells import CellGridSpec, bin_particles, wrap_positions
 from ls1_mardyn_tpu.ops.globals import GlobalValues, calculate_global_values
-from ls1_mardyn_tpu.ops.pallas_lj import HX, lj_cell_forces_pallas
+from ls1_mardyn_tpu.ops.pallas_lj import (
+    HX,
+    SENTINEL_SCALE,
+    lj_cell_forces_pallas,
+    sentinel_eligible,
+)
 from ls1_mardyn_tpu.state import MoleculeState
 
 NP_RMM = 8  # planes: x, y, z, valid, vx, vy, vz, mid
@@ -99,9 +104,18 @@ class RMMSimulation:
         # tax, no MXU transposes) -- see pallas_lj
         self.jt = True
         self.hx = HX
-        # sentinel invalid slots (y_local = 1e6*(1+slot)): the kernel
-        # never reads the validity plane; needs cell edge >= rc
-        self.sentinel = bool(min(spec.cell_len) ** 2 >= self.rc2)
+        # sentinel invalid slots (y_local = SENTINEL_SCALE*(1+slot)):
+        # the kernel never reads the validity plane; needs cell edge
+        # >= rc plus the f32 rounding margin (see sentinel_eligible)
+        self.sentinel = sentinel_eligible(spec.cell_len, self.rc2, spec.cap)
+        # z-banded kernel (lj_cell_forces_pallas_zb): 3 whole z-planes
+        # per program in VMEM -> j rows fetched from HBM 3x instead of
+        # 9x.  Measured SLOWER than the row kernel on this chip (33.1M
+        # vs 39.3M updates/s at N=4.2M) despite the traffic cut -- the
+        # per-row dynamic y indexing costs more than the DMA it saves
+        # (tried 4-plane and sublane-aligned 8-plane j views).  Kept as
+        # an option for parts where HBM dominates.
+        self.zb = False
         # approx-reciprocal + Newton instead of IEEE divide (f32 TPU)
         self.fast_recip = not interpret
         self._step_jit = jax.jit(functools.partial(self._step, compute_macro=True))
@@ -131,6 +145,38 @@ class RMMSimulation:
         if hx > 1:
             parts = [pad, left, r_i, right, pad]
         r_j = jnp.concatenate(parts, axis=3)
+        if self.zb:
+            from ls1_mardyn_tpu.ops.pallas_lj import lj_cell_forces_pallas_zb
+
+            # full 8-plane j view (x,y,z,w,vx,vy,vz,_): the extra
+            # planes are ignored by the kernel but make every dynamic
+            # y-row slice sublane-tile aligned (8 = one sublane tile)
+            pad8 = jnp.zeros((nz, ny, planes.shape[2], (hx - 1) * cap), dtype)
+            left8 = planes[:, :, :, (nx - 1) * cap :]
+            right8 = planes[:, :, :, :cap]
+            parts8 = [left8, planes, right8]
+            if hx > 1:
+                parts8 = [pad8, left8, planes, right8, pad8]
+            r_j8 = jnp.concatenate(parts8, axis=3)
+            return lj_cell_forces_pallas_zb(
+                r_i,
+                r_j8,
+                nx=nx,
+                ny=ny,
+                nz=nz,
+                cap=cap,
+                tx=self.tx,
+                box=self.box,
+                eps24=self.eps24,
+                sig2=self.sig2,
+                shift6=self.shift6,
+                rc2=self.rc2,
+                interpret=self.interpret,
+                compute_macro=compute_macro,
+                hx=hx,
+                sentinel=self.sentinel,
+                fast_recip=self.fast_recip,
+            )
         return lj_cell_forces_pallas(
             r_i,
             r_j,
@@ -217,9 +263,10 @@ class RMMSimulation:
 
     def _empty_fill(self, ncols, dtype):
         """Fill row for empty slots: zeros, or the sentinel y_local =
-        1e6*(1 + slot_in_cell) that keeps every empty slot outside the
-        cutoff of everything (the kernel then never reads validity).
-        Generated from iotas -- XLA fuses it, nothing is materialized."""
+        SENTINEL_SCALE*(1 + slot_in_cell) that keeps every empty slot
+        outside the cutoff of everything (the kernel then never reads
+        validity).  Generated from iotas -- XLA fuses it, nothing is
+        materialized."""
         if not self.sentinel:
             return jnp.zeros((), dtype)
         nx, ny, nz = self.spec.dims
@@ -227,7 +274,9 @@ class RMMSimulation:
         tot = nz * ny * nx * cap
         slot = jax.lax.broadcasted_iota(jnp.int32, (tot, 1), 0) % cap
         ycol = jax.lax.broadcasted_iota(jnp.int32, (1, ncols), 1) == 1
-        return jnp.where(ycol, 1e6 * (1.0 + slot.astype(dtype)), 0.0)
+        return jnp.where(
+            ycol, SENTINEL_SCALE * (1.0 + slot.astype(dtype)), 0.0
+        )
 
     def _slot_cells(self):
         """Static per-slot cell coordinates [slots, 3] (z-major rows,

@@ -71,3 +71,76 @@ def test_pallas_lj_partial_occupancy():
     np.testing.assert_allclose(
         float(m_pal.upot6lj), float(m_ref.upot6lj), rtol=1e-12
     )
+
+
+def test_pallas_lj_sentinel_f32_large_cap():
+    """Regression: sentinel fill values must survive the f32 rounding
+    of the neighbor-row cell shift.  At scale 1e6 with cap=128 the
+    same-slot sentinel pairs rounded back onto each other (ulp ~ 16 at
+    1e8), dr2 collapsed to ~0, and the kernel emitted garbage pairs
+    (constant Upot offset) or NaNs.  f64 golden tests can't see this."""
+    from ls1_mardyn_tpu.models.oracle import compute_forces_n2_jit
+
+    n, rho, cutoff = 343, 0.55, 2.5
+    L = (n / rho) ** (1.0 / 3.0)
+    data = cubic_grid(n, [L, L, L], 1.1, seed=0)
+    mol, pp, table, box = build_scene(data, cutoff=cutoff, dtype=jnp.float32)
+    f_ref, m_ref = compute_forces_n2_jit(mol, pp, box)
+    spec = CellGridSpec.create(
+        tuple(map(float, np.asarray(box))), cutoff, cap=128
+    )
+    path = PallasLJPath(table, spec, interpret=True)
+    assert path.sentinel, "scene must exercise sentinel mode"
+    f_k, m_k, _ = jax.jit(path.__call__)(mol)
+    F = np.asarray(f_k.F)
+    assert np.isfinite(F).all()
+    scale = np.abs(np.asarray(f_ref.F)).max()
+    np.testing.assert_allclose(
+        F / scale, np.asarray(f_ref.F) / scale, atol=2e-6
+    )
+    np.testing.assert_allclose(float(m_k.upot), float(m_ref.upot), rtol=1e-5)
+
+
+@pytest.mark.parametrize("sentinel", [False, True])
+def test_pallas_lj_zb_matches_row_kernel(sentinel):
+    """The z-banded kernel (3 whole z-planes per program, index-map
+    mod periodicity) must reproduce the row kernel bit-for-bit on the
+    same packed planes."""
+    from ls1_mardyn_tpu.ops.pallas_lj import (
+        SENTINEL_SCALE,
+        lj_cell_forces_pallas,
+        lj_cell_forces_pallas_zb,
+    )
+
+    nd, cap, tx = 4, 32, 4
+    nx = ny = nz = nd
+    cl = 2.8
+    box = (nd * cl, nd * cl, nd * cl)
+    rng = np.random.default_rng(5)
+    W = nx * cap
+    r = rng.uniform(0, cl, size=(nz, ny, 3, W)).astype(np.float64)
+    slot = np.arange(W) % cap
+    invalid = slot >= 20
+    if sentinel:
+        ysent = SENTINEL_SCALE * (1.0 + slot.astype(np.float64))
+        r[:, :, 1, :] = np.where(invalid[None, None], ysent, r[:, :, 1, :])
+        r[:, :, 0, :] = np.where(invalid[None, None], 0.0, r[:, :, 0, :])
+        r[:, :, 2, :] = np.where(invalid[None, None], 0.0, r[:, :, 2, :])
+    w = np.where(invalid, 0.0, 1.0)
+    r_i = jnp.asarray(
+        np.concatenate([r, np.broadcast_to(w, (nz, ny, W))[:, :, None, :]], axis=2)
+    )
+    left = r_i[:, :, :, (nx - 1) * cap:]
+    right = r_i[:, :, :, :cap]
+    r_j = jnp.concatenate([left, r_i, right], axis=3)
+    kw = dict(nx=nx, ny=ny, nz=nz, cap=cap, tx=tx, box=box,
+              eps24=24.0, sig2=1.0, shift6=0.1, rc2=2.5 ** 2,
+              interpret=True, compute_macro=True, hx=1,
+              sentinel=sentinel, fast_recip=False)
+    out_a, u6_a, vir_a = lj_cell_forces_pallas(
+        r_i, r_j, local_coords=True, jt=True, **kw
+    )
+    out_b, u6_b, vir_b = lj_cell_forces_pallas_zb(r_i, r_j, **kw)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_a), atol=1e-12)
+    np.testing.assert_allclose(float(u6_b), float(u6_a), rtol=1e-12)
+    np.testing.assert_allclose(float(vir_b), float(vir_a), rtol=1e-12)
