@@ -42,9 +42,11 @@ class MDSimulation:
         dtype=jnp.float32,
         force_mode: str = "auto",  # auto | pallas | cells
         cell_cap: int = 0,
+        phase_space_data: Optional[PhaseSpaceData] = None,
     ):
         self.config = config
         self.dtype = dtype
+        self._force_mode = force_mode
         self.timers = TimerProfiler()
         for t in (
             "SIMULATION_LOOP",
@@ -55,7 +57,11 @@ class MDSimulation:
         ):
             self.timers.register(t)
 
-        data = self._load_phasespace(config)
+        data = (
+            phase_space_data
+            if phase_space_data is not None
+            else self._load_phasespace(config)
+        )
         self.phase_space = data
         self.table = ComponentTable(
             data.components,
@@ -406,13 +412,12 @@ class MDSimulation:
     def forces_array(self):
         return self.engine.forces.F if self.engine.forces else None
 
-    def write_checkpoint(self, path: str, binary: bool = False):
-        """Checkpoint compatible with the reference's formats: ASCII
-        .inp, or the binary record format + XML header when binary=True
-        (writes <path> and <path>.header.xml)."""
+    def _export_phasespace(self) -> PhaseSpaceData:
+        """Current device state -> PhaseSpaceData (the in-memory
+        snapshot used by checkpoints and the adaptive re-spec)."""
         mol = self.engine.mol
         valid = np.asarray(mol.valid)
-        data = PhaseSpaceData(
+        return PhaseSpaceData(
             components=self.table.components,
             mixing_xi=self.table.mixing_xi,
             mixing_eta=self.table.mixing_eta,
@@ -427,6 +432,45 @@ class MDSimulation:
             q=np.asarray(mol.q)[valid],
             L=np.asarray(mol.L)[valid],
         )
+
+    def _respec_cell_cap(self, new_cap: int):
+        """Adaptive container re-specification: rebuild the cell grid
+        and jitted engine with a larger capacity, carrying the current
+        molecule state over, and resume (forces are recomputed exactly
+        at the current positions, so the trajectory is unchanged).
+
+        This is the TPU-native replacement for the reference's dynamic
+        load-balancing machinery (KDDecomposition / ALL, SURVEY.md
+        section 2.5): in a dense static-shape design, per-device
+        compute is uniform in cell count, so there is nothing to
+        re-partition -- the quantity that drifts with density is CELL
+        OCCUPANCY, and rebalancing means re-sharding the grid between
+        jitted segments (the MeasureLoad 'measured imbalance ->
+        redistribute' loop, src/parallel/LoadCalc.h:227)."""
+        import dataclasses as _dc
+
+        global_log.warning(
+            "cell capacity exceeded at step %d: re-spec cell_cap -> %d "
+            "and resume",
+            self.step, new_cap,
+        )
+        data = self._export_phasespace()
+        cfg = _dc.replace(self.config, output_plugins=[], plugins=[])
+        rebuilt = MDSimulation(
+            cfg, dtype=self.dtype, force_mode=self._force_mode,
+            cell_cap=new_cap, phase_space_data=data,
+        )
+        # transplant the rebuilt engine; clock, plugins, ensembles and
+        # counters live on self and continue
+        self.engine = rebuilt.engine
+        self.engine._step_count = self.step
+        self.engine.prepare_start()
+
+    def write_checkpoint(self, path: str, binary: bool = False):
+        """Checkpoint compatible with the reference's formats: ASCII
+        .inp, or the binary record format + XML header when binary=True
+        (writes <path> and <path>.header.xml)."""
+        data = self._export_phasespace()
         with self.timers["SIMULATION_IO"]:
             if binary:
                 from ls1_mardyn_tpu.io.binary_io import write_binary_checkpoint
@@ -434,7 +478,7 @@ class MDSimulation:
                 write_binary_checkpoint(path, path + ".header.xml", data)
             else:
                 write_inp(path, data)
-        global_log.info("wrote checkpoint %s (N=%d)", path, int(valid.sum()))
+        global_log.info("wrote checkpoint %s (N=%d)", path, len(data.mid))
 
     # -- main loop (Simulation::simulate, Simulation.cpp:920-1202) ----------
     def run(
@@ -479,9 +523,16 @@ class MDSimulation:
                     float(gv.pressure),
                 )
                 if bool(overflow):
-                    raise RuntimeError(
-                        "cell capacity exceeded; increase cell_cap"
-                    )
+                    # adaptive re-spec instead of aborting (the dynamic
+                    # load-balancing slot; see _respec_cell_cap)
+                    cap = self.engine.config.cell_cap
+                    if cap >= 2048:
+                        raise RuntimeError(
+                            "cell capacity exceeded at cap=%d; giving up"
+                            % cap
+                        )
+                    self._respec_cell_cap(2 * cap)
+                    eng = self.engine
                 # NaN watchdog: abort instead of simulating garbage
                 # (Simulation.cpp:1236-1239)
                 if not (

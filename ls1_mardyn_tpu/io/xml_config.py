@@ -173,7 +173,10 @@ def _read_component(el: ET.Element, lj_cutoff: float) -> Component:
             if th is not None and ph is not None:
                 c.quadrupoles[-1].e = _polar(th, ph)
         elif stype == "Stockmayer":
-            raise NotImplementedError("Stockmayer site type")
+            # Stockmayer fluid marker site (Component.cpp:64-74): no
+            # interaction of its own; pins I=[1,1,0], rot_dof=2 so the
+            # co-located LJ+dipole molecule rotates
+            c.is_stockmayer = True
     I = el.find("momentsofinertia")
     if I is not None:
         ov = np.array(

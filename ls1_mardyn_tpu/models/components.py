@@ -100,6 +100,11 @@ class Component:
     # Principal moments of inertia; overridable from input files
     # (ASCIIReader.cpp:196-201: only positive values override).
     I_override: Optional[np.ndarray] = None
+    # Stockmayer fluid (LJ center + point dipole at the same position):
+    # site masses contribute no inertia, so the reference pins
+    # I = [1, 1, 0] and rot_dof = 2 to make the dipole rotate
+    # (Component.cpp:64-74,145).
+    is_stockmayer: bool = False
 
     def add_ljcenter(self, x, y, z, m, eps, sigma, rc=0.0, do_shift=False):
         self.ljcenters.append(LJCenter.make(x, y, z, m, eps, sigma, rc, do_shift))
@@ -123,6 +128,13 @@ class Component:
 
     def inertia(self) -> np.ndarray:
         """Principal moments (I11, I22, I33); Component.cpp:140-167."""
+        if self.is_stockmayer:
+            I = np.array([1.0, 1.0, 0.0])
+            if self.I_override is not None:
+                for d in range(3):
+                    if self.I_override[d] > 0:
+                        I[d] = self.I_override[d]
+            return I
         I = np.zeros(3)
         for s in list(self.ljcenters) + list(self.charges):
             x, y, z = s.r
