@@ -152,8 +152,19 @@ class MDSimulation:
         if config.electrostatic_solver == "Ewald" and self.table.has_electrostatics():
             from ls1_mardyn_tpu.ops.ewald import EwaldParams, EwaldSolver
 
-            eparams = EwaldParams.auto(
-                self.box, config.cutoff, accuracy=config.ewald_accuracy
+            # self-tune alpha/kmax from the system's charge content via
+            # the Kolafa-Perram RMS force-error estimates
+            q2_sum = sum(
+                int(ncomp[k]) * sum(s.q ** 2 for s in c.charges)
+                for k, c in enumerate(self.table.components)
+            )
+            n_q = sum(
+                int(ncomp[k]) * len(c.charges)
+                for k, c in enumerate(self.table.components)
+            )
+            eparams = EwaldParams.tune(
+                self.box, config.cutoff, q2_sum, n_q,
+                accuracy=config.ewald_accuracy,
             )
             method = getattr(config, "ewald_method", "auto")
             if method == "auto":
@@ -169,8 +180,9 @@ class MDSimulation:
             if method == "pme":
                 from ls1_mardyn_tpu.ops.pme import PMEParams, PMESolver
 
-                pparams = PMEParams.auto(
-                    self.box, config.cutoff, accuracy=config.ewald_accuracy
+                pparams = PMEParams.tune(
+                    self.box, config.cutoff, q2_sum, n_q,
+                    accuracy=config.ewald_accuracy,
                 )
                 self.ewald = PMESolver(self.box, pparams, dtype=dtype)
                 screen_alpha = pparams.alpha

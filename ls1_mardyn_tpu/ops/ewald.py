@@ -71,6 +71,49 @@ class EwaldParams:
         kmax = int(np.ceil(alpha * np.max(box) * np.sqrt(-np.log(accuracy)) / np.pi))
         return EwaldParams(alpha=float(alpha), kmax=max(kmax, 1))
 
+    @staticmethod
+    def tune(
+        box, rc: float, q2_sum: float, n: int, accuracy: float = 1e-5
+    ) -> "EwaldParams":
+        """Self-tuning against the Kolafa-Perram RMS force-error
+        estimates (Mol. Simul. 9, 351 (1992)) -- the quantitative
+        version of auto(): given the system's charge content
+        (q2_sum = sum q_i^2, n charge sites), pick alpha so the
+        real-space error at rc meets `accuracy` (in force units), then
+        grow kmax until the reciprocal estimate matches:
+          dF_real  ~ 2 q2/sqrt(n rc V) exp(-a^2 rc^2)
+          dF_recip ~ 2 q2 a/(pi sqrt(n kc V^(2/3)... )) exp(-(pi kc/(a L))^2)
+        """
+        box = np.asarray(box, float)
+        V = float(np.prod(box))
+        L = float(np.max(box))
+        q2 = max(float(q2_sum), 1e-300)
+        n = max(int(n), 1)
+
+        def err_real(a):
+            return 2.0 * q2 / np.sqrt(n * rc * V) * np.exp(-(a * rc) ** 2)
+
+        def err_recip(a, kc):
+            kappa = 2.0 * np.pi * kc / L  # cutoff in k-space
+            return (
+                2.0 * q2 * a / (np.pi * np.sqrt(n * kappa * V))
+                * np.exp(-((kappa / (2.0 * a)) ** 2))
+            )
+
+        # bisect alpha so the real-space error meets the target
+        lo, hi = 1e-3 / rc, 20.0 / rc
+        for _ in range(60):
+            mid = 0.5 * (lo + hi)
+            if err_real(mid) > accuracy:
+                lo = mid
+            else:
+                hi = mid
+        alpha = hi
+        kmax = 1
+        while err_recip(alpha, kmax) > accuracy and kmax < 64:
+            kmax += 1
+        return EwaldParams(alpha=float(alpha), kmax=int(kmax))
+
 
 def reciprocal_energy_forces(
     mol: MoleculeState,

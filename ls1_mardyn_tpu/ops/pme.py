@@ -114,6 +114,26 @@ class PMEParams:
                   for L in box)
         return PMEParams(alpha=alpha, grid=G, order=4)
 
+    @staticmethod
+    def tune(
+        box, rc: float, q2_sum: float, n: int,
+        accuracy: float = 1e-5, order: int = 6,
+    ) -> "PMEParams":
+        """Kolafa-Perram-tuned mesh parameters: alpha/k-cutoff from
+        EwaldParams.tune, mesh at 2x the k-space Nyquist rate so the
+        order-p B-spline interpolation error stays below the
+        truncation error."""
+        from ls1_mardyn_tpu.ops.ewald import EwaldParams
+
+        ep = EwaldParams.tune(box, rc, q2_sum, n, accuracy)
+        box = np.asarray(box, float)
+        L = float(np.max(box))
+        G = tuple(
+            int(2 ** np.ceil(np.log2(max(8, 4.0 * ep.kmax * b / L))))
+            for b in box
+        )
+        return PMEParams(alpha=ep.alpha, grid=G, order=order)
+
 
 def _grid_indices_weights(rs, wq, box, grid, p, dtype, with_derivs=False):
     """Flattened mesh indices [NS, p^3] + spreading weights [NS, p^3]

@@ -127,3 +127,43 @@ def test_ewald_forces_match_energy_gradient():
         rm = mol.r.at[i, d].add(-h)
         fd = -(float(total_u(rp)) - float(total_u(rm))) / (2 * h)
         np.testing.assert_allclose(F[i, d], fd, rtol=1e-5, atol=1e-8)
+
+
+def test_tuned_parameters_meet_accuracy():
+    """EwaldParams.tune (Kolafa-Perram estimates) must produce
+    parameters whose measured RMS force error against a
+    much-higher-resolution reference meets the requested accuracy."""
+    rng = np.random.default_rng(9)
+    n = 64
+    box = np.array([7.0, 7.0, 7.0])
+    r = rng.uniform(0.0, 7.0, size=(n, 3))
+    q = np.where(np.arange(n) % 2 == 0, 1.0, -1.0)
+    rc = 3.0
+    acc = 1e-4
+    mol, pp, table = _charge_scene(r, q, box, rc)
+
+    params = EwaldParams.tune(box, rc, q2_sum=float((q * q).sum()), n=n,
+                              accuracy=acc)
+    sol = EwaldSolver(box, params, dtype=jnp.float64)
+    _, F_k, _ = sol(mol, pp)
+    u_r, F_r = _real_space_direct(mol, pp, box, params.alpha, rc)
+    F = np.asarray(F_k) + np.asarray(F_r)
+
+    # reference: same alpha, much larger kmax + bigger real cutoff is
+    # not needed (alpha ties the split); just crank kmax
+    ref = EwaldSolver(box, EwaldParams(alpha=params.alpha,
+                                       kmax=params.kmax + 10), jnp.float64)
+    _, F_k2, _ = ref(mol, pp)
+    F_ref = np.asarray(F_k2) + np.asarray(F_r)
+    rms = np.sqrt(np.mean((F - F_ref) ** 2))
+    assert rms < 10 * acc, (rms, acc, params)
+    assert params.kmax >= 4
+
+
+def test_pme_tune_grid_scales_with_box():
+    from ls1_mardyn_tpu.ops.pme import PMEParams
+
+    p1 = PMEParams.tune(np.array([6.0, 6.0, 6.0]), 2.5, 32.0, 32)
+    p2 = PMEParams.tune(np.array([24.0, 24.0, 24.0]), 2.5, 2048.0, 2048)
+    assert p2.grid[0] > p1.grid[0]
+    assert p1.order == 6
