@@ -103,6 +103,7 @@ class MDSimulation:
         # container sizing: measure the actual max cell occupancy of the
         # initial state (mean-density heuristics underestimate clustered
         # scenes) and leave drift headroom
+        self._z_edges = None
         if not cell_cap:
             dims = np.maximum(
                 1, np.floor(self.box * config.cells_in_cutoff /
@@ -112,6 +113,54 @@ class MDSimulation:
             c3 = np.clip((data.r / cl).astype(int), 0, dims - 1)
             lin = (c3[:, 2] * dims[1] + c3[:, 1]) * dims[0] + c3[:, 0]
             max_occ = int(np.bincount(lin).max()) if n else 8
+            # inhomogeneous scenes (vapor-dominated: evaporation,
+            # droplets, two-phase slabs): non-uniform z rows (the ALL
+            # tensor-mesh analogue, ops/cells.adaptive_z_edges)
+            # collapse sparse regions into few wide rows -- fewer cells
+            # at unchanged capacity is a direct compute cut (the dense
+            # design's cost is cells x cap^2)
+            mean_occ = n / max(float(np.prod(dims)), 1.0) if n else 1.0
+            if n and dims[2] >= 4 and max_occ > 3.0 * max(mean_occ, 1.0):
+                from ls1_mardyn_tpu.ops.cells import adaptive_z_edges
+
+                min_h = max(config.cutoff, config.lj_cutoff)
+                edges = adaptive_z_edges(
+                    data.r, self.box, (dims[0], dims[1]), min_h,
+                    occ_limit=max_occ,
+                )
+                if edges and (len(edges) - 1) <= 0.75 * dims[2]:
+                    cz = np.clip(
+                        np.searchsorted(
+                            np.asarray(edges)[1:-1], data.r[:, 2],
+                            side="right",
+                        ),
+                        0, len(edges) - 2,
+                    )
+                    lin2 = (cz * dims[1] + c3[:, 1]) * dims[0] + c3[:, 0]
+                    occ2 = int(np.bincount(lin2).max())
+
+                    def _cap(occ):
+                        return max(
+                            32,
+                            int(2 ** math.ceil(
+                                math.log2(max(1.5 * occ, 8))
+                            )),
+                        )
+
+                    # adopt when the POWER-OF-2 CAPACITY doesn't grow
+                    # (forced min-height rows can beat the uniform max
+                    # occupancy by lattice-plane aliasing without
+                    # changing the capacity class)
+                    if _cap(occ2) <= _cap(max_occ):
+                        self._z_edges = edges
+                        global_log.info(
+                            "adaptive z rows: %d non-uniform rows "
+                            "replace %d uniform (max cell occupancy "
+                            "%d vs %d, cap %d)",
+                            len(edges) - 1, int(dims[2]), occ2, max_occ,
+                            _cap(occ2),
+                        )
+                        max_occ = max(max_occ, occ2)
             cell_cap = max(
                 32, int(2 ** math.ceil(math.log2(max(1.5 * max_occ, 8))))
             )
@@ -143,6 +192,7 @@ class MDSimulation:
             virial_corr=self.lrc.virial_corr,
             component_thermostat=comp_therm,
             thermostat_temps=therm_temps,
+            z_edges=tuple(self._z_edges) if self._z_edges else None,
         )
         import dataclasses as _dc
 
@@ -209,6 +259,13 @@ class MDSimulation:
                 tuple(self.box), config.lj_cutoff / config.cells_in_cutoff,
                 cap=cell_cap,
             )
+            if self._z_edges:
+                spec = _dc.replace(
+                    spec,
+                    dims=(spec.dims[0], spec.dims[1],
+                          len(self._z_edges) - 1),
+                    z_edges=tuple(self._z_edges),
+                )
             interpret = jax.default_backend() != "tpu"
             if not interpret:
                 # compiled kernels need tx*cap % 128 == 0 with tx | nx:
@@ -224,6 +281,9 @@ class MDSimulation:
                 self.table.K == 1
                 and len(self.table.components[0].ljcenters) == 1
                 and not self.table.has_electrostatics()
+                # cell-local 1CLJ path needs a uniform grid; non-uniform
+                # z rows run the absolute-coordinate multi-site kernel
+                and not self._z_edges
             )
             try:
                 if is_1clj:
@@ -566,6 +626,10 @@ class MDSimulation:
                 break
             if loop_abort_time and (_time.time() - t_start) > loop_abort_time:
                 global_log.warning("loop abort time reached at step %d", self.step)
+                break
+            if getattr(self, "run_abort", False):
+                # requested by a plugin (e.g. SteereoControl `stop`)
+                global_log.info("run aborted by plugin at step %d", self.step)
                 break
         loop_timer.stop()
         for p in self._plugins:

@@ -18,7 +18,7 @@ exchange lives in ls1_mardyn_tpu/parallel/.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,11 +32,26 @@ class CellGridSpec:
     Mirrors LinkedCells' cell geometry: cell edge >= cutoff /
     cellsInCutoffRadius (LinkedCells.h:101-131); we default to one cell
     per cutoff.
+
+    z_edges (optional, len nz+1, first 0 and last box[2]) makes the z
+    rows NON-uniform -- the TPU analogue of the ALL load balancer's
+    tensor/staggered mesh (/root/reference/src/parallel/
+    GeneralDomainDecomposition + ALLLoadBalancer).  Rows can never be
+    thinner than the cutoff (the +-1 neighbor-row reach must cover
+    them), so dense regions keep the uniform pitch; the win is in
+    SPARSE regions, where one wide row replaces many near-empty
+    cutoff-pitch rows -- the dense design's cost is cells x cap^2, so
+    fewer cells at unchanged cap is a direct compute cut
+    (vapor-dominated scenes: evaporation, droplets, two-phase slabs).
+    Paths using absolute coordinates (general traversal, multi-site
+    Pallas kernel) work unchanged; the cell-local 1CLJ paths require a
+    uniform grid.
     """
 
     dims: Tuple[int, int, int]  # cells per axis
     box: Tuple[float, float, float]
     cap: int  # max molecules per cell
+    z_edges: Optional[Tuple[float, ...]] = None
 
     @property
     def n_cells(self) -> int:
@@ -44,7 +59,13 @@ class CellGridSpec:
 
     @property
     def cell_len(self) -> Tuple[float, float, float]:
-        return tuple(b / d for b, d in zip(self.box, self.dims))
+        """Cell edge per axis; for non-uniform z this is the MINIMUM
+        row height (the quantity cutoff-eligibility checks need)."""
+        uni = tuple(b / d for b, d in zip(self.box, self.dims))
+        if self.z_edges is None:
+            return uni
+        e = np.asarray(self.z_edges)
+        return (uni[0], uni[1], float(np.min(np.diff(e))))
 
     @staticmethod
     def create(box, cutoff: float, cap: int, cells_in_cutoff: int = 1) -> "CellGridSpec":
@@ -52,6 +73,62 @@ class CellGridSpec:
             max(1, int(np.floor(b * cells_in_cutoff / cutoff))) for b in box
         )
         return CellGridSpec(dims=dims, box=tuple(float(b) for b in box), cap=cap)
+
+
+def adaptive_z_edges(r, box, dims_xy, min_h: float, occ_limit: int):
+    """Density-adaptive z rows (the ALL 'tensor mesh' one-axis
+    balancing): greedily widen each row until some (x, y) CELL inside
+    it would exceed `occ_limit` molecules (so dense regions keep
+    ~min_h pitch, like the uniform grid, and the capacity never grows),
+    never thinner than min_h.  Sparse regions collapse into few wide
+    rows, shrinking the total cell count at unchanged capacity.
+
+    r [N,3] positions; box (3,); dims_xy = (nx, ny) of the uniform
+    grid's xy cells.  Returns a tuple of nz+1 edges (0 ... bz), or None
+    when fewer than two rows fit."""
+    r = np.asarray(r, float)
+    box = np.asarray(box, float)
+    bz = float(box[2])
+    if bz < 2 * min_h or len(r) == 0:
+        return None
+    nx, ny = int(dims_xy[0]), int(dims_xy[1])
+    cxy = np.clip(
+        (r[:, :2] / (box[:2] / [nx, ny])).astype(int), 0, [nx - 1, ny - 1]
+    )
+    colid = cxy[:, 1] * nx + cxy[:, 0]
+    # per-column sorted z lists (padded 2-D table + pointers)
+    order = np.lexsort((r[:, 2], colid))
+    col_s = colid[order]
+    z_s = r[order, 2]
+    ncol = nx * ny
+    starts = np.searchsorted(col_s, np.arange(ncol + 1))
+    counts = np.diff(starts)
+    limit = max(int(occ_limit), 1)
+
+    edges = [0.0]
+    ptr = starts[:-1].copy()  # per-column index of first z above the edge
+    while bz - edges[-1] >= 2 * min_h:
+        # for each column, the z of its (limit+1)-th molecule above the
+        # current edge: the cut must stay below the smallest of these
+        idx = ptr + limit
+        has = idx < starts[1:]  # column still has > limit molecules left
+        if not has.any():
+            break  # every column fits one wide final row
+        nxt = np.min(z_s[idx[has]])
+        cut = max(edges[-1] + min_h, float(nxt) - 1e-9)
+        cut = min(cut, bz - min_h)
+        if cut <= edges[-1] + 1e-12:
+            break
+        edges.append(float(cut))
+        # advance pointers past the cut
+        for c in np.nonzero(counts)[0]:
+            ptr[c] = starts[c] + np.searchsorted(
+                z_s[starts[c]:starts[c + 1]], cut
+            )
+    edges.append(float(bz))
+    if len(edges) < 3:
+        return None
+    return tuple(edges)
 
 
 @jax.tree_util.register_dataclass
@@ -84,8 +161,17 @@ def bin_particles(r: jnp.ndarray, valid: jnp.ndarray, spec: CellGridSpec) -> Cel
     """
     n = r.shape[0]
     dims = jnp.asarray(spec.dims, jnp.int32)
-    cell_len = jnp.asarray(spec.cell_len, r.dtype)
+    uni = tuple(b / d for b, d in zip(spec.box, spec.dims))
+    cell_len = jnp.asarray(uni, r.dtype)
     c3 = jnp.clip(jnp.floor(r / cell_len).astype(jnp.int32), 0, dims - 1)
+    if spec.z_edges is not None:
+        # non-uniform z rows: row index by binary search over the
+        # static edge table (ALL tensor-mesh analogue)
+        interior = jnp.asarray(spec.z_edges[1:-1], r.dtype)
+        cz = jnp.searchsorted(interior, r[:, 2], side="right").astype(
+            jnp.int32
+        )
+        c3 = c3.at[:, 2].set(jnp.clip(cz, 0, spec.dims[2] - 1))
     # z-major linear id (matches the Pallas kernels' [nz, ny, nx] rows)
     cell = (c3[:, 2] * dims[1] + c3[:, 1]) * dims[0] + c3[:, 0]
     return bin_by_id(cell, valid, spec)

@@ -53,6 +53,10 @@ class PallasLJPath:
         self.hx = 1
         from ls1_mardyn_tpu.ops.pallas_lj import sentinel_eligible
 
+        # cell-local coordinates require a uniform grid (origins are
+        # exact integer cell arithmetic); non-uniform z rows use the
+        # absolute-coordinate multi-site kernel or general traversal
+        assert spec.z_edges is None, "1CLJ local-coords path needs a uniform grid"
         self.sentinel = sentinel_eligible(spec.cell_len, self.rc2, spec.cap)
         self.fast_recip = not interpret
 

@@ -104,6 +104,7 @@ class RMMSimulation:
         # tax, no MXU transposes) -- see pallas_lj
         self.jt = True
         self.hx = HX
+        assert spec.z_edges is None, "RMM local-coords path needs a uniform grid"
         # sentinel invalid slots (y_local = SENTINEL_SCALE*(1+slot)):
         # the kernel never reads the validity plane; needs cell edge
         # >= rc plus the f32 rounding margin (see sentinel_eligible)

@@ -21,6 +21,7 @@ from ls1_mardyn_tpu.plugins import odf  # noqa: F401
 from ls1_mardyn_tpu.plugins import nemd2  # noqa: F401
 from ls1_mardyn_tpu.ensemble import cavity  # noqa: F401  (CavityWriter)
 from ls1_mardyn_tpu.plugins import extra  # noqa: F401
+from ls1_mardyn_tpu.plugins import steereo  # noqa: F401
 
 # RegionSampling (NEMD/RegionSampling.h) maps onto the SpatialProfile
 # sampler; register the reference name as an alias.

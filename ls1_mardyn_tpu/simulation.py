@@ -62,6 +62,9 @@ class SimConfig:
     temp_control_regions: Tuple = ()
     # Ewald real-space screening for the built-in cell path
     screen_alpha: float = 0.0
+    # non-uniform z rows (ALL tensor-mesh analogue; ops/cells.py):
+    # tuple of nz+1 edges, or None for a uniform grid
+    z_edges: Optional[Tuple[float, ...]] = None
 
 
 class SingleChipSimulation:
@@ -85,6 +88,16 @@ class SingleChipSimulation:
         self.spec = CellGridSpec.create(
             self.box, cutoff / config.cells_in_cutoff, cap=config.cell_cap
         )
+        if config.z_edges:
+            self.spec = dataclasses.replace(
+                self.spec,
+                dims=(
+                    self.spec.dims[0],
+                    self.spec.dims[1],
+                    len(config.z_edges) - 1,
+                ),
+                z_edges=tuple(config.z_edges),
+            )
         nbr_ids, nbr_shift = neighbor_table(self.spec)
         self._nbr_ids = jnp.asarray(nbr_ids)
         self._nbr_shift = jnp.asarray(nbr_shift, mol.r.dtype)
