@@ -81,6 +81,14 @@ class Mesh3DConfig:
     ms_meta: object = None
     rc2_lj: float = 0.0
     screen_alpha: float = 0.0
+    # long-range electrostatics k-space (sharded over molecules; the
+    # structure factor / charge mesh merges with one psum over all
+    # three mesh axes).  pme_grid non-empty selects SPME; otherwise
+    # ewald_kmax > 0 selects the direct sum.
+    ewald_kmax: int = 0
+    ewald_alpha: float = 0.0
+    pme_grid: Tuple[int, ...] = ()
+    pme_order: int = 4
 
     @property
     def n_devices(self) -> int:
@@ -121,6 +129,26 @@ class Mesh3DSimulation:
             assert mesh.shape[a] == g, (mesh.shape, cfg.grid)
         self.mesh = mesh
         self.volume = float(np.prod(cfg.box))
+        self._ewald_k = None
+        self._pme = None
+        if cfg.pme_grid:
+            from ls1_mardyn_tpu.ops.pme import PMEParams, PMESolver
+
+            self._pme = PMESolver(
+                cfg.box,
+                PMEParams(
+                    alpha=cfg.ewald_alpha,
+                    grid=tuple(cfg.pme_grid),
+                    order=cfg.pme_order,
+                ),
+            )
+        elif cfg.ewald_kmax > 0:
+            from ls1_mardyn_tpu.ops.ewald import make_kvectors
+
+            k, c = make_kvectors(
+                np.asarray(cfg.box), cfg.ewald_kmax, cfg.ewald_alpha
+            )
+            self._ewald_k = (jnp.asarray(k), jnp.asarray(c))
         flat = P((AX[0], AX[1], AX[2]))
         self._in_spec = flat
         self._step_sharded = jax.jit(
@@ -447,6 +475,32 @@ class Mesh3DSimulation:
         got = jnp.where(mol.valid[:, None], flat[src], 0.0)
         vir = jnp.sum(out[:, :, 6:9, :])
         F, M = got[:, 0:3], got[:, 3:6]
+        if self._pme is not None:
+            u_ew, F_ew, M_ew = self._pme(
+                mol,
+                self.pp,
+                psum=self._psum_all,
+                global_share=1.0 / cfg.n_devices,
+            )
+            F = F + F_ew
+            M = M + M_ew
+            uX = uX + u_ew
+        elif self._ewald_k is not None:
+            from ls1_mardyn_tpu.ops.ewald import reciprocal_energy_forces
+
+            kvec, coeff = self._ewald_k
+            u_ew, F_ew, M_ew = reciprocal_energy_forces(
+                mol,
+                self.pp,
+                kvec.astype(dtype),
+                coeff.astype(dtype),
+                cfg.ewald_alpha,
+                psum=self._psum_all,
+                global_share=1.0 / cfg.n_devices,
+            )
+            F = F + F_ew
+            M = M + M_ew
+            uX = uX + u_ew
         return F, M, (u6, uX, my_rf, vir), bins.overflow
 
     def _psum_all(self, t):

@@ -110,3 +110,55 @@ def test_mesh3d_steps_match_single_chip():
     g = sim.gather_global(mol_sh)
     mids = np.sort(np.asarray(g.mid)[np.asarray(g.valid)])
     assert len(mids) == n and len(np.unique(mids)) == n
+
+
+def test_mesh3d_pme_matches_single_chip():
+    """SPME k-space on the 3-D mesh (charge mesh psummed over all
+    three axes) must equal the single-chip PMESolver per molecule."""
+    from ls1_mardyn_tpu.ops.pallas_ms_path import PallasMultiSitePath
+    from ls1_mardyn_tpu.ops.pallas_multisite import _MSMeta
+    from ls1_mardyn_tpu.ops.pme import PMEParams, PMESolver
+    from test_ewald_multichip import _salt_scene, ALPHA, RC
+
+    mol, pp, table, box, n = _salt_scene()
+    dims = (2, 2, 8)
+    grid = (16, 16, 64)
+
+    spec = CellGridSpec(dims=dims, box=box, cap=32)
+    path = PallasMultiSitePath(table, spec, tx=2, interpret=True,
+                               screen_alpha=ALPHA)
+    f_pair, m_pair, _ = jax.jit(path.__call__)(mol)
+    solver = PMESolver(box, PMEParams(alpha=ALPHA, grid=grid, order=4),
+                       dtype=jnp.float64)
+    u_ew, F_ew, M_ew = jax.jit(solver.__call__)(mol, pp)
+    F_ref = np.asarray(f_pair.F) + np.asarray(F_ew)
+
+    cfg = Mesh3DConfig(
+        grid=GRID, nxl=1, nyl=1, nzl=4, cap=32, box=box,
+        n_local_cap=2 * n // 8 + 64, migrate_cap=64, tx=1, dt=0.001,
+        target_temperature=0.8, thermostat=True,
+        eps24=0.0, sig2=0.0, shift6=0.0,
+        rc2=RC * RC, interpret=True,
+        ms_meta=_MSMeta(table), rc2_lj=float(table.lj_cutoff ** 2),
+        screen_alpha=ALPHA, ewald_alpha=ALPHA,
+        pme_grid=grid, pme_order=4,
+    )
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(GRID), AX)
+    sim = Mesh3DSimulation(cfg, pp, mesh=mesh)
+    mol_sh = sim.distribute(mol)
+    (F_sh, M_sh), packed, ovf = sim._force_sharded(mol_sh)
+    assert int(np.asarray(ovf).max()) == 0
+    u6, uX, rf, vir = np.asarray(packed)
+
+    mids_sh = np.asarray(mol_sh.mid)
+    valid_sh = np.asarray(mol_sh.valid)
+    Fs = np.asarray(F_sh)
+    by_id = {mids_sh[i]: Fs[i] for i in np.where(valid_sh)[0]}
+    mids = np.asarray(mol.mid)
+    scale = np.abs(F_ref).max()
+    for i in range(n):
+        np.testing.assert_allclose(
+            by_id[mids[i]] / scale, F_ref[i] / scale, atol=1e-11
+        )
+    uX_ref = float(m_pair.upot_xpoles) + float(u_ew)
+    np.testing.assert_allclose(float(uX), uX_ref, rtol=1e-10)
