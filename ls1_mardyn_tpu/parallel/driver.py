@@ -22,6 +22,25 @@ import numpy as np
 from ls1_mardyn_tpu.utils.logger import global_log
 
 
+def _factor3(n: int, dims):
+    """Factor n devices into a (Px, Py, Pz) grid with Pd <= dims[d],
+    preferring z-heavy (slab-like) splits, then y."""
+    best = None
+    for px in range(1, n + 1):
+        if n % px:
+            continue
+        for py in range(1, n // px + 1):
+            if (n // px) % py:
+                continue
+            pz = n // px // py
+            if px > dims[0] or py > dims[1] or pz > dims[2]:
+                continue
+            key = (pz, py, px)
+            if best is None or key > best[0]:
+                best = (key, (px, py, pz))
+    return best[1] if best else None
+
+
 class ParallelMDSimulation:
     """XML scene -> slab-decomposed multi-chip run.
 
@@ -97,16 +116,11 @@ class ParallelMDSimulation:
                 pme_order = int(base.ewald.params.order)
             else:
                 ewald_kmax = int(base.ewald.params.kmax)
-        slab_cfg = SlabConfig(
-            n_devices=n_devices,
-            nz_local=nz // n_devices,
-            ny=ny,
-            nx=nx,
+        common = dict(
             cap=cap,
             box=tuple(float(b) for b in self.box),
             n_local_cap=2 * n // n_devices + 256,
             migrate_cap=max(64, n // (8 * n_devices)),
-            tx=tx,
             dt=config.timestep,
             target_temperature=config.temperature,
             thermostat=config.ensemble_type.upper() == "NVT",
@@ -125,14 +139,60 @@ class ParallelMDSimulation:
             pme_grid=pme_grid,
             pme_order=pme_order,
         )
-        self.sim = SlabSimulation(slab_cfg, self.pp)
+        if n_devices > dims[2]:
+            # more chips than z cell rows: slab granularity exhausted
+            # -> 3-D Cartesian mesh (DomainDecomposition MPIGridDims)
+            from ls1_mardyn_tpu.parallel.mesh3d import (
+                Mesh3DConfig,
+                Mesh3DSimulation,
+            )
+
+            grid3 = _factor3(n_devices, dims)
+            if grid3 is None:
+                raise ValueError(
+                    f"cannot factor {n_devices} devices onto cell grid "
+                    f"{tuple(dims)}"
+                )
+            nd3 = [(dims[d] // grid3[d]) * grid3[d] for d in range(3)]
+            nxl = nd3[0] // grid3[0]
+            tx3 = next(t for t in (4, 2, 1) if nxl % t == 0)
+            cap3 = cap
+            if not interpret:
+                u = 128 // tx3
+                cap3 = ((cap + u - 1) // u) * u
+            mcfg = Mesh3DConfig(
+                grid=grid3,
+                nxl=nxl,
+                nyl=nd3[1] // grid3[1],
+                nzl=nd3[2] // grid3[2],
+                tx=tx3,
+                **{**common, "cap": cap3,
+                   "n_local_cap": 2 * n // n_devices + 256},
+            )
+            self.sim = Mesh3DSimulation(mcfg, self.pp)
+            global_log.info(
+                "parallel: %d-device 3-D mesh decomposition %s, local "
+                "cells (%d, %d, %d), %s kernel",
+                n_devices, grid3, mcfg.nxl, mcfg.nyl, mcfg.nzl,
+                "1CLJ" if is_1clj else "multi-site",
+            )
+        else:
+            slab_cfg = SlabConfig(
+                n_devices=n_devices,
+                nz_local=nz // n_devices,
+                ny=ny,
+                nx=nx,
+                tx=tx,
+                **common,
+            )
+            self.sim = SlabSimulation(slab_cfg, self.pp)
+            global_log.info(
+                "parallel: %d-device slab decomposition, grid "
+                "(%d, %d, %d), %s kernel",
+                n_devices, nx, ny, nz, "1CLJ" if is_1clj else "multi-site",
+            )
         self.mol_sharded = self.sim.distribute(mol)
         self._FM = None
-        global_log.info(
-            "parallel: %d-device slab decomposition, grid (%d, %d, %d), "
-            "%s kernel",
-            n_devices, nx, ny, nz, "1CLJ" if is_1clj else "multi-site",
-        )
 
     # plugin-facing surface --------------------------------------------
     def molecules(self):
@@ -154,7 +214,8 @@ class ParallelMDSimulation:
         for p in self._plugins:
             p.init(self)
         if self._FM is None:
-            self._FM, _, _, _, _ = self.sim._force_sharded(self.mol_sharded)
+            # first element is (F, M) for both decompositions
+            self._FM = self.sim._force_sharded(self.mol_sharded)[0]
         t0 = _time.time()
         gv = None
         for k in range(1, steps + 1):

@@ -236,6 +236,56 @@ class Mesh3DSimulation:
     def gather_global(self, mol: MoleculeState) -> MoleculeState:
         return jax.tree.map(lambda a: np.asarray(a), mol)
 
+    def snapshot(self, mol: MoleculeState, time: float = 0.0) -> dict:
+        """In-memory snapshot (InMemoryCheckpointing/ResilienceComm
+        capability; same contract as SlabSimulation.snapshot)."""
+        return {
+            "mol": jax.tree.map(lambda a: np.array(a), mol),
+            "time": float(time),
+        }
+
+    def restore(self, snap: dict) -> MoleculeState:
+        sh = NamedSharding(self.mesh, self._in_spec)
+        return jax.tree.map(
+            lambda a: jax.device_put(jnp.asarray(a), sh), snap["mol"]
+        )
+
+    def write_checkpoint(
+        self,
+        mol: MoleculeState,
+        path: str,
+        table,
+        current_time: float = 0.0,
+        binary: bool = False,
+    ):
+        """Gather + write a restart file in the reference formats (the
+        MPICheckpointWriter capability; same as SlabSimulation)."""
+        from ls1_mardyn_tpu.io.ascii_reader import PhaseSpaceData, write_inp
+
+        g = self.gather_global(mol)
+        valid = g.valid
+        data = PhaseSpaceData(
+            components=table.components,
+            mixing_xi=table.mixing_xi,
+            mixing_eta=table.mixing_eta,
+            eps_rf=table.eps_rf,
+            box=np.asarray(self.cfg.box),
+            temperature=self.cfg.target_temperature,
+            current_time=current_time,
+            mid=g.mid[valid].astype(np.int64),
+            cid=g.cid[valid],
+            r=g.r[valid],
+            v=g.v[valid],
+            q=g.q[valid],
+            L=g.L[valid],
+        )
+        if binary:
+            from ls1_mardyn_tpu.io.binary_io import write_binary_checkpoint
+
+            write_binary_checkpoint(path, path + ".header.xml", data)
+        else:
+            write_inp(path, data)
+
     # -- per-device bodies --------------------------------------------------
     def _coords(self):
         return tuple(jax.lax.axis_index(a) for a in AX)

@@ -71,3 +71,48 @@ def test_parallel_matches_single_chip_globals(tmp_path):
     np.testing.assert_allclose(
         float(gv_par.upot), float(gv_seq.upot), rtol=1e-8
     )
+
+
+def test_parallel_driver_mesh3d_beyond_slab_granularity(tmp_path):
+    """More devices than z cell rows: the driver switches to the 3-D
+    Cartesian mesh decomposition (DomainDecomposition MPIGridDims) and
+    the run matches single-chip globals."""
+    os.chdir(tmp_path)
+    import jax.numpy as jnp
+
+    from ls1_mardyn_tpu.driver import MDSimulation
+    from ls1_mardyn_tpu.parallel.mesh3d import Mesh3DSimulation
+
+    n, rho, T = 512, 0.5, 1.0
+    L = (n / rho) ** (1 / 3)  # dims = (4,4,4) < 8 devices in z
+
+    def cfg():
+        return XMLConfig(
+            timestep=0.002, temperature=T, box=np.array([L, L, L]),
+            cutoff=2.5, lj_cutoff=2.5,
+            generator=PluginSpec("CubicGridGenerator",
+                                 {"numMolecules": str(n)}),
+        )
+
+    par = ParallelMDSimulation(cfg(), n_devices=8, dtype=jnp.float64)
+    assert isinstance(par.sim, Mesh3DSimulation)
+    assert int(np.prod(par.sim.cfg.grid)) == 8
+    gv_par = par.run(
+        steps=5, print_every=0,
+        final_checkpoint=str(tmp_path / "mesh_end.restart.dat"),
+    )
+
+    seq = MDSimulation(cfg(), dtype=jnp.float64, force_mode="cells")
+    gv_seq = seq.run(steps=5, print_every=0)
+
+    assert int(float(gv_par.n)) == n
+    np.testing.assert_allclose(
+        float(gv_par.upot), float(gv_seq.upot), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        float(gv_par.temperature), float(gv_seq.temperature), rtol=1e-9
+    )
+    from ls1_mardyn_tpu.io.ascii_reader import read_inp
+
+    data = read_inp(str(tmp_path / "mesh_end.restart.dat"))
+    assert len(data.mid) == n
