@@ -486,6 +486,7 @@ def _lj_zb_kernel(
     hx: int,
     sentinel: bool,
     fast_recip: bool,
+    gram: bool,
     pj: int,
     out_dtype,
 ):
@@ -497,7 +498,19 @@ def _lj_zb_kernel(
     pj=4 packs two y rows per sublane tile and odd rows pay a shift).
     Layout, masks and physics otherwise match the jt branch of
     _lj_row_kernel (cell-local coordinates; periodicity is pure index
-    arithmetic)."""
+    arithmetic).
+
+    gram=True moves the pair-matrix distance and force reductions onto
+    the (otherwise idle) MXU:
+      dr2 = |ri|^2 + |rj|^2 - 2 ri.rj   with the cross term and the
+      broadcast |rj|^2 as K=pj matmuls (replacing the three per-plane
+      broadcasts AND the dx/dy/dz arithmetic), and
+      F_i = ri * sum_j fac - sum_j fac*rj  with sum_j fac*rj as one
+      K=win matmul of the j planes against fac (replacing three
+      multiply+lane-reduce passes).  Coordinates are TILE-local (window
+      origin) so the f32 cancellation in the Gram form stays ~1e-4 of
+      dr2; sentinel mode is excluded (sentinel magnitudes would
+      catastrophically cancel), so the validity plane is used."""
     _bx, by, bz = box
     txc = tx * cap
     win = (tx + 2 * hx) * cap
@@ -525,6 +538,19 @@ def _lj_zb_kernel(
     lane0 = (lane_txc == 0).astype(out_dtype)
     lane1 = (lane_txc == 1).astype(out_dtype)
 
+    if gram:
+        # tile-window-local coordinate offsets and selector constants
+        subPc1 = jax.lax.broadcasted_iota(jnp.int32, (pj, 1), 0)
+        ohrP = [(subPc1 == c).astype(out_dtype) for c in range(NPLANE)]
+        wlane = jax.lax.broadcasted_iota(jnp.int32, (1, win), 1)
+        # fold the window cell offset into the j x plane
+        xoffw_p = ohrP[0] * ((wlane // cap).astype(out_dtype) * clx)
+        # ones on planes 0..2 against the i lanes (|rj|^2 broadcast)
+        subPcT = jax.lax.broadcasted_iota(jnp.int32, (pj, txc), 0)
+        ones3P = (subPcT < 3).astype(out_dtype)
+        # i-lane x offset inside the window
+        xoffi = ((lane_txc // cap) + hx).astype(out_dtype) * clx
+
     def yrow(y, _):
         def tile(t, __):
             off = pl.multiple_of(t * txc, txc)
@@ -537,6 +563,8 @@ def _lj_zb_kernel(
             zi = jnp.sum(ti * ohr[2], axis=0, keepdims=True)
             if not sentinel:
                 wi = jnp.sum(ti * ohr[3], axis=0, keepdims=True)
+            if gram:
+                xi_t = xi + xoffi
             fx = jnp.zeros((1, txc), out_dtype)
             fy = jnp.zeros((1, txc), out_dtype)
             fz = jnp.zeros((1, txc), out_dtype)
@@ -553,19 +581,36 @@ def _lj_zb_kernel(
                             preferred_element_type=out_dtype,
                         )  # [win, txc]
 
-                    Xj = jplane(0)
-                    Yj = jplane(1)
-                    Zj = jplane(2)
-                    Wj = None if sentinel else jplane(3)
                     yis = yi - jnp.asarray(dy * cly, out_dtype)
                     zis = zi - jnp.asarray(dzi * clz, out_dtype)
-                    dx = xi - Xj + xoffT
-                    dyv = yis - Yj
-                    dzv = zis - Zj
-                    dr2 = dx * dx + dyv * dyv + dzv * dzv
-                    mask = dr2 < cut2
-                    if not sentinel:
+                    if gram:
+                        Hs = H + xoffw_p  # window-local j coordinates
+                        R = ohrP[0] * xi_t + ohrP[1] * yis + ohrP[2] * zis
+                        cross = jax.lax.dot_general(
+                            Hs, R, (((0,), (0,)), ((), ())),
+                            preferred_element_type=out_dtype,
+                        )  # [win, txc] = rj . ri
+                        SJ = jax.lax.dot_general(
+                            Hs * Hs, ones3P, (((0,), (0,)), ((), ())),
+                            preferred_element_type=out_dtype,
+                        )  # [win, txc] = |rj|^2 broadcast
+                        si = xi_t * xi_t + yis * yis + zis * zis
+                        dr2 = (SJ + si) - (cross + cross)
+                        mask = dr2 < cut2
+                        Wj = jplane(3)
                         mask = mask & (Wj * wi > 0.5)
+                    else:
+                        Xj = jplane(0)
+                        Yj = jplane(1)
+                        Zj = jplane(2)
+                        Wj = None if sentinel else jplane(3)
+                        dx = xi - Xj + xoffT
+                        dyv = yis - Yj
+                        dzv = zis - Zj
+                        dr2 = dx * dx + dyv * dyv + dzv * dzv
+                        mask = dr2 < cut2
+                        if not sentinel:
+                            mask = mask & (Wj * wi > 0.5)
                     if dzi == 0 and dy == 0:
                         mask = mask & not_selfT
                     if fast_recip:
@@ -586,9 +631,28 @@ def _lj_zb_kernel(
                     if compute_macro:
                         u6_t = u6_t + jnp.sum(e24 * lj12m6 + sh6 * mf)
                         vir_t = vir_t + jnp.sum(fac * dr2)
-                    fx = fx + jnp.sum(fac * dx, axis=0, keepdims=True)
-                    fy = fy + jnp.sum(fac * dyv, axis=0, keepdims=True)
-                    fz = fz + jnp.sum(fac * dzv, axis=0, keepdims=True)
+                    if gram:
+                        # F_i = ri*sum_j fac - sum_j fac*rj; the j sums
+                        # ride ONE K=win matmul (row 3 = validity gives
+                        # sum fac: masked pairs have fac == 0)
+                        S4 = jax.lax.dot_general(
+                            Hs, fac, (((1,), (0,)), ((), ())),
+                            preferred_element_type=out_dtype,
+                        )  # [pj, txc]
+
+                        def rowP(c):
+                            return jnp.sum(
+                                S4 * ohrP[c], axis=0, keepdims=True
+                            )
+
+                        S0 = rowP(3)
+                        fx = fx + (xi_t * S0 - rowP(0))
+                        fy = fy + (yis * S0 - rowP(1))
+                        fz = fz + (zis * S0 - rowP(2))
+                    else:
+                        fx = fx + jnp.sum(fac * dx, axis=0, keepdims=True)
+                        fy = fy + jnp.sum(fac * dyv, axis=0, keepdims=True)
+                        fz = fz + jnp.sum(fac * dzv, axis=0, keepdims=True)
             scal = (0.5 * u6_t) * lane0 + (0.5 * vir_t) * lane1
             out4 = ohr[0] * fx + ohr[1] * fy + ohr[2] * fz + ohr[3] * scal
             f_ref[0, y, :, pl.ds(off, txc)] = out4
@@ -605,6 +669,7 @@ def _lj_zb_kernel(
     static_argnames=(
         "nx", "ny", "nz", "cap", "tx", "box", "eps24", "sig2", "shift6",
         "rc2", "interpret", "compute_macro", "hx", "sentinel", "fast_recip",
+        "gram",
     ),
 )
 def lj_cell_forces_pallas_zb(
@@ -626,6 +691,7 @@ def lj_cell_forces_pallas_zb(
     hx: int = HX,
     sentinel: bool = False,
     fast_recip: bool = False,
+    gram: bool = False,
 ):
     """z-banded variant of lj_cell_forces_pallas (jt + local-coords
     modes only): grid over z planes, the 3 neighbor z-planes held whole
@@ -645,6 +711,10 @@ def lj_cell_forces_pallas_zb(
     assert r_i.shape == (nz, ny, NPLANE, nx * cap), r_i.shape
     assert r_j.shape == (nz, ny, pj, Wj) and pj >= NPLANE, r_j.shape
     assert nx % tx == 0
+    assert not (gram and sentinel), (
+        "gram mode needs the validity plane: sentinel magnitudes "
+        "catastrophically cancel in the |ri|^2+|rj|^2-2ri.rj form"
+    )
     if not interpret:
         assert (tx * cap) % 128 == 0
     i_spec = pl.BlockSpec(
@@ -681,6 +751,7 @@ def lj_cell_forces_pallas_zb(
         hx=hx,
         sentinel=sentinel,
         fast_recip=fast_recip,
+        gram=gram,
         pj=pj,
         out_dtype=r_i.dtype,
     )

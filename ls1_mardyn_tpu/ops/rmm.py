@@ -111,12 +111,16 @@ class RMMSimulation:
         self.sentinel = sentinel_eligible(spec.cell_len, self.rc2, spec.cap)
         # z-banded kernel (lj_cell_forces_pallas_zb): 3 whole z-planes
         # per program in VMEM -> j rows fetched from HBM 3x instead of
-        # 9x.  Measured SLOWER than the row kernel on this chip (33.1M
-        # vs 39.3M updates/s at N=4.2M) despite the traffic cut -- the
-        # per-row dynamic y indexing costs more than the DMA it saves
-        # (tried 4-plane and sublane-aligned 8-plane j views).  Kept as
-        # an option for parts where HBM dominates.
+        # 9x.  Measured at parity with the row kernel in an interleaved
+        # A/B (the step is compute-bound); kept as an option.
         self.zb = False
+        # gram mode (zb only): distance + force reductions on the MXU;
+        # excludes sentinel (uses the validity plane instead).
+        # Measured 1.7x SLOWER on this environment's ~6x-throttled MXU
+        # (177 vs 102 ms/step at N=4.2M): the f32 matmuls cost more
+        # than the ~10 VPU ops/pair they remove.  On unthrottled
+        # hardware the MXU:VPU ratio is 6x higher -- re-measure there.
+        self.zb_gram = False
         # approx-reciprocal + Newton instead of IEEE divide (f32 TPU)
         self.fast_recip = not interpret
         self._step_jit = jax.jit(functools.partial(self._step, compute_macro=True))
@@ -175,8 +179,9 @@ class RMMSimulation:
                 interpret=self.interpret,
                 compute_macro=compute_macro,
                 hx=hx,
-                sentinel=self.sentinel,
+                sentinel=self.sentinel and not self.zb_gram,
                 fast_recip=self.fast_recip,
+                gram=self.zb_gram,
             )
         return lj_cell_forces_pallas(
             r_i,

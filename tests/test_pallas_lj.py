@@ -101,8 +101,8 @@ def test_pallas_lj_sentinel_f32_large_cap():
     np.testing.assert_allclose(float(m_k.upot), float(m_ref.upot), rtol=1e-5)
 
 
-@pytest.mark.parametrize("sentinel", [False, True])
-def test_pallas_lj_zb_matches_row_kernel(sentinel):
+@pytest.mark.parametrize("sentinel,gram", [(False, False), (True, False), (False, True)])
+def test_pallas_lj_zb_matches_row_kernel(sentinel, gram):
     """The z-banded kernel (3 whole z-planes per program, index-map
     mod periodicity) must reproduce the row kernel bit-for-bit on the
     same packed planes."""
@@ -140,7 +140,8 @@ def test_pallas_lj_zb_matches_row_kernel(sentinel):
     out_a, u6_a, vir_a = lj_cell_forces_pallas(
         r_i, r_j, local_coords=True, jt=True, **kw
     )
-    out_b, u6_b, vir_b = lj_cell_forces_pallas_zb(r_i, r_j, **kw)
-    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_a), atol=1e-12)
-    np.testing.assert_allclose(float(u6_b), float(u6_a), rtol=1e-12)
-    np.testing.assert_allclose(float(vir_b), float(vir_a), rtol=1e-12)
+    out_b, u6_b, vir_b = lj_cell_forces_pallas_zb(r_i, r_j, gram=gram, **kw)
+    tol = 1e-9 if gram else 1e-12  # f64 Gram cancellation ~ulp(|r|^2)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_a), atol=tol)
+    np.testing.assert_allclose(float(u6_b), float(u6_a), rtol=tol)
+    np.testing.assert_allclose(float(vir_b), float(vir_a), rtol=tol)
