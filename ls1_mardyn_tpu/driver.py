@@ -285,30 +285,51 @@ class MDSimulation:
                 # z rows run the absolute-coordinate multi-site kernel
                 and not self._z_edges
             )
-            try:
-                if is_1clj:
-                    force_fn = PallasLJPath(self.table, spec, interpret=interpret)
-                    global_log.info(
-                        "force path: Pallas 1CLJ kernel (RMM class), grid %s",
-                        spec.dims,
-                    )
-                else:
-                    from ls1_mardyn_tpu.ops.pallas_ms_path import (
-                        PallasMultiSitePath,
-                    )
+            # cost-based path choice (the TraversalTuner role,
+            # src/particleContainer/TraversalTuner.h:135): tiny dense
+            # scenes with huge cutoffs (e.g. CO2: 3x3x3 cells at cap
+            # 256) make the dense cell kernel evaluate far more
+            # candidate lanes than the N^2 sweep touches pairs
+            nx_, ny_, nz_ = spec.dims
+            tx_ = next(t for t in (4, 2, 1) if nx_ % t == 0)
+            kernel_pairs = (
+                nz_ * ny_ * nx_ * spec.cap * 9 * (tx_ + 2) * spec.cap
+            )
+            n2_pairs = n * n * (27 if config.cutoff > min(self.box) / 2 else 1)
+            if n and n <= 16384 and n2_pairs * 2 < kernel_pairs:
+                global_log.info(
+                    "force path: N^2 beats the cell kernel here "
+                    "(%.2g vs %.2g candidate pairs)",
+                    n2_pairs, kernel_pairs,
+                )
+            else:
+                try:
+                    if is_1clj:
+                        force_fn = PallasLJPath(
+                            self.table, spec, interpret=interpret
+                        )
+                        global_log.info(
+                            "force path: Pallas 1CLJ kernel (RMM class), "
+                            "grid %s",
+                            spec.dims,
+                        )
+                    else:
+                        from ls1_mardyn_tpu.ops.pallas_ms_path import (
+                            PallasMultiSitePath,
+                        )
 
-                    force_fn = PallasMultiSitePath(
-                        self.table, spec, interpret=interpret,
-                        screen_alpha=screen_alpha,
-                    )
-                    global_log.info(
-                        "force path: Pallas multi-site kernel, grid %s, "
-                        "%d planes",
-                        spec.dims,
-                        force_fn.meta.P,
-                    )
-            except AssertionError:
-                force_fn = None
+                        force_fn = PallasMultiSitePath(
+                            self.table, spec, interpret=interpret,
+                            screen_alpha=screen_alpha,
+                        )
+                        global_log.info(
+                            "force path: Pallas multi-site kernel, grid %s, "
+                            "%d planes",
+                            spec.dims,
+                            force_fn.meta.P,
+                        )
+                except AssertionError:
+                    force_fn = None
         if force_fn is None and n <= 16384:
             # small-N fallback: chunked N^2 oracle (the LegacyCellProcessor
             # role).  Small scenes with huge cutoffs (e.g. the CO2/EOX
