@@ -76,9 +76,15 @@ class MDSimulation:
         self.volume = float(np.prod(self.box))
         self.lj_cutoff = config.lj_cutoff
         n = len(data.mid)
+        # muVT needs free slots for insertions (the reserve-slot design,
+        # SURVEY.md section 7: insertion = activating a masked slot)
+        capacity = None
+        if config.ensemble_type == "muVT":
+            capacity = n + max(64, n // 8)
         self.mol = MoleculeState.from_numpy(
             r=data.r, v=data.v, q=data.q, L=data.L,
             cid=data.cid, mid=data.mid.astype(np.int32),
+            capacity=capacity,
             dtype=dtype,
         )
 
@@ -349,9 +355,13 @@ class MDSimulation:
             pp_ref = self.pp
             box_ref = self.box
 
-            def force_fn(mol, _chunk=chunk, _images=images):
+            def force_fn(mol, _chunk=chunk, _images=images,
+                         _sa=screen_alpha):
+                # erfc-screened real space when an Ewald/PME solver
+                # supplies the k-space part
                 f, m = compute_forces_n2_jit(
-                    mol, pp_ref, box_ref, chunk=_chunk, images=_images
+                    mol, pp_ref, box_ref, chunk=_chunk, images=_images,
+                    screen_alpha=_sa,
                 )
                 import jax.numpy as _jnp
 

@@ -28,19 +28,22 @@ def min_image(dr: jnp.ndarray, box: jnp.ndarray) -> jnp.ndarray:
     return dr - box * jnp.round(dr / box)
 
 
-def compute_forces_n2_jit(mol, pp, box, chunk: int = 0, images: int = 0):
+def compute_forces_n2_jit(
+    mol, pp, box, chunk: int = 0, images: int = 0, screen_alpha: float = 0.0
+):
     """Jitted entry point (eager per-op dispatch is pathologically slow;
     everything in this framework runs under jit).
 
     images=0 (default) auto-selects: min-image when cutoff <= box/2,
-    else the 27-image sum."""
+    else the 27-image sum.  screen_alpha > 0 erfc-screens the
+    charge-charge interaction (Ewald real space)."""
     if images == 0:
         import numpy as _np
 
         rc = float(_np.sqrt(_np.asarray(pp.rc2)))
         rc_lj = float(_np.sqrt(_np.asarray(pp.rc2_lj)))
         images = 1 if max(rc, rc_lj) <= min(_np.asarray(box)) / 2 else 27
-    return _compute_forces_n2_jitted(mol, pp, box, chunk, images)
+    return _compute_forces_n2_jitted(mol, pp, box, chunk, images, screen_alpha)
 
 
 def compute_forces_n2(
@@ -49,6 +52,7 @@ def compute_forces_n2(
     box: jnp.ndarray,
     chunk: int = 0,
     images: int = 1,
+    screen_alpha: float = 0.0,
 ) -> Tuple[Forces, Macroscopic]:
     """All-pairs forces/torques/virials and global energies.
 
@@ -106,6 +110,7 @@ def compute_forces_n2(
             pp,
             mask_lj,
             mask_el,
+            screen_alpha=screen_alpha,
         )
         return dict(
             F=jnp.sum(out["F"], axis=(0, 1)),
@@ -139,5 +144,5 @@ def compute_forces_n2(
 
 
 _compute_forces_n2_jitted = jax.jit(
-    compute_forces_n2, static_argnames=("chunk", "images")
+    compute_forces_n2, static_argnames=("chunk", "images", "screen_alpha")
 )

@@ -111,7 +111,7 @@ def test_two_phase_forces_match_oracle_with_z_edges():
     np.testing.assert_allclose(float(m_k.upot), float(m_ref.upot), rtol=1e-10)
 
 
-def test_driver_adopts_adaptive_rows_and_runs(tmp_path):
+def test_driver_adopts_adaptive_rows_and_runs(tmp_path, monkeypatch):
     """A dense two-phase slab scene through the driver should adopt
     non-uniform rows (lower cap) and run end-to-end."""
     from ls1_mardyn_tpu.driver import MDSimulation
@@ -127,7 +127,9 @@ def test_driver_adopts_adaptive_rows_and_runs(tmp_path):
         timestep=0.002, temperature=0.9, box=box,
         cutoff=2.5, lj_cutoff=2.5,
     )
-    MDSimulation._load_phasespace = lambda self, c: data
+    monkeypatch.setattr(
+        MDSimulation, "_load_phasespace", lambda self, c: data
+    )
     sim = MDSimulation(cfg, dtype=jnp.float64, force_mode="cells")
     assert sim._z_edges is not None, "inhomogeneous scene must adopt z rows"
     assert sim.engine.spec.z_edges is not None

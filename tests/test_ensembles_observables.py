@@ -149,3 +149,36 @@ def test_temperature_control_regions():
     t_hi = (mass[hi_mask] * (v[hi_mask] ** 2).sum(1)).sum() / (3 * hi_mask.sum())
     assert abs(t_lo - 0.5) < 0.05
     assert abs(t_hi - 2.0) < 0.2
+
+
+def test_muvt_driver_reserves_insertion_slots(tmp_path, monkeypatch):
+    """The driver must build the molecule array with free slots when
+    the ensemble is muVT (insertion = activating a masked slot; with
+    capacity == N the first accepted insertion raised)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from ls1_mardyn_tpu.driver import MDSimulation
+    from ls1_mardyn_tpu.io.xml_config import PluginSpec, XMLConfig
+
+    os.chdir(tmp_path)
+    n, rho, T = 216, 0.5, 1.5
+    L = (n / rho) ** (1 / 3)
+    cfg = XMLConfig(
+        timestep=0.002, temperature=T, box=np.array([L, L, L]),
+        cutoff=2.5, lj_cutoff=2.5,
+        generator=PluginSpec("CubicGridGenerator",
+                             {"numMolecules": str(n)}),
+        ensemble_type="muVT",
+    )
+    cfg.chemical_potentials.append(
+        PluginSpec("ChemicalPotential",
+                   {"mu": "0.5", "cid": "1", "interval": "1"})
+    )
+    sim = MDSimulation(cfg, dtype=jnp.float64, force_mode="cells")
+    assert sim.engine.mol.capacity > n
+    gv = sim.run(steps=10, print_every=0)
+    assert np.isfinite(float(gv.upot))
+    # generous mu drives insertions: N must have been able to grow
+    assert int(float(gv.n)) >= n
