@@ -301,7 +301,8 @@ class MDSimulation:
             kernel_pairs = (
                 nz_ * ny_ * nx_ * spec.cap * 9 * (tx_ + 2) * spec.cap
             )
-            n2_pairs = n * n * (27 if config.cutoff > min(self.box) / 2 else 1)
+            rc_any = max(config.cutoff, config.lj_cutoff)
+            n2_pairs = n * n * (27 if rc_any > min(self.box) / 2 else 1)
             if n and n <= 16384 and n2_pairs * 2 < kernel_pairs:
                 global_log.info(
                     "force path: N^2 beats the cell kernel here "
@@ -351,7 +352,11 @@ class MDSimulation:
                     (c for c in (256, 128, 64, 32, 16, 8, 4, 3, 2)
                      if n % c == 0), 0
                 )
-            images = 27 if config.cutoff > min(self.box) / 2 else 1
+            images = (
+                27
+                if max(config.cutoff, config.lj_cutoff) > min(self.box) / 2
+                else 1
+            )
             pp_ref = self.pp
             box_ref = self.box
 
@@ -600,6 +605,12 @@ class MDSimulation:
         t_start = _time.time()
         loop_timer = self.timers["SIMULATION_LOOP"]
         loop_timer.start()
+        self.run_abort = False
+        # overflow/NaN watchdog cadence: decoupled from print_every (a
+        # readback syncs the device, so per-step checking would stall
+        # the async pipeline; this bounds the undetected-overflow
+        # window instead)
+        check_every = min(print_every, 100) if print_every else 100
         for k in range(1, steps + 1):
             self.step += 1
             for p in self._plugins:
@@ -625,6 +636,7 @@ class MDSimulation:
                     float(gv.upot),
                     float(gv.pressure),
                 )
+            if self.step % check_every == 0 or k == steps:
                 if bool(overflow):
                     # adaptive re-spec instead of aborting (the dynamic
                     # load-balancing slot; see _respec_cell_cap)

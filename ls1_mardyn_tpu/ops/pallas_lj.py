@@ -66,14 +66,20 @@ SENTINEL_SCALE = 1e3
 
 
 def sentinel_eligible(cell_len, rc2: float, cap: int) -> bool:
-    """Sentinel mode is safe iff every same-slot neighbor-row sentinel
-    pair stays outside the cutoff after f32 rounding of the cell-edge
-    shift (requires cell edge >= rc plus the rounding margin)."""
+    """Sentinel mode is safe iff (a) every same-slot neighbor-row
+    sentinel pair stays outside the cutoff after f32 rounding of the
+    cell-edge shift (cell edge >= rc plus the rounding margin), and
+    (b) the SMALLEST sentinel stays outside the cutoff of every real
+    particle: a real y_local <= edge against a sentinel shifted by
+    -edge demands SENTINEL_SCALE - 2*edge > rc (huge cells would
+    otherwise bring sentinels inside the cutoff)."""
     import numpy as np
 
-    edge = float(min(cell_len))
+    edge_lo = float(min(cell_len))
+    edge_hi = float(max(cell_len))
     ulp = float(np.spacing(np.float32(SENTINEL_SCALE * (1 + cap))))
-    return (edge - 2.0 * ulp) ** 2 >= rc2
+    gap = SENTINEL_SCALE - 2.0 * edge_hi
+    return (edge_lo - 2.0 * ulp) ** 2 >= rc2 and gap > 0 and gap ** 2 > rc2
 
 
 def _lj_row_kernel(

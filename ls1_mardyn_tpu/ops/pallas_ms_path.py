@@ -53,7 +53,22 @@ class PallasMultiSitePath:
         self.jw = 0
         if spec.cap > 128:
             win = (tx + 2 * HX) * spec.cap
-            self.jw = 128 if (not interpret or win % 128 == 0) else spec.cap
+            if interpret:
+                self.jw = spec.cap  # always divides win
+            else:
+                # compiled chunks must be a multiple of 128 AND divide
+                # the window; no such chunk (e.g. cap=160, win=960) =>
+                # AssertionError here so the driver falls back to the
+                # general traversal instead of crashing at trace time
+                self.jw = next(
+                    (j for j in (128, 256, 384, 512)
+                     if win % j == 0), 0,
+                )
+                assert self.jw, (
+                    f"multi-site Pallas kernel: no 128-multiple j chunk "
+                    f"divides window {win} (cap={spec.cap}, tx={tx}); "
+                    "use the general traversal"
+                )
             assert spec.cap <= 1024, (
                 f"multi-site Pallas kernel: cap={spec.cap} row blocks "
                 "exceed vmem; use the general traversal"

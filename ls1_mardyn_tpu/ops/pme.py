@@ -188,15 +188,6 @@ def _spread_flat(lin, vals, ng: int, dtype):
     return csum[edges[1:]] - csum[edges[:-1]]
 
 
-def spread_charges(rs, wq, box, grid, p, dtype):
-    """Charge mesh Q [G1,G2,G3] from site positions/charges."""
-    giw = _grid_indices_weights(rs, wq, box, grid, p, dtype)
-    vals = (wq[:, None] * giw["W"]).reshape(-1)
-    lin = giw["lin"].reshape(-1)
-    ng = int(np.prod(grid))
-    return _spread_flat(lin, vals, ng, dtype).reshape(grid)
-
-
 def _recip_kernel(box, grid, alpha, dtype):
     """G(k) * |b1 b2 b3|^2 on the FFT mesh (numpy, trace-time const)."""
     box = np.asarray(box, float)

@@ -402,11 +402,6 @@ class Mesh3DSimulation:
         Pn = pack.shape[1]
         g = jnp.where(ok[..., None], pack[safe], 0.0)  # [nzl, nyl, W, P]
 
-        def edge_shift(axis_name, coord, gridn, plane, L):
-            """One-hot plane shift vector applied on the periodic link."""
-            sv = jnp.zeros((Pn,), dtype).at[plane].set(L)
-            return sv
-
         # x halo lanes: ppermute edge cell columns along ddx (or local
         # wrap when gx == 1)
         sx = jnp.zeros((Pn,), dtype).at[0].set(cfg.box[0])

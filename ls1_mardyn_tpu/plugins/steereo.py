@@ -126,7 +126,10 @@ class SteereoControl(PluginBase):
             except queue.Empty:
                 pass
         if self._stop:
-            # finish after this step (the loop_abort_time mechanism)
+            # finish after this step (one-shot: a later run() on the
+            # same simulation starts fresh)
+            self._stop = False
+            self._paused = False
             sim.run_abort = True
 
     def _apply(self, sim, cmd):

@@ -92,13 +92,21 @@ class VTKGridWriter(PluginBase):
         bins = bin_particles(mol.r, mol.valid, spec)
         counts = np.asarray(bins.counts)  # z-major linear ids
         nx, ny, nz = spec.dims
-        clx, cly, clz = spec.cell_len
+        clx = spec.box[0] / nx
+        cly = spec.box[1] / ny
+        # z vertex positions honor non-uniform rows (adaptive z edges)
+        if spec.z_edges is not None:
+            zpos = np.asarray(spec.z_edges)
+        else:
+            zpos = np.arange(nz + 1) * (spec.box[2] / nz)
         # vertex lattice (nx+1, ny+1, nz+1)
         vx, vy, vz = nx + 1, ny + 1, nz + 1
         zz, yy, xx = np.meshgrid(
             np.arange(vz), np.arange(vy), np.arange(vx), indexing="ij"
         )
-        pts = np.stack([xx * clx, yy * cly, zz * clz], -1).reshape(-1, 3)
+        pts = np.stack(
+            [xx * clx, yy * cly, zpos[zz]], -1
+        ).reshape(-1, 3)
 
         def vid(ix, iy, iz):
             return (iz * vy + iy) * vx + ix
