@@ -359,7 +359,18 @@ class RMMSimulation:
         c3 = np.clip(np.floor(r64 / cl).astype(np.int64), 0,
                      np.asarray(spec.dims) - 1)
         local = (r64 - c3 * cl).astype(np.float64)
-        bins = bin_particles(mol.r, mol.valid, spec)
+        # bin by the SAME host-f64 cell assignment that defined the
+        # locals: an independent f32 device binning can disagree on
+        # boundary-exact coordinates (lattice scenes put thousands of
+        # molecules exactly on cell planes), and a slot whose local is
+        # relative to a different cell's origin is displaced by a whole
+        # cell edge -- garbage forces
+        from ls1_mardyn_tpu.ops.cells import bin_by_id
+
+        cell_host = (
+            (c3[:, 2] * spec.dims[1] + c3[:, 1]) * spec.dims[0] + c3[:, 0]
+        ).astype(np.int32)
+        bins = bin_by_id(jnp.asarray(cell_host), mol.valid, spec)
         idx = bins.slots.reshape(-1)
         safe = jnp.clip(idx, 0, mol.capacity - 1)
         ok = (idx >= 0) & mol.valid[safe]
