@@ -62,6 +62,25 @@ class MDSimulation:
             if phase_space_data is not None
             else self._load_phasespace(config)
         )
+        # vacuum-dominated scenes with the inhomogeneity along x or y
+        # (e.g. ExplodingLiquid: a thin y-slab in a 4.5x elongated box):
+        # the adaptive non-uniform rows only exist along z, so swap the
+        # emptiest axis onto z in the ENGINE frame.  Only orientation-
+        # free scenes (all sites at the molecular origin, no dipoles/
+        # quadrupoles) are swap-safe, and plugins/checkpoints see the
+        # original frame (accessors swap back).
+        self._axis_swap = self._detect_swap_axis(data, config)
+        if self._axis_swap is not None:
+            perm = self._swap_perm()
+            data.r = data.r[:, perm]
+            data.v = data.v[:, perm]
+            data.L = data.L[:, perm]
+            data.box = np.asarray(data.box, float)[perm]
+            global_log.info(
+                "engine frame: axis %d swapped onto z (vacuum-dominated "
+                "scene; adaptive rows + slab machinery are z-native)",
+                self._axis_swap,
+            )
         self.phase_space = data
         self.table = ComponentTable(
             data.components,
@@ -188,6 +207,31 @@ class MDSimulation:
             therm_temps = tuple(
                 data.thermostat_temps.get(t, config.temperature) for t in tids
             )
+        # TemperatureControl regions (region coords follow the engine
+        # frame when an axis swap is active); they REPLACE the global
+        # velocity-scaling thermostat (Simulation.cpp:1137-1140)
+        tc_regions = ()
+        if config.temp_control:
+            from ls1_mardyn_tpu.ops.thermostat import (
+                TemperatureControlRegion,
+            )
+
+            perm = (
+                self._swap_perm() if self._axis_swap is not None
+                else [0, 1, 2]
+            )
+            tc_regions = tuple(
+                TemperatureControlRegion(
+                    lower=tuple(np.asarray(d["lower"], float)[perm]),
+                    upper=tuple(np.asarray(d["upper"], float)[perm]),
+                    target_temperature=float(d["target_temperature"]),
+                    frequency=int(d["frequency"]),
+                    exponent=float(d["exponent"]),
+                    component=int(d["component"]),
+                )
+                for d in config.temp_control
+            )
+            thermo = False
         sim_cfg = SimConfig(
             dt=config.timestep,
             target_temperature=config.temperature or data.temperature,
@@ -199,6 +243,7 @@ class MDSimulation:
             component_thermostat=comp_therm,
             thermostat_temps=therm_temps,
             z_edges=tuple(self._z_edges) if self._z_edges else None,
+            temp_control_regions=tc_regions,
         )
         import dataclasses as _dc
 
@@ -441,6 +486,54 @@ class MDSimulation:
             p.init(self)
 
     # -- construction helpers ----------------------------------------------
+    def _swap_perm(self):
+        """Column permutation exchanging the swap axis with z."""
+        perm = [0, 1, 2]
+        perm[self._axis_swap], perm[2] = perm[2], perm[self._axis_swap]
+        return perm
+
+    # plugins known to be frame-agnostic (they read state via
+    # molecules()/write_checkpoint, which un-swap); anything else
+    # blocks the axis swap
+    _SWAP_SAFE_PLUGINS = {
+        "ResultWriter", "CheckpointWriter", "XyzWriter",
+        "EnergyLogWriter", "MaxWriter", "SysMonOutput", "TimerWriter",
+        "FlopRateWriter", "TestPlugin", "ExamplePlugin",
+        "SteereoControl", "MaxCheck",
+    }
+
+    @classmethod
+    def _detect_swap_axis(cls, data, config):
+        """Pick x or y as the engine z axis when it is markedly emptier
+        (row-occupancy-wise) than z itself -- the signal that the
+        scene's inhomogeneity is normal to that axis."""
+        n = len(data.mid)
+        if n == 0 or config.longrange.lower() == "planar":
+            return None
+        for spec_ in list(config.output_plugins) + list(config.plugins):
+            if spec_.name not in cls._SWAP_SAFE_PLUGINS:
+                return None
+        for c in data.components:
+            if c.dipoles or c.quadrupoles or c.is_stockmayer:
+                return None
+            for s in list(c.ljcenters) + list(c.charges):
+                if np.any(np.abs(np.asarray(s.r)) > 1e-12):
+                    return None
+        box = np.asarray(data.box, float)
+        rc = max(config.cutoff, config.lj_cutoff)
+        if rc <= 0:
+            return None
+        empties = []
+        for a in range(3):
+            rows = max(4, int(box[a] / rc))
+            hist = np.histogram(data.r[:, a], bins=rows,
+                                range=(0, box[a]))[0]
+            empties.append((hist == 0).mean())
+        best = int(np.argmax(empties))
+        if best != 2 and empties[best] > max(0.5, empties[2] + 0.25):
+            return best
+        return None
+
     @staticmethod
     def from_xml(path: str, **kw) -> "MDSimulation":
         return MDSimulation(read_xml_config(path), **kw)
@@ -513,24 +606,42 @@ class MDSimulation:
             raise NotImplementedError(f"generator {name}")
         raise ValueError("config has neither phasespacepoint file nor generator")
 
-    # -- plugin-facing accessors -------------------------------------------
+    # -- plugin-facing accessors (always the ORIGINAL frame) ---------------
     def molecules(self) -> MoleculeState:
-        return self.engine.mol
+        mol = self.engine.mol
+        if self._axis_swap is not None:
+            import dataclasses as _dc
+
+            perm = jnp.asarray(self._swap_perm())
+            mol = _dc.replace(
+                mol, r=mol.r[:, perm], v=mol.v[:, perm], L=mol.L[:, perm]
+            )
+        return mol
 
     def forces_array(self):
-        return self.engine.forces.F if self.engine.forces else None
+        if self.engine.forces is None:
+            return None
+        F = self.engine.forces.F
+        if self._axis_swap is not None:
+            F = F[:, jnp.asarray(self._swap_perm())]
+        return F
 
     def _export_phasespace(self) -> PhaseSpaceData:
-        """Current device state -> PhaseSpaceData (the in-memory
-        snapshot used by checkpoints and the adaptive re-spec)."""
-        mol = self.engine.mol
+        """Current device state -> PhaseSpaceData in the ORIGINAL frame
+        (the in-memory snapshot used by checkpoints and the adaptive
+        re-spec)."""
+        mol = self.molecules()
         valid = np.asarray(mol.valid)
+        box = self.box
+        if self._axis_swap is not None:
+            # a transposition is its own inverse
+            box = np.asarray(box)[self._swap_perm()]
         return PhaseSpaceData(
             components=self.table.components,
             mixing_xi=self.table.mixing_xi,
             mixing_eta=self.table.mixing_eta,
             eps_rf=self.table.eps_rf,
-            box=self.box,
+            box=box,
             temperature=self.config.temperature,
             current_time=self.time,
             mid=np.asarray(mol.mid)[valid].astype(np.int64),
@@ -564,13 +675,27 @@ class MDSimulation:
         )
         data = self._export_phasespace()
         cfg = _dc.replace(self.config, output_plugins=[], plugins=[])
+        # re-MEASURE from the current state first (cell_cap=0): this
+        # re-runs the axis-swap/adaptive-row detection too, which an
+        # explicit cap would skip (a vacuum-dominated scene must not
+        # fall back to the uniform full-grid memory footprint); only
+        # force the doubled cap if measurement made no progress
         rebuilt = MDSimulation(
             cfg, dtype=self.dtype, force_mode=self._force_mode,
-            cell_cap=new_cap, phase_space_data=data,
+            cell_cap=0, phase_space_data=data,
         )
-        # transplant the rebuilt engine; clock, plugins, ensembles and
-        # counters live on self and continue
+        if rebuilt.engine.config.cell_cap <= self.engine.config.cell_cap:
+            rebuilt = MDSimulation(
+                cfg, dtype=self.dtype, force_mode=self._force_mode,
+                cell_cap=new_cap, phase_space_data=data,
+            )
+        # transplant the rebuilt engine (and its frame bookkeeping --
+        # the accessors translate through self._axis_swap); clock,
+        # plugins, ensembles and counters live on self and continue
         self.engine = rebuilt.engine
+        self._axis_swap = rebuilt._axis_swap
+        self._z_edges = rebuilt._z_edges
+        self.box = rebuilt.box
         self.engine._step_count = self.step
         self.engine.prepare_start()
 
@@ -637,6 +762,17 @@ class MDSimulation:
                     float(gv.pressure),
                 )
             if self.step % check_every == 0 or k == steps:
+                # NaN watchdog FIRST: re-spec'ing garbage state would
+                # only rebuild and re-crash (Simulation.cpp:1236-1239)
+                if not (
+                    np.isfinite(float(gv.upot))
+                    and np.isfinite(float(gv.temperature))
+                ):
+                    raise RuntimeError(
+                        f"NaN/Inf detected at step {self.step} "
+                        f"(T={float(gv.temperature)}, "
+                        f"Upot={float(gv.upot)}); aborting"
+                    )
                 if bool(overflow):
                     # adaptive re-spec instead of aborting (the dynamic
                     # load-balancing slot; see _respec_cell_cap)
@@ -648,17 +784,6 @@ class MDSimulation:
                         )
                     self._respec_cell_cap(2 * cap)
                     eng = self.engine
-                # NaN watchdog: abort instead of simulating garbage
-                # (Simulation.cpp:1236-1239)
-                if not (
-                    np.isfinite(float(gv.upot))
-                    and np.isfinite(float(gv.temperature))
-                ):
-                    raise RuntimeError(
-                        f"NaN/Inf detected at step {self.step} "
-                        f"(T={float(gv.temperature)}, "
-                        f"Upot={float(gv.upot)}); aborting"
-                    )
             if timed_checkpoint and (_time.time() - t_start) > timed_checkpoint:
                 # walltime-forced checkpoint (Simulation.cpp:1169-1175)
                 self.write_checkpoint("timed.restart.dat")

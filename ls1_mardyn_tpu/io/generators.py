@@ -144,11 +144,22 @@ def cubic_grid(
         c = Component(cid=0)
         c.add_ljcenter(0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 0.0, False)
         components = [c]
-    # two interleaved lattices -> 2*k^3 >= n
-    k = int(np.ceil((num_molecules / 2.0) ** (1.0 / 3.0)))
-    spacing = box / k
-    idx = np.arange(k)
-    g = np.stack(np.meshgrid(idx, idx, idx, indexing="ij"), -1).reshape(-1, 3)
+    # two interleaved lattices with per-axis counts PROPORTIONAL to the
+    # box edges (2*kx*ky*kz >= n); a single shared count would squeeze
+    # the short axes of anisotropic boxes into overlapping spacings
+    vol = float(np.prod(box))
+    base = (num_molecules / (2.0 * vol)) ** (1.0 / 3.0)
+    k3 = np.maximum(1, np.ceil(base * box).astype(int))
+    while 2 * int(np.prod(k3)) < num_molecules:
+        k3[int(np.argmin(k3 / box))] += 1
+    spacing = box / k3
+    g = np.stack(
+        np.meshgrid(
+            np.arange(k3[0]), np.arange(k3[1]), np.arange(k3[2]),
+            indexing="ij",
+        ),
+        -1,
+    ).reshape(-1, 3)
     a = (g + 0.25) * spacing
     b = (g + 0.75) * spacing
     r = np.concatenate([a, b], axis=0)[:num_molecules]

@@ -70,6 +70,9 @@ class XMLConfig:
     plugins: List[PluginSpec] = dataclasses.field(default_factory=list)
     refunits: Dict[str, tuple] = dataclasses.field(default_factory=dict)
     thermostat_type: Optional[str] = None
+    # TemperatureControl regions (thermostats/TemperatureControl.cpp):
+    # dicts with lower/upper/target_temperature/frequency/exponent/component
+    temp_control: List[dict] = dataclasses.field(default_factory=list)
     electrostatic_solver: Optional[str] = None  # None | "Ewald"
     ewald_accuracy: float = 1e-5
     ewald_method: str = "auto"  # auto | direct | pme
@@ -294,6 +297,41 @@ def _read_body(sim: ET.Element, cfg: XMLConfig, base_dir: str) -> XMLConfig:
         th = algo.find("thermostats/thermostat")
         if th is not None:
             cfg.thermostat_type = th.get("type")
+            if cfg.thermostat_type == "TemperatureControl":
+                freq = int(_get(th, "control/frequency", 1.0) or 1)
+
+                def _coord(reg, tag, axis):
+                    el_ = reg.find(f"coords/{tag}")
+                    if el_ is None or el_.text is None:
+                        return 0.0
+                    txt = el_.text.strip()
+                    if txt == "box":  # domain edge (TemperatureControl.cpp)
+                        # the ensemble (box) parses after <algorithm>;
+                        # +inf is equivalent for the r < upper test
+                        return float("inf")
+                    return _value(el_)
+
+                for reg in th.findall("regions/region"):
+                    lower = tuple(
+                        _coord(reg, f"lc{a}", i)
+                        for i, a in enumerate("xyz")
+                    )
+                    upper = tuple(
+                        _coord(reg, f"uc{a}", i)
+                        for i, a in enumerate("xyz")
+                    )
+                    comp = int(_get(reg, "target/component", 0.0) or 0)
+                    cfg.temp_control.append(dict(
+                        lower=lower,
+                        upper=upper,
+                        target_temperature=_get(
+                            reg, "target/temperature", 0.0
+                        ),
+                        frequency=max(freq, 1),
+                        exponent=_get(reg, "settings/exponent", 0.4),
+                        # reference: component 0 == all components
+                        component=comp - 1,
+                    ))
 
     ens = sim.find("ensemble")
     if ens is not None:
