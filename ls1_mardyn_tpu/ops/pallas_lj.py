@@ -140,6 +140,14 @@ def _lj_row_kernel(
         # lanes (no MXU transpose needed on either load or store side).
         # Selector matmuls Bc broadcast plane c of H^T across the i
         # lanes on the otherwise-idle MXU.
+        # F32 HAZARD ON REAL TPU HARDWARE: a default-precision f32
+        # dot_general executes as a single bf16 pass, so the j
+        # coordinates that ride through these selector matmuls are
+        # rounded to an 8-bit mantissa -- measured 1e-2 relative force
+        # error at cell edge ~2.9 (interpret-mode tests cannot see
+        # this).  Use lj_cell_forces_pallas_lanej for production f32
+        # runs; this path remains the f64/interpret reference and a
+        # layout testbed.
         sub4c = jax.lax.broadcasted_iota(jnp.int32, (NPLANE, txc), 0)
         Bsel = [(sub4c == c).astype(out_dtype) for c in range(NPLANE)]
         wlT = jax.lax.broadcasted_iota(jnp.int32, (win, txc), 0)
@@ -465,6 +473,590 @@ def lj_cell_forces_pallas(
         ),
         interpret=interpret,
     )(r_i, *([r_j] * 9))
+    scal = out[:, :, 3, :].reshape(nz, ny, nx // tx, tx * cap)
+    u6 = jnp.sum(scal[..., 0])
+    vir = jnp.sum(scal[..., 1])
+    return out, u6, vir
+
+
+def _lj_lanej_kernel(
+    i_ref,
+    *refs,
+    nx: int,
+    cap: int,
+    tx: int,
+    ny: int,
+    nz: int,
+    box: Tuple[float, float, float],
+    eps24: float,
+    sig2: float,
+    shift6: float,
+    rc2: float,
+    compute_macro: bool,
+    hx: int,
+    sentinel: bool,
+    fast_recip: bool,
+    defer: bool,
+    out_dtype,
+):
+    """Lane-major-j kernel: i slots on sublanes, j window on lanes.
+
+    Rationale (measured on v5e, tools/ablate_kernel.py): every per-row
+    mechanism that moves j planes onto sublanes is expensive -- selector
+    matmuls ~73 ms/step (MXU K=4-utilization-bound), Mosaic transpose
+    ~37 ms, lane broadcast ~130 ms.  With j on LANES the per-row j-plane
+    extraction is three 4-sublane row sums (nearly free), and the only
+    transposes are per TILE: one K=txc matmul for the i planes in and
+    three [txc,1]->[1,txc] identity matmuls for the forces out.  The
+    price is the 192->256 lane pad of the j window (+33% VPU) -- a good
+    trade.
+
+    defer=True additionally accumulates fac*dr per-row into [txc, win]
+    accumulators and performs the cross-lane force reductions once per
+    tile instead of once per row.
+
+    PRECISION NOTE: this kernel moves coordinates between lane- and
+    sublane-major with Mosaic's exact .T transpose, never with identity
+    MATMULS -- on TPU a default-precision f32 dot_general executes as a
+    single bf16 pass, which rounds whatever rides through it to an
+    8-bit mantissa (measured 1e-2 relative force error in the selector-
+    matmul jt kernel on hardware; interpret-mode golden tests cannot
+    see this)."""
+    row_refs = refs[:9]
+    f_ref = refs[9]
+    _bx, by, bz = box
+    txc = tx * cap
+    win = (tx + 2 * hx) * cap
+    n_tiles = nx // tx
+
+    e24 = jnp.asarray(eps24, out_dtype)
+    s2 = jnp.asarray(sig2, out_dtype)
+    sh6 = jnp.asarray(shift6, out_dtype)
+    cut2 = jnp.asarray(rc2, out_dtype)
+
+    lane4 = jax.lax.broadcasted_iota(jnp.int32, (1, NPLANE), 1)
+    oh = [(lane4 == c).astype(out_dtype) for c in range(NPLANE)]
+    sub4 = jax.lax.broadcasted_iota(jnp.int32, (NPLANE, 1), 0)
+    ohr = [(sub4 == c).astype(out_dtype) for c in range(NPLANE)]
+
+    clx = _bx / nx
+    cly = by / ny
+    clz = bz / nz
+    il = jax.lax.broadcasted_iota(jnp.int32, (txc, win), 0)
+    jl = jax.lax.broadcasted_iota(jnp.int32, (txc, win), 1)
+    not_self = jl != il + hx * cap
+    xoff = ((il // cap) - (jl // cap) + hx).astype(out_dtype) * clx
+
+    lane_txc = jax.lax.broadcasted_iota(jnp.int32, (1, txc), 1)
+    lane0 = (lane_txc == 0).astype(out_dtype)
+    lane1 = (lane_txc == 1).astype(out_dtype)
+
+    def tile(t, _):
+        off = pl.multiple_of(t * txc, txc)
+        ti = i_ref[0, 0, :, pl.ds(off, txc)]  # [4, txc]
+        G = ti.T  # [txc, 4] -- exact Mosaic transpose (see kernel doc)
+        xi = jnp.sum(G * oh[0], axis=1, keepdims=True)  # [txc, 1]
+        yi = jnp.sum(G * oh[1], axis=1, keepdims=True)
+        zi = jnp.sum(G * oh[2], axis=1, keepdims=True)
+        if not sentinel:
+            wi = jnp.sum(G * oh[3], axis=1, keepdims=True)
+        u6_t = jnp.zeros((), out_dtype)
+        vir_t = jnp.zeros((), out_dtype)
+        if defer:
+            ax = jnp.zeros((txc, win), out_dtype)
+            ay = jnp.zeros((txc, win), out_dtype)
+            az = jnp.zeros((txc, win), out_dtype)
+            if compute_macro:
+                au = jnp.zeros((txc, win), out_dtype)
+                av = jnp.zeros((txc, win), out_dtype)
+        else:
+            fx = jnp.zeros((txc, 1), out_dtype)
+            fy = jnp.zeros((txc, 1), out_dtype)
+            fz = jnp.zeros((txc, 1), out_dtype)
+        for k, (dz, dy) in enumerate(_OFFS):
+            H = row_refs[k][0, 0, :, pl.ds(off, win)]  # [4, win]
+            xj = jnp.sum(H * ohr[0], axis=0, keepdims=True)  # [1, win]
+            yj = jnp.sum(H * ohr[1], axis=0, keepdims=True)
+            zj = jnp.sum(H * ohr[2], axis=0, keepdims=True)
+            dx = xi - xj + xoff  # [txc, win]
+            dyv = (yi - jnp.asarray(dy * cly, out_dtype)) - yj
+            dzv = (zi - jnp.asarray(dz * clz, out_dtype)) - zj
+            dr2 = dx * dx + dyv * dyv + dzv * dzv
+            mask = dr2 < cut2
+            if not sentinel:
+                wj = jnp.sum(H * ohr[3], axis=0, keepdims=True)
+                mask = mask & (wi * wj > 0.5)
+            if k == _CENTER:
+                mask = mask & not_self
+            if fast_recip:
+                den = jnp.where(mask, dr2, jnp.asarray(1e30, out_dtype))
+                r0 = pl.reciprocal(den, approx=True)
+                invdr2 = r0 * (2.0 - den * r0)
+                mf = mask.astype(out_dtype) if compute_macro else None
+            else:
+                mf = mask.astype(out_dtype)
+                invdr2 = mf / jnp.where(mask, dr2, 1.0)
+            lj6 = s2 * invdr2
+            lj6 = lj6 * lj6 * lj6
+            lj12 = lj6 * lj6
+            lj12m6 = lj12 - lj6
+            fac = e24 * (lj12 + lj12m6) * invdr2
+            if defer:
+                ax = ax + fac * dx
+                ay = ay + fac * dyv
+                az = az + fac * dzv
+                if compute_macro:
+                    au = au + (e24 * lj12m6 + sh6 * mf)
+                    av = av + fac * dr2
+            else:
+                if compute_macro:
+                    u6_t = u6_t + jnp.sum(e24 * lj12m6 + sh6 * mf)
+                    vir_t = vir_t + jnp.sum(fac * dr2)
+                fx = fx + jnp.sum(fac * dx, axis=1, keepdims=True)
+                fy = fy + jnp.sum(fac * dyv, axis=1, keepdims=True)
+                fz = fz + jnp.sum(fac * dzv, axis=1, keepdims=True)
+        if defer:
+            fx = jnp.sum(ax, axis=1, keepdims=True)
+            fy = jnp.sum(ay, axis=1, keepdims=True)
+            fz = jnp.sum(az, axis=1, keepdims=True)
+            if compute_macro:
+                u6_t = jnp.sum(au)
+                vir_t = jnp.sum(av)
+
+        # forces back to lane-major via one exact [txc,4]->[4,txc]
+        # transpose (scalars ride the 4th column)
+        scal_col = jnp.zeros((txc, 1), out_dtype)
+        scal_col = (0.5 * u6_t) * (
+            jax.lax.broadcasted_iota(jnp.int32, (txc, 1), 0) == 0
+        ).astype(out_dtype) + (0.5 * vir_t) * (
+            jax.lax.broadcasted_iota(jnp.int32, (txc, 1), 0) == 1
+        ).astype(out_dtype)
+        Fcat = jnp.concatenate([fx, fy, fz, scal_col], axis=1)  # [txc, 4]
+        f_ref[0, 0, :, pl.ds(off, txc)] = Fcat.T
+        return _
+
+    jax.lax.fori_loop(0, n_tiles, tile, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nx", "ny", "nz", "cap", "tx", "box", "eps24", "sig2", "shift6",
+        "rc2", "interpret", "z_halo", "compute_macro", "hx", "sentinel",
+        "fast_recip", "defer",
+    ),
+)
+def lj_cell_forces_pallas_lanej(
+    r_i: jnp.ndarray,  # [nz, ny, 4, nx*cap]
+    r_j: jnp.ndarray,  # [nz(+2), ny, 4, (nx+2*hx)*cap]
+    *,
+    nx: int,
+    ny: int,
+    nz: int,
+    cap: int,
+    tx: int,
+    box: Tuple[float, float, float],
+    eps24: float,
+    sig2: float,
+    shift6: float,
+    rc2: float,
+    interpret: bool = False,
+    z_halo: bool = False,
+    compute_macro: bool = True,
+    hx: int = HX,
+    sentinel: bool = False,
+    fast_recip: bool = False,
+    defer: bool = True,
+):
+    """Lane-major-j variant of lj_cell_forces_pallas (see
+    _lj_lanej_kernel).  Cell-local coordinates only.  Same output
+    contract as the other kernels."""
+    Wj = (nx + 2 * hx) * cap
+    nzj = nz + 2 if z_halo else nz
+    assert r_i.shape == (nz, ny, NPLANE, nx * cap), r_i.shape
+    assert r_j.shape == (nzj, ny, NPLANE, Wj), r_j.shape
+    assert nx % tx == 0
+    if not interpret:
+        assert (tx * cap) % 128 == 0
+    out_dtype = r_i.dtype
+
+    i_spec = pl.BlockSpec(
+        (1, 1, NPLANE, nx * cap), lambda z, y: (z, y, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    zmap = (lambda z, dz: z + dz + 1) if z_halo else (lambda z, dz: (z + dz) % nz)
+    jmap = lambda z, y, dz, dy: (zmap(z, dz), (y + dy) % ny, 0, 0)
+    j_specs = [
+        pl.BlockSpec(
+            (1, 1, NPLANE, Wj),
+            functools.partial(jmap, dz=dz, dy=dy),
+            memory_space=pltpu.VMEM,
+        )
+        for dz, dy in _OFFS
+    ]
+    out_spec = pl.BlockSpec(
+        (1, 1, NPLANE, nx * cap), lambda z, y: (z, y, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kernel = functools.partial(
+        _lj_lanej_kernel,
+        nx=nx,
+        cap=cap,
+        tx=tx,
+        ny=ny,
+        nz=nz,
+        box=box,
+        eps24=eps24,
+        sig2=sig2,
+        shift6=shift6,
+        rc2=rc2,
+        compute_macro=compute_macro,
+        hx=hx,
+        sentinel=sentinel,
+        fast_recip=fast_recip,
+        defer=defer,
+        out_dtype=out_dtype,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(nz, ny),
+        in_specs=[i_spec] + j_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((nz, ny, NPLANE, nx * cap), out_dtype),
+        interpret=interpret,
+    )(r_i, *([r_j] * 9))
+    scal = out[:, :, 3, :].reshape(nz, ny, nx // tx, tx * cap)
+    u6 = jnp.sum(scal[..., 0])
+    vir = jnp.sum(scal[..., 1])
+    return out, u6, vir
+
+
+def _lj_n3l_kernel(
+    i_ref,
+    j0_ref,
+    jp_ref,
+    f_ref,
+    jacc_ref,
+    *,
+    nx: int,
+    cap: int,
+    tx: int,
+    ny: int,
+    nz: int,
+    box: Tuple[float, float, float],
+    eps24: float,
+    sig2: float,
+    shift6: float,
+    rc2: float,
+    compute_macro: bool,
+    hx: int,
+    sentinel: bool,
+    fast_recip: bool,
+    pj: int,
+    out_dtype,
+):
+    """Newton-3rd-law z-banded kernel: 5 row offsets instead of 9.
+
+    The reference halves pair work with forward-neighbor C08 offsets +
+    force exchange (C08BasedTraversals.h:122-126); round 1 recomputed
+    both directions because the j-force scatter looked expensive.  This
+    kernel gets N3L without any scatter: each program owns z-plane z and
+    evaluates only the offsets {(dz=0,dy=0) self, (0,+1), (1,-1), (1,0),
+    (1,+1)}; the j-side forces (-sum over i of the pair force) are
+    accumulated into a second output `jacc` indexed by the *j* row --
+    rows of plane z at slot 0, rows of plane z+1 at slot 1 -- and folded
+    onto the force field afterwards by pure slicing/rolling in XLA (the
+    jacc block for program z is private, so there are no cross-program
+    write races; TPU grids execute sequentially anyway).
+
+    Per-offset math is restructured around ONE selector matmul: the
+    [pj, win] j tile (with the window x-origin folded into its x row) is
+    contracted with a per-tile matrix Baug [pj, 4*txc] whose blocks
+    produce dx, dy, dz (and the validity broadcast) directly:
+      D[:, c*txc+l] = (i_c[l] - j_c[w])        for c in {x,y,z}
+    using the j validity row as the carrier of the i-side constants
+    (valid==1 for every real slot; invalid slots are masked anyway).
+    This replaces the three per-plane broadcast matmuls AND the three
+    vector subtractions of the jt kernel.  The j-side force sums ride
+    one K=3*txc matmul; the [win,4] result transposes to lane-major via
+    the identity-matmul trick.
+
+    Requires nz >= 3 and ny >= 3 (with 2 planes, z+1 == z-1 and pairs
+    would be double-counted).
+    """
+    _bx, by, bz = box
+    txc = tx * cap
+    win = (tx + 2 * hx) * cap
+    n_tiles = nx // tx
+
+    e24 = jnp.asarray(eps24, out_dtype)
+    s2 = jnp.asarray(sig2, out_dtype)
+    sh6 = jnp.asarray(shift6, out_dtype)
+    cut2 = jnp.asarray(rc2, out_dtype)
+
+    sub4 = jax.lax.broadcasted_iota(jnp.int32, (NPLANE, 1), 0)
+    ohr = [(sub4 == c).astype(out_dtype) for c in range(NPLANE)]
+
+    clx = _bx / nx
+    cly = by / ny
+    clz = bz / nz
+
+    # validity-row index in the j tile used to carry the i-side
+    # constants into the D matmul (valid == 1 for every real slot)
+    VROW = 3
+    nblk = 3 if sentinel else 4
+    NW = nblk * txc
+
+    wlT = jax.lax.broadcasted_iota(jnp.int32, (win, txc), 0)
+    ilT = jax.lax.broadcasted_iota(jnp.int32, (win, txc), 1)
+    not_selfT = wlT != ilT + hx * cap
+
+    # window x-origin per j slot, folded into the j x row: [pj, win]
+    subP_w = jax.lax.broadcasted_iota(jnp.int32, (pj, win), 0)
+    wlane = jax.lax.broadcasted_iota(jnp.int32, (1, win), 1)
+    xoffw = (subP_w == 0).astype(out_dtype) * (
+        (wlane // cap).astype(out_dtype) * clx
+    )
+
+    # Baug scaffolding: rows 0..2 put -1 on their own coordinate block
+    # (-> -j_c); row VROW carries [xi_w | yis | zis (| 1)] (-> +i_c)
+    subP_N = jax.lax.broadcasted_iota(jnp.int32, (pj, NW), 0)
+    laneN = jax.lax.broadcasted_iota(jnp.int32, (pj, NW), 1)
+    blkN = laneN // txc
+    negP = -((subP_N == blkN) & (blkN < 3)).astype(out_dtype)
+    vrowN = (subP_N == VROW).astype(out_dtype)
+
+    # i-lane window x coordinate offset [1, txc]
+    lane_txc = jax.lax.broadcasted_iota(jnp.int32, (1, txc), 1)
+    xoffi = ((lane_txc // cap) + hx).astype(out_dtype) * clx
+    lane0 = (lane_txc == 0).astype(out_dtype)
+    lane1 = (lane_txc == 1).astype(out_dtype)
+    ones_i = jnp.ones((1, txc), out_dtype)
+
+    # j-force column selector [3*txc, NPLANE] and transpose identity
+    subS = jax.lax.broadcasted_iota(jnp.int32, (3 * txc, NPLANE), 0)
+    laneS = jax.lax.broadcasted_iota(jnp.int32, (3 * txc, NPLANE), 1)
+    Ssel = ((subS // txc) == laneS).astype(out_dtype)
+    iw = jax.lax.broadcasted_iota(jnp.int32, (win, win), 0)
+    jw = jax.lax.broadcasted_iota(jnp.int32, (win, win), 1)
+    identW = (iw == jw).astype(out_dtype)
+
+    # (dz, dy, jslot, weight, do_fj); jslot: 0 = own plane, 1 = z+1
+    offsets = (
+        (0, 0, 0, 0.5, False),
+        (0, 1, 0, 1.0, True),
+        (1, -1, 1, 1.0, True),
+        (1, 0, 1, 1.0, True),
+        (1, 1, 1, 1.0, True),
+    )
+
+    jacc_ref[...] = jnp.zeros(jacc_ref.shape, out_dtype)
+
+    def yrow(y, _):
+        def tile(t, __):
+            off = pl.multiple_of(t * txc, txc)
+            ti = i_ref[0, y, :, pl.ds(off, txc)]  # [4, txc]
+            u6_t = jnp.zeros((), out_dtype)
+            vir_t = jnp.zeros((), out_dtype)
+
+            xi = jnp.sum(ti * ohr[0], axis=0, keepdims=True) + xoffi
+            yi = jnp.sum(ti * ohr[1], axis=0, keepdims=True)
+            zi = jnp.sum(ti * ohr[2], axis=0, keepdims=True)
+            if not sentinel:
+                wi = jnp.sum(ti * ohr[3], axis=0, keepdims=True)
+            fx = jnp.zeros((1, txc), out_dtype)
+            fy = jnp.zeros((1, txc), out_dtype)
+            fz = jnp.zeros((1, txc), out_dtype)
+
+            for dzi, dy, jslot, wgt, do_fj in offsets:
+                jref = j0_ref if dzi == 0 else jp_ref
+                yj = jax.lax.rem(y + dy + ny, ny)
+                H = jref[0, yj, :, pl.ds(off, win)]  # [pj, win]
+                Hs = H + xoffw
+                yis = yi - jnp.asarray(dy * cly, out_dtype)
+                zis = zi - jnp.asarray(dzi * clz, out_dtype)
+                # Baug row VROW = [xi | yis | zis (| 1)] across blocks
+                ivals = [xi, yis, zis]
+                if not sentinel:
+                    ivals.append(ones_i)
+                irow = jnp.concatenate(ivals, axis=1)  # [1, NW]
+                Baug = negP + vrowN * irow
+                D = jax.lax.dot_general(
+                    Hs, Baug, (((0,), (0,)), ((), ())),
+                    preferred_element_type=out_dtype,
+                )  # [win, NW]: blocks dx, dyv, dzv (, wj)
+                dx = D[:, :txc]
+                dyv = D[:, txc : 2 * txc]
+                dzv = D[:, 2 * txc : 3 * txc]
+                dr2 = dx * dx + dyv * dyv + dzv * dzv
+                mask = dr2 < cut2
+                if not sentinel:
+                    wj = D[:, 3 * txc :]
+                    mask = mask & (wj * wi > 0.5)
+                if dzi == 0 and dy == 0:
+                    mask = mask & not_selfT
+                if fast_recip:
+                    den = jnp.where(mask, dr2, jnp.asarray(1e30, out_dtype))
+                    r0 = pl.reciprocal(den, approx=True)
+                    invdr2 = r0 * (2.0 - den * r0)
+                    mf = mask.astype(out_dtype) if compute_macro else None
+                else:
+                    mf = mask.astype(out_dtype)
+                    invdr2 = mf / jnp.where(mask, dr2, 1.0)
+                lj6 = s2 * invdr2
+                lj6 = lj6 * lj6 * lj6
+                lj12 = lj6 * lj6
+                lj12m6 = lj12 - lj6
+                fac = e24 * (lj12 + lj12m6) * invdr2
+                if compute_macro:
+                    w_ = jnp.asarray(wgt, out_dtype)
+                    u6_t = u6_t + w_ * jnp.sum(e24 * lj12m6 + sh6 * mf)
+                    vir_t = vir_t + w_ * jnp.sum(fac * dr2)
+                fac3 = jnp.concatenate([fac, fac, fac], axis=1)
+                pf = D[:, : 3 * txc] * fac3  # [win, 3*txc]
+                psum = jnp.sum(pf, axis=0, keepdims=True)  # [1, 3*txc]
+                fx = fx + psum[:, :txc]
+                fy = fy + psum[:, txc : 2 * txc]
+                fz = fz + psum[:, 2 * txc :]
+                if do_fj:
+                    fjP = jax.lax.dot_general(
+                        pf, Ssel, (((1,), (0,)), ((), ())),
+                        preferred_element_type=out_dtype,
+                    )  # [win, 4]; column 3 is zero
+                    fjT = jax.lax.dot_general(
+                        fjP, identW, (((0,), (0,)), ((), ())),
+                        preferred_element_type=out_dtype,
+                    )  # [4, win]
+                    row = jslot * ny + yj
+                    cur = jacc_ref[0, row, :, pl.ds(off, win)]
+                    jacc_ref[0, row, :, pl.ds(off, win)] = cur - fjT
+
+            scal = u6_t * lane0 + vir_t * lane1
+            out4 = ohr[0] * fx + ohr[1] * fy + ohr[2] * fz + ohr[3] * scal
+            f_ref[0, y, :, pl.ds(off, txc)] = out4
+            return __
+
+        jax.lax.fori_loop(0, n_tiles, tile, 0)
+        return _
+
+    jax.lax.fori_loop(0, ny, yrow, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nx", "ny", "nz", "cap", "tx", "box", "eps24", "sig2", "shift6",
+        "rc2", "interpret", "compute_macro", "hx", "sentinel", "fast_recip",
+    ),
+)
+def lj_cell_forces_pallas_n3l(
+    r_i: jnp.ndarray,  # [nz, ny, 4, nx*cap]
+    r_j: jnp.ndarray,  # [nz, ny, pj, Wj]: x halo only, cell-local coords
+    *,
+    nx: int,
+    ny: int,
+    nz: int,
+    cap: int,
+    tx: int,
+    box: Tuple[float, float, float],
+    eps24: float,
+    sig2: float,
+    shift6: float,
+    rc2: float,
+    interpret: bool = False,
+    compute_macro: bool = True,
+    hx: int = HX,
+    sentinel: bool = False,
+    fast_recip: bool = False,
+):
+    """Newton-3rd-law variant of lj_cell_forces_pallas_zb: 5 offsets
+    instead of 9 (the C08 forward-pair idea, C08BasedTraversals.h:122,
+    realized without scatter: j-side forces accumulate into a second
+    output indexed by j row, folded here by slicing + one z roll).
+
+    Same contract as the other kernels: returns (out [nz,ny,4,nx*cap]
+    with force planes 0..2 and u6/virial one-hots in plane 3; u6; vir).
+    Energies/virial are counted once per pair (not halved).  Requires
+    cell-local coordinates, nz >= 3, ny >= 3."""
+    Wj = (nx + 2 * hx) * cap
+    pj = r_j.shape[2]
+    assert r_i.shape == (nz, ny, NPLANE, nx * cap), r_i.shape
+    assert r_j.shape == (nz, ny, pj, Wj) and pj >= NPLANE, r_j.shape
+    assert nx % tx == 0
+    assert nz >= 3 and ny >= 3, "N3L kernel needs nz>=3, ny>=3"
+    assert nx >= 2 * hx
+    if not interpret:
+        assert (tx * cap) % 128 == 0
+    out_dtype = r_i.dtype
+
+    i_spec = pl.BlockSpec(
+        (1, ny, NPLANE, nx * cap), lambda z: (z, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    j_specs = [
+        pl.BlockSpec(
+            (1, ny, pj, Wj),
+            functools.partial(lambda z, dz: ((z + dz) % nz, 0, 0, 0), dz=dz),
+            memory_space=pltpu.VMEM,
+        )
+        for dz in (0, 1)
+    ]
+    out_specs = [
+        pl.BlockSpec(
+            (1, ny, NPLANE, nx * cap), lambda z: (z, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, 2 * ny, NPLANE, Wj), lambda z: (z, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    kernel = functools.partial(
+        _lj_n3l_kernel,
+        nx=nx,
+        cap=cap,
+        tx=tx,
+        ny=ny,
+        nz=nz,
+        box=box,
+        eps24=eps24,
+        sig2=sig2,
+        shift6=shift6,
+        rc2=rc2,
+        compute_macro=compute_macro,
+        hx=hx,
+        sentinel=sentinel,
+        fast_recip=fast_recip,
+        pj=pj,
+        out_dtype=out_dtype,
+    )
+    out, jacc = pl.pallas_call(
+        kernel,
+        grid=(nz,),
+        in_specs=[i_spec] + j_specs,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((nz, ny, NPLANE, nx * cap), out_dtype),
+            jax.ShapeDtypeStruct((nz, 2 * ny, NPLANE, Wj), out_dtype),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(r_i, r_j, r_j)
+
+    # fold the j-side accumulations back onto the force field
+    jacc = jacc.reshape(nz, 2, ny, NPLANE, Wj)
+
+    def foldx(a):
+        main = a[..., hx * cap : (nx + hx) * cap]
+        left = a[..., : hx * cap]
+        right = a[..., (nx + hx) * cap :]
+        main = main.at[..., (nx - hx) * cap :].add(left)
+        main = main.at[..., : hx * cap].add(right)
+        return main
+
+    out = out + foldx(jacc[:, 0]) + jnp.roll(foldx(jacc[:, 1]), 1, axis=0)
     scal = out[:, :, 3, :].reshape(nz, ny, nx // tx, tx * cap)
     u6 = jnp.sum(scal[..., 0])
     vir = jnp.sum(scal[..., 1])

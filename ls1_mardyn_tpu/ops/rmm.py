@@ -121,6 +121,22 @@ class RMMSimulation:
         # than the ~10 VPU ops/pair they remove.  On unthrottled
         # hardware the MXU:VPU ratio is 6x higher -- re-measure there.
         self.zb_gram = False
+        # Newton-3rd-law kernel (lj_cell_forces_pallas_n3l): 5 forward
+        # offsets instead of 9 rows (C08BasedTraversals.h:122-126
+        # forward-pair idea); j-side forces ride a second output folded
+        # back in XLA.  Needs nz >= 3, ny >= 3.
+        nx, ny, nz = spec.dims
+        self.n3l = False
+        # lane-major-j kernel (lj_cell_forces_pallas_lanej): avoids the
+        # per-row j->sublane move cost class entirely (see kernel doc)
+        # and sidesteps the row kernel's selector-matmul bf16 rounding
+        # of j coordinates.  Measured 2026-08-17 (unthrottled session,
+        # tools/ab_kernels.py): 174 ms/step vs row 142 at N=4.2M, and
+        # the defer accumulators spill VMEM at small nx (128-cell rows:
+        # 280 MB of 128 MB).  Off by default until it wins; the row
+        # kernel's measured force error is recorded in TPU_GOLDEN.json.
+        self.lanej = False
+        self.lanej_defer = True
         # approx-reciprocal + Newton instead of IEEE divide (f32 TPU)
         self.fast_recip = not interpret
         self._step_jit = jax.jit(functools.partial(self._step, compute_macro=True))
@@ -150,6 +166,51 @@ class RMMSimulation:
         if hx > 1:
             parts = [pad, left, r_i, right, pad]
         r_j = jnp.concatenate(parts, axis=3)
+        if self.lanej:
+            from ls1_mardyn_tpu.ops.pallas_lj import lj_cell_forces_pallas_lanej
+
+            return lj_cell_forces_pallas_lanej(
+                r_i,
+                r_j,
+                nx=nx,
+                ny=ny,
+                nz=nz,
+                cap=cap,
+                tx=self.tx,
+                box=self.box,
+                eps24=self.eps24,
+                sig2=self.sig2,
+                shift6=self.shift6,
+                rc2=self.rc2,
+                interpret=self.interpret,
+                compute_macro=compute_macro,
+                hx=hx,
+                sentinel=self.sentinel,
+                fast_recip=self.fast_recip,
+                defer=self.lanej_defer,
+            )
+        if self.n3l:
+            from ls1_mardyn_tpu.ops.pallas_lj import lj_cell_forces_pallas_n3l
+
+            return lj_cell_forces_pallas_n3l(
+                r_i,
+                r_j,
+                nx=nx,
+                ny=ny,
+                nz=nz,
+                cap=cap,
+                tx=self.tx,
+                box=self.box,
+                eps24=self.eps24,
+                sig2=self.sig2,
+                shift6=self.shift6,
+                rc2=self.rc2,
+                interpret=self.interpret,
+                compute_macro=compute_macro,
+                hx=hx,
+                sentinel=self.sentinel,
+                fast_recip=self.fast_recip,
+            )
         if self.zb:
             from ls1_mardyn_tpu.ops.pallas_lj import lj_cell_forces_pallas_zb
 
