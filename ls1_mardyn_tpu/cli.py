@@ -88,6 +88,8 @@ def main(argv=None):
             steps=args.steps,
             print_every=args.print_every,
             final_checkpoint=args.final_checkpoint,
+            loop_abort_time=args.loop_abort_time,
+            timed_checkpoint=args.timed_checkpoint,
         )
     else:
         sim = MDSimulation.from_xml(

@@ -43,6 +43,7 @@ class MDSimulation:
         force_mode: str = "auto",  # auto | pallas | cells
         cell_cap: int = 0,
         phase_space_data: Optional[PhaseSpaceData] = None,
+        allow_axis_swap: bool = True,
     ):
         self.config = config
         self.dtype = dtype
@@ -69,7 +70,9 @@ class MDSimulation:
         # free scenes (all sites at the molecular origin, no dipoles/
         # quadrupoles) are swap-safe, and plugins/checkpoints see the
         # original frame (accessors swap back).
-        self._axis_swap = self._detect_swap_axis(data, config)
+        self._axis_swap = (
+            self._detect_swap_axis(data, config) if allow_axis_swap else None
+        )
         if self._axis_swap is not None:
             perm = self._swap_perm()
             data.r = data.r[:, perm]
@@ -220,10 +223,22 @@ class MDSimulation:
                 self._swap_perm() if self._axis_swap is not None
                 else [0, 1, 2]
             )
+
+            def _resolve(coords):
+                # the literal 'box' anchors a coordinate at the domain
+                # edge (TemperatureControl.cpp:105) -- resolvable only
+                # here, where the box is known
+                return np.asarray(
+                    [
+                        self.box[i] if c == "box" else float(c)
+                        for i, c in enumerate(coords)
+                    ]
+                )
+
             tc_regions = tuple(
                 TemperatureControlRegion(
-                    lower=tuple(np.asarray(d["lower"], float)[perm]),
-                    upper=tuple(np.asarray(d["upper"], float)[perm]),
+                    lower=tuple(_resolve(d["lower"])[perm]),
+                    upper=tuple(_resolve(d["upper"])[perm]),
                     target_temperature=float(d["target_temperature"]),
                     frequency=int(d["frequency"]),
                     exponent=float(d["exponent"]),
@@ -476,6 +491,15 @@ class MDSimulation:
         self.last_globals = None
         self.time = float(data.current_time)
         self.step = 0
+        # heat-capacity sampling (Domain::record_cv, Domain.cpp:779-798),
+        # gated on <equilibration><steps> (the reference's
+        # _initStatistics, Simulation.cpp:196 + CanonicalEnsemble.cpp:
+        # 211-215).  Per-step upot scalars stay on device; folds happen
+        # at watchdog cadence.
+        self._cv_su = 0.0
+        self._cv_suu = 0.0
+        self._cv_n = 0
+        self._cv_win = []
         self._plugins = []
         for spec_ in list(config.output_plugins) + list(config.plugins):
             try:
@@ -642,7 +666,14 @@ class MDSimulation:
             mixing_eta=self.table.mixing_eta,
             eps_rf=self.table.eps_rf,
             box=box,
-            temperature=self.config.temperature,
+            # the EFFECTIVE target (scenes whose target came from the
+            # phase-space file have config.temperature == 0; exporting
+            # the raw config value would silently de-thermostat the
+            # rebuilt engine after a mid-run re-spec)
+            temperature=(
+                self.config.temperature
+                or float(self.engine.config.target_temperature)
+            ),
             current_time=self.time,
             mid=np.asarray(mol.mid)[valid].astype(np.int64),
             cid=np.asarray(mol.cid)[valid],
@@ -699,6 +730,44 @@ class MDSimulation:
         self.engine._step_count = self.step
         self.engine.prepare_start()
 
+    def _fold_cv(self):
+        if self._cv_win:
+            u = np.asarray(jnp.stack(self._cv_win), np.float64)
+            self._cv_win.clear()
+            self._cv_su += float(u.sum())
+            self._cv_suu += float((u * u).sum())
+            self._cv_n += len(u)
+
+    def cv(self) -> float:
+        """Isochoric heat capacity from post-equilibration U statistics
+        (Domain::cv, Domain.cpp:789-798)."""
+        self._fold_cv()
+        gv = self.last_globals
+        if not self._cv_n or gv is None:
+            return 0.0
+        n = float(gv.n)
+        t = float(gv.temperature)
+        if n <= 0 or t <= 0:
+            return 0.0
+        ideal = 1.5 + 0.5 * float(gv.rot_dof) / n
+        conf = (self._cv_suu - self._cv_su**2 / self._cv_n) / (
+            self._cv_n * n * t * t
+        )
+        return ideal + conf
+
+    def retarget_temperature(self, t: float):
+        """Change the thermostat target mid-run (SteereoControl set_t);
+        SimConfig is closed over by the jitted step, so re-jit."""
+        import dataclasses as _dc
+
+        import jax
+
+        eng = self.engine
+        eng.config = _dc.replace(
+            eng.config, target_temperature=float(t), thermostat=True
+        )
+        eng._step_jit = jax.jit(eng._step)
+
     def write_checkpoint(self, path: str, binary: bool = False):
         """Checkpoint compatible with the reference's formats: ASCII
         .inp, or the binary record format + XML header when binary=True
@@ -736,6 +805,11 @@ class MDSimulation:
         # the async pipeline; this bounds the undetected-overflow
         # window instead)
         check_every = min(print_every, 100) if print_every else 100
+        # per-step overflow flags accumulate as device arrays (no
+        # dispatch, no sync) and are read back in ONE stack at each
+        # check -- a transient overflow between checks must not vanish
+        # (it zeroes forces of the overflowed molecules for that step)
+        ovf_window = []
         for k in range(1, steps + 1):
             self.step += 1
             for p in self._plugins:
@@ -745,8 +819,11 @@ class MDSimulation:
             eng.mol, eng.forces, eng.macro, gv, overflow = eng._step_jit(
                 eng.mol, eng.forces, jnp.asarray(eng._step_count, jnp.int32)
             )
+            ovf_window.append(overflow)
             self.last_globals = gv
             self.time += self.config.timestep
+            if self.step > self.config.equilibration_steps:
+                self._cv_win.append(gv.upot)
             if self.gc is not None:
                 eng.mol = self.gc.step(eng.mol, self.pp, self.step)
             for p in self._plugins:
@@ -762,6 +839,7 @@ class MDSimulation:
                     float(gv.pressure),
                 )
             if self.step % check_every == 0 or k == steps:
+                self._fold_cv()
                 # NaN watchdog FIRST: re-spec'ing garbage state would
                 # only rebuild and re-crash (Simulation.cpp:1236-1239)
                 if not (
@@ -773,7 +851,9 @@ class MDSimulation:
                         f"(T={float(gv.temperature)}, "
                         f"Upot={float(gv.upot)}); aborting"
                     )
-                if bool(overflow):
+                any_ovf = bool(np.any(np.asarray(jnp.stack(ovf_window))))
+                ovf_window.clear()
+                if any_ovf:
                     # adaptive re-spec instead of aborting (the dynamic
                     # load-balancing slot; see _respec_cell_cap)
                     cap = self.engine.config.cell_cap

@@ -305,10 +305,12 @@ def _read_body(sim: ET.Element, cfg: XMLConfig, base_dir: str) -> XMLConfig:
                     if el_ is None or el_.text is None:
                         return 0.0
                     txt = el_.text.strip()
-                    if txt == "box":  # domain edge (TemperatureControl.cpp)
-                        # the ensemble (box) parses after <algorithm>;
-                        # +inf is equivalent for the r < upper test
-                        return float("inf")
+                    if txt == "box":  # domain edge (TemperatureControl.cpp:105)
+                        # the ensemble (box) parses after <algorithm>:
+                        # keep the marker, the driver resolves it to the
+                        # box length (lower coords included -- +inf there
+                        # would make the region empty)
+                        return "box"
                     return _value(el_)
 
                 for reg in th.findall("regions/region"):

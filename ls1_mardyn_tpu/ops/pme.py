@@ -94,7 +94,12 @@ def _bsq(G: int, p: int, dtype):
     )  # M_p(j) for j = 0..p-1 at frac 0 -> M_p(0), M_p(1), ...
     ph = np.exp(2.0 * np.pi * 1j * np.outer(m, j) / G)
     den = ph @ Mj[1:p]
-    b2 = 1.0 / np.maximum(np.abs(den) ** 2, 1e-300)
+    # odd interpolation orders make the denominator genuinely vanish at
+    # m = G/2; the standard treatment zeroes that mode (a clamp would
+    # inject a ~1/eps garbage weight instead).  Even orders (4/6, the
+    # reachable ones) never hit this.
+    d2 = np.abs(den) ** 2
+    b2 = np.where(d2 < 1e-10, 0.0, 1.0 / np.maximum(d2, 1e-300))
     return b2.astype(dtype)
 
 

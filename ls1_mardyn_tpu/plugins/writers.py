@@ -56,10 +56,11 @@ class ResultWriter(PluginBase):
         self._u_acc.add(float(gv.upot))
         self._p_acc.add(float(gv.pressure))
         if step % self.write_frequency == 0:
+            cv = sim.cv() if hasattr(sim, "cv") else 0.0
             vals = [
                 float(sim.time), float(gv.upot), self._u_acc.average(),
                 float(gv.pressure), self._p_acc.average(),
-                float(gv.beta_trans), float(gv.beta_rot), 0.0,
+                float(gv.beta_trans), float(gv.beta_rot), cv,
                 int(float(gv.n)),
             ]
             self._f.write(

@@ -115,7 +115,7 @@ def test_temperature_control_regions_from_xml(tmp_path):
     assert cfg.thermostat_type == "TemperatureControl"
     assert len(cfg.temp_control) == 1
     reg = cfg.temp_control[0]
-    assert reg["upper"][0] == float("inf")  # 'box' keyword
+    assert reg["upper"][0] == "box"  # marker; the driver resolves it
     assert reg["upper"][2] == 6.0
     assert reg["component"] == -1  # 0 == all components
     assert reg["target_temperature"] == 0.5

@@ -1,0 +1,117 @@
+"""Multi-chip driver feature parity (VERDICT r1 item 2): plugins are
+decomposition-agnostic (PluginBase.h:63-146 -- every plugin works under
+any decomposition), muVT runs under --parallel, and capacity overflow
+re-specs instead of aborting."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ls1_mardyn_tpu.io.xml_config import PluginSpec, XMLConfig
+from ls1_mardyn_tpu.parallel.driver import ParallelMDSimulation
+
+P = 8
+
+
+def _cfg(n=500, rho=0.4, T=1.0, plugins=(), ensemble="NVT", steps=10):
+    # elongated z so the slab decomposition has >= P z cell rows
+    Lxy = 7.0
+    Lz = n / (rho * Lxy * Lxy)
+    cfg = XMLConfig(
+        timestep=0.002,
+        temperature=T,
+        box=np.array([Lxy, Lxy, Lz]),
+        cutoff=2.5,
+        lj_cutoff=2.5,
+        steps=steps,
+        ensemble_type=ensemble,
+        generator=PluginSpec(
+            name="CubicGridGenerator", params={"numMolecules": str(n)}
+        ),
+        plugins=[PluginSpec(name=nm, params=dict(pr)) for nm, pr in plugins],
+    )
+    return cfg
+
+
+def test_parallel_nemd_plugins_run(tmp_path):
+    """The Evaporation-class plugin stack (Mirror + MettDeamon +
+    SpatialProfile + MaxCheck) runs under --parallel: every
+    `sim.engine.mol` call site resolves through the gathered facade and
+    mutations re-shard."""
+    os.chdir(tmp_path)
+    cfg = _cfg(
+        plugins=[
+            ("Mirror", {"position": "22.0", "axis": "2", "direction": "1"}),
+            ("MettDeamon", {"interval": "5", "feedrate": "2",
+                            "feedwidth": "2.0", "cid": "1"}),
+            ("SpatialProfile", {"axis": "z", "bins": "16",
+                                "samplefrequency": "2"}),
+            ("MaxCheck", {"interval": "5", "vmax": "50.0"}),
+        ],
+    )
+    sim = ParallelMDSimulation(cfg, n_devices=P, dtype=jnp.float64)
+    assert sim.kind == "slab"
+    gv = sim.run(steps=10, print_every=5)
+    assert np.isfinite(float(gv.upot))
+    assert np.isfinite(float(gv.temperature))
+    mol = sim.molecules()
+    valid = np.asarray(mol.valid)
+    z = np.asarray(mol.r)[valid, 2]
+    assert (z <= 22.0 + 1e-5).all()  # Mirror reflected everything
+    md = next(p for p in sim._plugins
+              if type(p).__name__ == "MettDeamon")
+    assert md.inserted > 0  # the feeder actually inserted molecules
+
+
+def test_parallel_muvt_runs(tmp_path):
+    """muVT under --parallel: SlabGrandCanonical wired through the
+    driver (GrandCanonicalEnsemble.cpp:92-137 under DomainDecomposition
+    in the reference)."""
+    os.chdir(tmp_path)
+    cfg = _cfg(n=400, T=1.5, ensemble="muVT")
+    cfg.chemical_potentials.append(
+        PluginSpec("ChemicalPotential",
+                   {"mu": "0.5", "cid": "1", "interval": "2"})
+    )
+    sim = ParallelMDSimulation(cfg, n_devices=P, dtype=jnp.float64)
+    assert sim.gc is not None
+    gv = sim.run(steps=8, print_every=0)
+    assert np.isfinite(float(gv.upot))
+    assert sim.gc.attempted > 0
+
+
+def test_parallel_overflow_respecs(tmp_path):
+    """Cell-capacity overflow triggers a gather/rebuild/redistribute
+    re-spec (parity with MDSimulation._respec_cell_cap) instead of the
+    round-1 hard RuntimeError."""
+    os.chdir(tmp_path)
+    cfg = _cfg(n=400)
+    sim = ParallelMDSimulation(cfg, n_devices=P, dtype=jnp.float64,
+                               cell_cap=4)
+    cap0 = sim.sim.cfg.cap
+    gv = sim.run(steps=4, print_every=2)
+    assert np.isfinite(float(gv.upot))
+    assert sim.sim.cfg.cap > cap0  # re-spec happened and run resumed
+
+
+def test_parallel_checkpoint_and_snapshot(tmp_path):
+    os.chdir(tmp_path)
+    cfg = _cfg(n=300)
+    sim = ParallelMDSimulation(cfg, n_devices=P, dtype=jnp.float64)
+    sim.run(steps=3, print_every=0)
+    snap = sim.snapshot()
+    gv0 = sim.last_globals
+    sim.run(steps=3, print_every=0)
+    sim.restore(snap)
+    # state restored: one more run from the snapshot reproduces the
+    # same molecule count
+    g = sim.molecules()
+    assert int(np.asarray(g.valid).sum()) == 300
+    sim.write_checkpoint("par.restart.inp")
+    from ls1_mardyn_tpu.io.ascii_reader import read_inp
+
+    data = read_inp("par.restart.inp")
+    assert len(data.mid) == 300
+    assert np.isfinite(float(gv0.upot))
