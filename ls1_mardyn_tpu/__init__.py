@@ -22,5 +22,20 @@ Architecture (TPU-first, not a translation):
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# On TPU a default-precision f32 dot_general executes as a SINGLE bf16
+# pass: every matmul that carries coordinates, forces, or interaction
+# parameters (kernel tile transposes, one-hot selector/mixing-table
+# lookups, Ewald phase matmuls) silently rounds its data to an 8-bit
+# mantissa.  Measured on the real chip (tools/tpu_golden.py, r2): up to
+# 0.43 max-relative force error on the Vectorization scenes and 0.17 on
+# the 1CLJ row kernel -- invisible to interpret-mode f64 tests.  MD
+# positions/forces are never bf16-tolerant, and this framework's hot
+# kernels are VPU-bound (the MXU idles), so exact-f32 multi-pass
+# matmuls are the correct default.  Throughput-critical matmuls that
+# can genuinely tolerate bf16 must opt down per call site.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from ls1_mardyn_tpu.state import MoleculeState, SimState  # noqa: F401
 from ls1_mardyn_tpu.models.components import Component, ComponentTable  # noqa: F401

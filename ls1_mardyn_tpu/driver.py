@@ -243,6 +243,15 @@ class MDSimulation:
                     frequency=int(d["frequency"]),
                     exponent=float(d["exponent"]),
                     component=int(d["component"]),
+                    nslabs=int(d.get("nslabs", 1)),
+                    directions=tuple(d.get("directions", (0, 1, 2))),
+                    ramp_start_t=float(d.get("ramp_start_t", 0.0)),
+                    ramp_end_t=float(d.get("ramp_end_t", 0.0)),
+                    ramp_update_start=int(d.get("ramp_update_start", 0)),
+                    ramp_update_stop=int(d.get("ramp_update_stop", 0)),
+                    ramp_update_freq=int(d.get("ramp_update_freq", 1)),
+                    start=int(d.get("start", 0)),
+                    stop=int(d.get("stop", 2**31 - 1)),
                 )
                 for d in config.temp_control
             )
@@ -438,8 +447,26 @@ class MDSimulation:
         elif force_fn is None:
             global_log.info("force path: general multi-site cell traversal")
 
+        # plugins are constructed BEFORE the engine so force-field
+        # plugins (WallPotential, Mirror force-constant mode) can plant
+        # their siteWiseForces contribution into the jitted step
+        # (PluginBase.h:88-130; init(sim) still runs after the engine
+        # exists, at the end of __init__)
+        self._plugins = []
+        for spec_ in list(config.output_plugins) + list(config.plugins):
+            try:
+                self._plugins.append(
+                    PluginFactory.create(spec_.name, spec_.params)
+                )
+            except KeyError:
+                global_log.warning("ignoring unknown plugin %r", spec_.name)
+
         extra = None
         extras = []
+        for p_ in self._plugins:
+            fn_ = p_.site_wise_forces_fn(self.table, self.box)
+            if fn_ is not None:
+                extras.append(fn_)
         if self.ewald is not None:
             solver = self.ewald
             extras.append(lambda mol, pp: solver(mol, pp))
@@ -500,12 +527,6 @@ class MDSimulation:
         self._cv_suu = 0.0
         self._cv_n = 0
         self._cv_win = []
-        self._plugins = []
-        for spec_ in list(config.output_plugins) + list(config.plugins):
-            try:
-                self._plugins.append(PluginFactory.create(spec_.name, spec_.params))
-            except KeyError:
-                global_log.warning("ignoring unknown plugin %r", spec_.name)
         for p in self._plugins:
             p.init(self)
 
@@ -533,6 +554,10 @@ class MDSimulation:
         scene's inhomogeneity is normal to that axis."""
         n = len(data.mid)
         if n == 0 or config.longrange.lower() == "planar":
+            return None
+        # TemperatureControl regions slice slabs along y and thermostat
+        # per-direction; an axis permutation would silently change both
+        if config.temp_control:
             return None
         for spec_ in list(config.output_plugins) + list(config.plugins):
             if spec_.name not in cls._SWAP_SAFE_PLUGINS:
@@ -618,6 +643,19 @@ class MDSimulation:
                     cfg.box, cfg.temperature,
                     liq_fraction=float(p.get("liq_fraction", 0.5)),
                     components=comps,
+                )
+            if name == "PerCellGenerator":
+                from ls1_mardyn_tpu.io.generators import per_cell
+
+                return per_cell(
+                    int(float(p.get("numMoleculesPerCell", 0))),
+                    cfg.box,
+                    max(cfg.cutoff, cfg.lj_cutoff),
+                    float(p.get("initTemperature", cfg.temperature)),
+                    components=comps,
+                    generate_at_least_two=str(
+                        p.get("generateAtLeastTwoParticles", "true")
+                    ).lower() in ("1", "true", "yes"),
                 )
             if name in ("MultiObjectGenerator", "ObjectGenerator"):
                 from ls1_mardyn_tpu.io.generators import multi_object

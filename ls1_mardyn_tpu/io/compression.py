@@ -3,15 +3,59 @@
 The role of /root/reference/src/plugins/compression.{h,cpp} (lz4/gzip
 stream wrappers selected by a 'compression' tag): here a single
 open_compressed() that picks the codec from the requested extension.
-gzip/bz2/xz come from the standard library; lz4 is gated (not baked
-into this image) and raises a clear error if requested.
+gzip/bz2/xz come from the standard library; lz4 uses the framework's
+own NATIVE frame codec (native/lz4f.cpp, standard LZ4 frame format)
+since neither liblz4 nor python-lz4 is baked into this image.
 """
 
 from __future__ import annotations
 
 import bz2
 import gzip
+import io
 import lzma
+
+
+class _LZ4File(io.RawIOBase):
+    """Whole-file LZ4-frame wrapper over the native codec (buffered in
+    memory; writer outputs are modest per file)."""
+
+    def __init__(self, path: str, mode: str):
+        self._path = path
+        self._writing = "w" in mode or "a" in mode
+        self._buf = io.BytesIO()
+        if not self._writing:
+            from ls1_mardyn_tpu.native import lz4_decompress
+
+            with open(path, "rb") as f:
+                self._buf = io.BytesIO(lz4_decompress(f.read()))
+
+    def write(self, b):
+        return self._buf.write(b)
+
+    def read(self, n=-1):
+        return self._buf.read(n)
+
+    def readable(self):
+        return not self._writing
+
+    def writable(self):
+        return self._writing
+
+    def close(self):
+        if self._writing and not self.closed:
+            from ls1_mardyn_tpu.native import lz4_compress
+
+            with open(self._path, "wb") as f:
+                f.write(lz4_compress(self._buf.getvalue()))
+        super().close()
+
+
+def _open_lz4(path: str, mode: str):
+    raw = _LZ4File(path, mode)
+    if "b" in mode:
+        return raw
+    return io.TextIOWrapper(raw)
 
 
 def open_compressed(path: str, mode: str = "wt", compression: str = "auto"):
@@ -38,12 +82,5 @@ def open_compressed(path: str, mode: str = "wt", compression: str = "auto"):
     if compression == "xz":
         return lzma.open(path, mode)
     if compression == "lz4":
-        try:
-            import lz4.frame  # not in this image; gated
-        except ImportError as e:
-            raise RuntimeError(
-                "lz4 compression requested but the lz4 package is not "
-                "available; use gzip/bz2/xz"
-            ) from e
-        return lz4.frame.open(path, mode)
+        return _open_lz4(path, mode)
     raise ValueError(f"unknown compression '{compression}'")

@@ -185,6 +185,65 @@ def cubic_grid(
     )
 
 
+def per_cell(
+    num_per_cell: int,
+    box: Sequence[float],
+    cutoff: float,
+    temperature: float,
+    components: Optional[Sequence[Component]] = None,
+    cid: int = 0,
+    seed: int = 42,
+    generate_at_least_two: bool = True,
+) -> PhaseSpaceData:
+    """PerCellGenerator (/root/reference/src/io/PerCellGenerator.h:14):
+    exactly `num_per_cell` uniformly random molecules in every linked
+    cell (cell edges >= cutoff), Maxwell velocities at `temperature`.
+    With num_per_cell == 0 and generate_at_least_two, places two random
+    molecules so the simulation has something to integrate."""
+    box = np.asarray(box, float)
+    if components is None:
+        c = Component(cid=0)
+        c.add_ljcenter(0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 0.0, False)
+        components = [c]
+    rng = np.random.default_rng(seed)
+    dims = np.maximum(1, np.floor(box / cutoff).astype(int))
+    cl = box / dims
+    if num_per_cell > 0:
+        # per-cell uniform placement: cell origins + U(0,1)*cell_len
+        g = np.stack(
+            np.meshgrid(
+                np.arange(dims[0]), np.arange(dims[1]),
+                np.arange(dims[2]), indexing="ij",
+            ),
+            -1,
+        ).reshape(-1, 3)
+        origins = np.repeat(g * cl, num_per_cell, axis=0)
+        r = origins + rng.random(origins.shape) * cl
+    elif generate_at_least_two:
+        r = rng.random((2, 3)) * box
+    else:
+        r = np.zeros((0, 3))
+    n = len(r)
+    mass = components[cid].mass
+    v = maxwell_velocities(n, temperature, mass, rng)
+    K = len(components)
+    return PhaseSpaceData(
+        components=list(components),
+        mixing_xi=np.ones((K, K)),
+        mixing_eta=np.ones((K, K)),
+        eps_rf=1.0e10,
+        box=box,
+        temperature=temperature,
+        current_time=0.0,
+        mid=np.arange(1, n + 1, dtype=np.int64),
+        cid=np.full(n, cid, np.int32),
+        r=r,
+        v=v,
+        q=np.tile(np.array([1.0, 0.0, 0.0, 0.0]), (n, 1)),
+        L=np.zeros((n, 3)),
+    )
+
+
 # -- composable object generators ---------------------------------------
 # The role of /root/reference/src/io/ObjectGenerator.h:22 +
 # src/utils/generator/ (GridFiller, Lattice, Objects, velocity

@@ -299,6 +299,8 @@ def _read_body(sim: ET.Element, cfg: XMLConfig, base_dir: str) -> XMLConfig:
             cfg.thermostat_type = th.get("type")
             if cfg.thermostat_type == "TemperatureControl":
                 freq = int(_get(th, "control/frequency", 1.0) or 1)
+                ctl_start = int(_get(th, "control/start", 0.0) or 0)
+                ctl_stop = int(_get(th, "control/stop", 0.0) or 2**31 - 1)
 
                 def _coord(reg, tag, axis):
                     el_ = reg.find(f"coords/{tag}")
@@ -323,6 +325,33 @@ def _read_body(sim: ET.Element, cfg: XMLConfig, base_dir: str) -> XMLConfig:
                         for i, a in enumerate("xyz")
                     )
                     comp = int(_get(reg, "target/component", 0.0) or 0)
+                    dirs_txt = (
+                        reg.findtext("settings/directions") or "xyz"
+                    ).strip().lower()
+                    directions = tuple(
+                        i for i, a in enumerate("xyz") if a in dirs_txt
+                    ) or (0, 1, 2)
+                    # target ramp (TemperatureControl.h:54-63)
+                    ramp = dict(
+                        ramp_start_t=0.0, ramp_end_t=0.0,
+                        ramp_update_start=0, ramp_update_stop=0,
+                        ramp_update_freq=1,
+                    )
+                    rel = reg.find("target/ramp")
+                    if rel is not None:
+                        ramp = dict(
+                            ramp_start_t=_get(rel, "start", 0.0),
+                            ramp_end_t=_get(rel, "end", 0.0),
+                            ramp_update_start=int(
+                                _get(rel, "update/start", 0.0) or 0
+                            ),
+                            ramp_update_stop=int(
+                                _get(rel, "update/stop", 0.0) or 0
+                            ),
+                            ramp_update_freq=max(
+                                int(_get(rel, "update/freq", 1.0) or 1), 1
+                            ),
+                        )
                     cfg.temp_control.append(dict(
                         lower=lower,
                         upper=upper,
@@ -331,8 +360,16 @@ def _read_body(sim: ET.Element, cfg: XMLConfig, base_dir: str) -> XMLConfig:
                         ),
                         frequency=max(freq, 1),
                         exponent=_get(reg, "settings/exponent", 0.4),
+                        nslabs=max(
+                            int(_get(reg, "settings/numslabs", 1.0) or 1),
+                            1,
+                        ),
+                        directions=directions,
+                        start=ctl_start,
+                        stop=ctl_stop,
                         # reference: component 0 == all components
                         component=comp - 1,
+                        **ramp,
                     ))
 
     ens = sim.find("ensemble")

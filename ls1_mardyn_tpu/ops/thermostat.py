@@ -50,9 +50,12 @@ def apply_velocity_scaling_componentwise(
 
 @dataclasses.dataclass(frozen=True)
 class TemperatureControlRegion:
-    """One slab/box control region (TemperatureControl.cpp 'ControlRegion'):
-    molecules inside [lower, upper) are velocity-scaled toward target_T
-    every `frequency` steps."""
+    """One control region (TemperatureControl.cpp 'ControlRegionT'):
+    molecules inside (lower, upper) are velocity-scaled toward the
+    target every `frequency` steps, with the reference's full feature
+    set: y-slab subdivision (numslabs), thermostated translational
+    directions, target ramping, and the control start/stop window
+    (TemperatureControl.h:41-63,155)."""
 
     lower: Tuple[float, float, float]
     upper: Tuple[float, float, float]
@@ -60,6 +63,35 @@ class TemperatureControlRegion:
     frequency: int = 1
     exponent: float = 0.4
     component: int = -1  # -1 == all components
+    nslabs: int = 1  # region subdivided along y (TemperatureControl.cpp:386)
+    directions: Tuple[int, ...] = (0, 1, 2)  # <directions>xyz</directions>
+    # target ramp (Ramp struct, TemperatureControl.h:155)
+    ramp_start_t: float = 0.0
+    ramp_end_t: float = 0.0
+    ramp_update_start: int = 0
+    ramp_update_stop: int = 0
+    ramp_update_freq: int = 1
+    # thermostat ON/OFF window (<control><start>/<stop>); int32-safe
+    # sentinel (a Python int beyond int32 silently WRAPS in the jnp
+    # comparison against the int32 step counter)
+    start: int = 0
+    stop: int = 2**31 - 1
+
+    def target_at(self, step: jnp.ndarray, dtype):
+        """Ramped target temperature at `step` (quantized to
+        ramp_update_freq, TemperatureControl.cpp:267-277)."""
+        if self.ramp_update_stop <= self.ramp_update_start:
+            return jnp.asarray(self.target_temperature, dtype)
+        slope = (self.ramp_end_t - self.ramp_start_t) / (
+            self.ramp_update_stop - self.ramp_update_start
+        )
+        el = jnp.clip(
+            step - self.ramp_update_start,
+            0,
+            self.ramp_update_stop - self.ramp_update_start,
+        )
+        el = (el // self.ramp_update_freq) * self.ramp_update_freq
+        return jnp.asarray(self.ramp_start_t, dtype) + el.astype(dtype) * slope
 
 
 def apply_temperature_control(
@@ -67,40 +99,90 @@ def apply_temperature_control(
     pp: PairParams,
     regions: Tuple[TemperatureControlRegion, ...],
     step: jnp.ndarray,
+    psum=None,
 ) -> MoleculeState:
-    """Region thermostats (src/thermostats/TemperatureControl.{h,cpp}
-    DoLoopsOverMolecules: per-region kinetic sampling + scaling), as
-    masked reductions + masked multiplies."""
+    """Region thermostats (src/thermostats/TemperatureControl.{h,cpp}):
+    per-slab kinetic sampling (MeasureKineticEnergy + CalcGlobalValues)
+    then velocity scaling by vcorr = 2 - 1/beta on the thermostated
+    directions and angular-momentum scaling by Dcorr = 2 - 1/betaRot
+    (ControlTemperature, TemperatureControl.cpp:364-430), as masked
+    segment reductions + masked multiplies.
+
+    psum: optional cross-device reducer (multi-chip slab path); the
+    per-slab sums mirror the reference's collective
+    (TemperatureControl.cpp:238-263)."""
     v = mol.v
     L = mol.L
     dtype = v.dtype
     mass = pp.mass[mol.cid]
+    iw2_mol = jnp.sum(L * L * pp.inv_inertia[mol.cid], axis=-1)
+    rdof_mol = pp.rot_dof[mol.cid].astype(dtype)
     for reg in regions:
         lo = jnp.asarray(reg.lower, dtype)
         hi = jnp.asarray(reg.upper, dtype)
-        inside = jnp.all((mol.r >= lo) & (mol.r < hi), axis=-1) & mol.valid
+        inside = jnp.all((mol.r > lo) & (mol.r < hi), axis=-1) & mol.valid
         if reg.component >= 0:
             inside = inside & (mol.cid == reg.component)
-        active = (step % reg.frequency) == 0
+        active = (
+            ((step % reg.frequency) == 0)
+            & (step >= reg.start)
+            & (step <= min(int(reg.stop), 2**31 - 1))
+        )
+        nsl = max(int(reg.nslabs), 1)
+        slab_w = (reg.upper[1] - reg.lower[1]) / nsl
+        s_idx = jnp.clip(
+            jnp.floor((mol.r[:, 1] - reg.lower[1]) / slab_w).astype(
+                jnp.int32
+            ),
+            0,
+            nsl - 1,
+        )
         m = inside.astype(dtype)
-        summv2 = jnp.sum(mass * jnp.sum(v * v, axis=-1) * m)
-        nreg = jnp.sum(m)
-        denom = jnp.maximum(3.0 * nreg, 1.0)
-        t_reg = summv2 / denom
-        # beta = (T_target / T_region)^0.4, the same damped form as the
-        # global thermostat (Domain.cpp:244)
-        beta = jnp.where(
-            (nreg > 0) & (summv2 > 0) & active,
+        dirs = tuple(reg.directions)
+        v2_dirs = sum(v[:, d] * v[:, d] for d in dirs)
+        seg = lambda x: jax.ops.segment_sum(
+            x, s_idx, num_segments=nsl
+        )
+        ekin_t = seg(mass * v2_dirs * m)  # 2x E_kin,trans (chosen dirs)
+        ekin_r = seg(iw2_mol * m)
+        n_s = seg(m)
+        rdof_s = seg(rdof_mol * m)
+        if psum is not None:
+            ekin_t = psum(ekin_t)
+            ekin_r = psum(ekin_r)
+            n_s = psum(n_s)
+            rdof_s = psum(rdof_s)
+        target = reg.target_at(step, dtype)
+        beta_t = jnp.where(
+            (n_s >= 1) & (ekin_t > 0) & active,
             jnp.power(
-                jnp.asarray(reg.target_temperature, dtype)
-                / jnp.maximum(t_reg, 1e-30),
+                len(dirs) * n_s * target / jnp.maximum(ekin_t, 1e-30),
                 reg.exponent,
             ),
             1.0,
         )
-        scale = jnp.where(inside, beta, 1.0)[:, None]
-        v = v * scale
-        L = L * scale
+        beta_r = jnp.where(
+            (rdof_s >= 1) & (ekin_r > 0) & active,
+            jnp.power(
+                rdof_s * target / jnp.maximum(ekin_r, 1e-30),
+                reg.exponent,
+            ),
+            1.0,
+        )
+        # the reference scales by 2 - 1/beta (a damped correction that
+        # converges to beta for beta ~ 1, TemperatureControl.cpp:395).
+        # Guard: for beta < 0.5 the raw form flips sign and AMPLIFIES
+        # (runaway); clamp to a small positive quench instead (the
+        # reference is only ever used in the stable regime)
+        vc = jnp.maximum(2.0 - 1.0 / beta_t, 0.05)
+        dc = jnp.maximum(2.0 - 1.0 / beta_r, 0.05)
+        vcorr = jnp.where(inside, vc[s_idx], 1.0)
+        dcorr = jnp.where(inside, dc[s_idx], 1.0)
+        vnew = v
+        for d in dirs:
+            vnew = vnew.at[:, d].set(v[:, d] * vcorr)
+        v = vnew
+        L = L * dcorr[:, None]
     return dataclasses.replace(mol, v=v, L=L)
 
 

@@ -93,6 +93,10 @@ class SlabConfig:
     # UniformPseudoParticleContainer.h:95-135)
     pme_grid: Tuple[int, ...] = ()
     pme_order: int = 4
+    # TemperatureControl regions (ops/thermostat); per-slab sums ride a
+    # psum exactly like the reference's collective
+    # (TemperatureControl.cpp:238-263)
+    temp_control_regions: Tuple = ()
 
     @property
     def slab_h(self) -> float:
@@ -177,9 +181,14 @@ class SlabSimulation:
         cfg: SlabConfig,
         pp: PairParams,
         mesh: Optional[Mesh] = None,
+        extra_force_fns: Tuple = (),
     ):
         self.cfg = cfg
         self.pp = pp
+        # siteWiseForces plugin contributions (pure (mol, pp) ->
+        # (u, F, M)), evaluated per device on local molecules; their
+        # energies ride the uX psum
+        self.extra_force_fns = tuple(extra_force_fns)
         if mesh is None:
             devs = np.array(jax.devices()[: cfg.n_devices])
             mesh = Mesh(devs, (AXIS,))
@@ -220,7 +229,7 @@ class SlabSimulation:
             jax.shard_map(
                 self._device_step,
                 mesh=self.mesh,
-                in_specs=(P(AXIS), P(AXIS), P()),
+                in_specs=(P(AXIS), P(AXIS), P(), P()),
                 out_specs=(P(AXIS), P(AXIS), P(), P(), P(AXIS)),
                 check_vma=False,
             )
@@ -236,9 +245,11 @@ class SlabSimulation:
         )
 
     # compat wrappers (the 4-/5-tuple API predates load balancing)
-    def _step_sharded(self, mol, FM, z_edges=None):
+    def _step_sharded(self, mol, FM, z_edges=None, step=0):
         e = self._edges_default if z_edges is None else z_edges
-        mol, FM, gv, ovf, _nloc = self._step_sharded_lb(mol, FM, e)
+        mol, FM, gv, ovf, _nloc = self._step_sharded_lb(
+            mol, FM, e, jnp.asarray(step, jnp.int32)
+        )
         return mol, FM, gv, ovf
 
     def _force_sharded(self, mol, z_edges=None):
@@ -609,7 +620,13 @@ class SlabSimulation:
             src = jnp.clip(bins.slot_of, 0, fxyz.shape[0] - 1)
             F = jnp.where(mol.valid[:, None], fxyz[src], 0.0)
             M = jnp.zeros_like(F)
-            return F, M, (u6, zero, zero, vir), bins.overflow
+            uX = zero
+            for fn in self.extra_force_fns:
+                u_x, F_x, M_x = fn(mol, self.pp)
+                F = F + F_x
+                M = M + M_x
+                uX = uX + u_x
+            return F, M, (u6, uX, zero, vir), bins.overflow
         from ls1_mardyn_tpu.ops.pallas_multisite import (
             multisite_cell_forces_pallas,
         )
@@ -661,6 +678,11 @@ class SlabSimulation:
             F = F + F_ew
             M = M + M_ew
             uX = uX + u_ew
+        for fn in self.extra_force_fns:
+            u_x, F_x, M_x = fn(mol, self.pp)
+            F = F + F_x
+            M = M + M_x
+            uX = uX + u_x
         return F, M, (u6, uX, my_rf, vir), bins.overflow
 
     def _device_forces_entry(self, mol: MoleculeState, z_edges: jnp.ndarray):
@@ -671,7 +693,8 @@ class SlabSimulation:
         return (F, M), u6g, uXg, rfg, virg
 
     def _device_step(
-        self, mol: MoleculeState, F_prev: jnp.ndarray, z_edges: jnp.ndarray
+        self, mol: MoleculeState, F_prev: jnp.ndarray,
+        z_edges: jnp.ndarray, step: jnp.ndarray
     ):
         cfg = self.cfg
         from ls1_mardyn_tpu.state import Forces
@@ -725,6 +748,15 @@ class SlabSimulation:
         )
         if cfg.thermostat and cfg.target_temperature > 0:
             mol = apply_velocity_scaling(mol, gv.beta_trans, gv.beta_rot)
+        if cfg.temp_control_regions:
+            from ls1_mardyn_tpu.ops.thermostat import (
+                apply_temperature_control,
+            )
+
+            mol = apply_temperature_control(
+                mol, self.pp, cfg.temp_control_regions, step,
+                psum=lambda t: jax.lax.psum(t, AXIS),
+            )
         overflow = (
             jax.lax.psum(
                 (mig_overflow | bin_overflow).astype(jnp.int32), AXIS

@@ -168,8 +168,8 @@ class ParallelMDSimulation:
         self._cv_n = 0
         self._cv_win = []
 
-        self._build_decomposition(base, cell_cap)
-
+        # plugins before the decomposition: force-field plugins plant
+        # their siteWiseForces contribution into the sharded step
         self._plugins = []
         for spec_ in list(config.output_plugins) + list(config.plugins):
             try:
@@ -178,6 +178,15 @@ class ParallelMDSimulation:
                 )
             except KeyError:
                 global_log.warning("ignoring unknown plugin %r", spec_.name)
+        self._site_force_fns = tuple(
+            fn for fn in (
+                p.site_wise_forces_fn(self.table, self.box)
+                for p in self._plugins
+            ) if fn is not None
+        )
+
+        self._build_decomposition(base, cell_cap)
+
         for p in self._plugins:
             p.init(self)
 
@@ -361,7 +370,15 @@ class ParallelMDSimulation:
                 **{**common, "cap": cap3,
                    "n_local_cap": 2 * max(n, 1) // n_devices + 256},
             )
-            self.sim = Mesh3DSimulation(mcfg, self.pp)
+            if config.temp_control:
+                global_log.warning(
+                    "TemperatureControl regions are not wired into the "
+                    "3-D mesh decomposition yet; falling back to the "
+                    "global thermostat"
+                )
+            self.sim = Mesh3DSimulation(
+                mcfg, self.pp, extra_force_fns=self._site_force_fns
+            )
             self.kind = "mesh3d"
             self.global_spec = _dc.replace(
                 mcfg.local_spec,
@@ -386,9 +403,14 @@ class ParallelMDSimulation:
                 ny=ny,
                 nx=nx,
                 tx=tx,
+                temp_control_regions=tuple(
+                    base.engine.config.temp_control_regions
+                ),
                 **common,
             )
-            self.sim = SlabSimulation(slab_cfg, self.pp)
+            self.sim = SlabSimulation(
+                slab_cfg, self.pp, extra_force_fns=self._site_force_fns
+            )
             self.kind = "slab"
             self.global_spec = _dc.replace(
                 slab_cfg.local_spec,
@@ -449,7 +471,7 @@ class ParallelMDSimulation:
             if self._mol_dirty
             else self.sim.gather_global(self.mol_sharded)
         )
-        self.sim = klass(cfg, self.pp)
+        self.sim = klass(cfg, self.pp, extra_force_fns=self._site_force_fns)
         kw = {}
         if self.kind == "slab" and getattr(self, "z_edges", None) is not None:
             kw["z_edges"] = self.z_edges
@@ -683,7 +705,8 @@ class ParallelMDSimulation:
             if slab:
                 (self.mol_sharded, self._FM, gv, overflow,
                  nloc) = self.sim._step_sharded_lb(
-                    self.mol_sharded, self._FM, self._edges_arg()
+                    self.mol_sharded, self._FM, self._edges_arg(),
+                    jnp.asarray(self.step, jnp.int32),
                 )
             else:
                 (self.mol_sharded, self._FM, gv,

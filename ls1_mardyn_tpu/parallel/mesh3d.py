@@ -119,9 +119,13 @@ class Mesh3DSimulation:
         cfg: Mesh3DConfig,
         pp: PairParams,
         mesh: Optional[Mesh] = None,
+        extra_force_fns: Tuple = (),
     ):
         self.cfg = cfg
         self.pp = pp
+        # siteWiseForces plugin contributions, per device on local
+        # molecules (see SlabSimulation)
+        self.extra_force_fns = tuple(extra_force_fns)
         if mesh is None:
             devs = np.array(jax.devices()[: cfg.n_devices]).reshape(cfg.grid)
             mesh = Mesh(devs, AX)
@@ -504,7 +508,13 @@ class Mesh3DSimulation:
             src = jnp.clip(bins.slot_of, 0, fxyz.shape[0] - 1)
             F = jnp.where(mol.valid[:, None], fxyz[src], 0.0)
             M = jnp.zeros_like(F)
-            return F, M, (u6, zero, zero, vir), bins.overflow
+            uX = zero
+            for fn in self.extra_force_fns:
+                u_x, F_x, M_x = fn(mol, self.pp)
+                F = F + F_x
+                M = M + M_x
+                uX = uX + u_x
+            return F, M, (u6, uX, zero, vir), bins.overflow
         from ls1_mardyn_tpu.ops.pallas_multisite import (
             multisite_cell_forces_pallas,
         )
@@ -557,6 +567,11 @@ class Mesh3DSimulation:
             F = F + F_ew
             M = M + M_ew
             uX = uX + u_ew
+        for fn in self.extra_force_fns:
+            u_x, F_x, M_x = fn(mol, self.pp)
+            F = F + F_x
+            M = M + M_x
+            uX = uX + u_x
         return F, M, (u6, uX, my_rf, vir), bins.overflow
 
     def _psum_all(self, t):

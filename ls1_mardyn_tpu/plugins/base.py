@@ -26,6 +26,15 @@ class PluginBase:
     def init(self, sim) -> None:  # PluginBase.h:69
         pass
 
+    def site_wise_forces_fn(self, table, box):
+        """The siteWiseForces hook slot (PluginBase.h:88-130): return a
+        pure `(mol, pp) -> (u, F[N,3], M[N,3])` force-field contribution
+        to be evaluated INSIDE the jitted step (it participates in U_pot
+        and the integration like any other force), or None.  Called once
+        at engine construction; the returned function must be traceable
+        (jnp only, no host state)."""
+        return None
+
     def finish(self, sim) -> None:  # PluginBase.h:139
         pass
 

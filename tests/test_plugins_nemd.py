@@ -46,14 +46,77 @@ def test_generators_shapes():
 
 
 def test_mirror_keeps_molecules_below(tmp_path):
+    """MT_REFLECT is a velocity reversal of outward movers beyond the
+    plane (Mirror.cpp:459-463): molecules starting below the mirror
+    stay below (small v*dt overshoot while turning around)."""
     os.chdir(tmp_path)
-    cfg = _cfg(plugins=[("Mirror", {"position": "4.0", "axis": "1",
-                                    "direction": "1"})])
-    sim = MDSimulation(cfg)
-    sim.run(steps=30, print_every=0)
+    n, rho = 216, 0.4
+    L = (n / rho) ** (1 / 3)
+    # molecules confined to y in [2.2, 5.8] between two mirrors (in a
+    # periodic box a single mirror cannot stop escape through the wrap)
+    data = cubic_grid(n, [L, 3.6, L], 1.0)
+    data.r[:, 1] += 2.2
+    data.box = np.array([L, 8.0, L])
+    cfg = _cfg(plugins=[("Mirror", {"position": "5.8", "axis": "1",
+                                    "direction": "1"}),
+                        ("Mirror", {"position": "2.2", "axis": "1",
+                                    "direction": "-1"})],
+               box=[L, 8.0, L])
+    from ls1_mardyn_tpu.driver import MDSimulation as MDS
+
+    sim = MDS(cfg, phase_space_data=data)
+    sim.run(steps=400, print_every=0)
     mol = sim.molecules()
     y = np.asarray(mol.r)[np.asarray(mol.valid), 1]
-    assert (y <= 4.0 + 1e-5).all()
+    assert (y <= 5.8 + 0.2).all() and (y >= 2.2 - 0.2).all()
+    mirror = next(p for p in sim._plugins
+                  if type(p).__name__ == "Mirror")
+    assert mirror.reflected > 0
+
+
+def test_mirror_force_constant_and_ramping(tmp_path):
+    """MT_FORCE_CONSTANT rides the siteWiseForces slot; MT_RAMPING
+    deletes non-reflected crossers once the ramp ends."""
+    os.chdir(tmp_path)
+    n, rho = 216, 0.4
+    L = (n / rho) ** (1 / 3)
+    data = cubic_grid(n, [L, 3.6, L], 1.0)
+    data.r[:, 1] += 2.2
+    data.box = np.array([L, 8.0, L])
+    cfg = _cfg(plugins=[("Mirror", {"type": "2", "position": "5.8",
+                                    "axis": "1", "direction": "1",
+                                    "forceConstant": "50.0"}),
+                        ("Mirror", {"type": "2", "position": "2.2",
+                                    "axis": "1", "direction": "-1",
+                                    "forceConstant": "50.0"})],
+               box=[L, 8.0, L])
+    from ls1_mardyn_tpu.driver import MDSimulation as MDS
+
+    sim = MDS(cfg, phase_space_data=data)
+    sim.run(steps=50, print_every=0)
+    y = np.asarray(sim.molecules().r)[
+        np.asarray(sim.molecules().valid), 1
+    ]
+    # the restoring force bounds penetration to ~sqrt(m v^2 / k)
+    assert (y <= 6.5).all() and (y >= 1.5).all()
+
+    # ramping with stop in the past: every outward crosser is deleted
+    data2 = cubic_grid(n, [L, 4.0, L], 1.5)
+    data2.r[:, 1] += 0.3  # put the top layer adjacent to the mirror
+    data2.box = np.array([L, 8.0, L])
+    cfg2 = _cfg(plugins=[("Mirror", {"type": "6", "position": "4.0",
+                                     "axis": "1", "direction": "1",
+                                     "ramping": {"start": "0",
+                                                 "stop": "1",
+                                                 "treatment": "0"}})],
+                box=[L, 8.0, L])
+    sim2 = MDS(cfg2, phase_space_data=data2)
+    sim2.run(steps=150, print_every=0)
+    mirror2 = next(p for p in sim2._plugins
+                   if type(p).__name__ == "Mirror")
+    assert mirror2.deleted > 0
+    n_final = int(np.asarray(sim2.molecules().valid).sum())
+    assert n_final == n - mirror2.deleted
 
 
 def test_fix_region_freezes(tmp_path):
