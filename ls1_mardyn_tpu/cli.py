@@ -33,6 +33,14 @@ def build_parser():
     p.add_argument("--print-meminfo", action="store_true",
                    help="print host/device memory usage after the run "
                         "(MemoryProfiler role)")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="capture a jax.profiler device trace of a few "
+                        "steady-state steps into DIR (the "
+                        "TaskTimingProfiler/PAPI role, "
+                        "Simulation.cpp:1249-1254, utils/Timer.h:14-23; "
+                        "view with tensorboard or perfetto)")
+    p.add_argument("--profile-steps", metavar="A:B", default="10:15",
+                   help="step range [A, B) traced by --profile")
     p.add_argument("-S", "--sigsegv-handler", action="store_true",
                    help="install a fault handler that prints a backtrace "
                         "on crashes (SigsegvHandler.h:26-34)")
@@ -49,6 +57,11 @@ def build_parser():
     p.add_argument("--tests", action="store_true", help="run the unit tests")
     p.add_argument("--test-dir", default="tests", help="test directory")
     return p
+
+
+def _parse_range(s: str):
+    a, _, b = s.partition(":")
+    return (int(a), int(b or (int(a) + 5)))
 
 
 def main(argv=None):
@@ -90,6 +103,8 @@ def main(argv=None):
             final_checkpoint=args.final_checkpoint,
             loop_abort_time=args.loop_abort_time,
             timed_checkpoint=args.timed_checkpoint,
+            profile_dir=args.profile,
+            profile_steps=_parse_range(args.profile_steps),
         )
     else:
         sim = MDSimulation.from_xml(
@@ -103,6 +118,8 @@ def main(argv=None):
             final_checkpoint=args.final_checkpoint,
             loop_abort_time=args.loop_abort_time,
             timed_checkpoint=args.timed_checkpoint,
+            profile_dir=args.profile,
+            profile_steps=_parse_range(args.profile_steps),
         )
     if args.print_meminfo:
         from ls1_mardyn_tpu.utils.meminfo import print_meminfo

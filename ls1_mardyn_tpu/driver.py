@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import math
 import time as _time
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -30,6 +30,48 @@ from ls1_mardyn_tpu.simulation import SimConfig, SingleChipSimulation
 from ls1_mardyn_tpu.state import MoleculeState
 from ls1_mardyn_tpu.utils.logger import global_log
 from ls1_mardyn_tpu.utils.timers import TimerProfiler
+
+
+class _TraceCapture:
+    """jax.profiler trace over a step window (the TaskTimingProfiler /
+    PAPI role, /root/reference/src/Simulation.cpp:1249-1254 and
+    src/utils/Timer.h:14-23): per-phase device timelines instead of
+    per-thread task CSVs.  View with tensorboard --logdir or
+    ui.perfetto.dev.  No-op when dir is None."""
+
+    def __init__(self, trace_dir, window, total_steps):
+        self.dir = trace_dir
+        a, b = window
+        # clamp into the run (short runs still produce a trace)
+        if total_steps < b:
+            b = total_steps
+            a = max(1, b - 5)
+        self.start_at, self.stop_at = a, b
+        self.active = False
+
+    def tick(self, k, sync):
+        if not self.dir:
+            return
+        import jax
+
+        if k == self.start_at and not self.active:
+            sync()  # drain queued work so the trace starts clean
+            jax.profiler.start_trace(self.dir)
+            self.active = True
+        elif k >= self.stop_at and self.active:
+            sync()  # capture through the last traced step
+            jax.profiler.stop_trace()
+            self.active = False
+            global_log.info("wrote jax profiler trace to %s", self.dir)
+
+    def finish(self, sync):
+        if self.active:
+            import jax
+
+            sync()
+            jax.profiler.stop_trace()
+            self.active = False
+            global_log.info("wrote jax profiler trace to %s", self.dir)
 
 
 class MDSimulation:
@@ -828,9 +870,12 @@ class MDSimulation:
         final_checkpoint: Optional[str] = None,
         loop_abort_time: float = 0.0,
         timed_checkpoint: float = 0.0,
+        profile_dir: Optional[str] = None,
+        profile_steps: Tuple[int, int] = (10, 15),
     ):
         steps = steps if steps is not None else self.config.steps
         eng = self.engine
+        profiler = _TraceCapture(profile_dir, profile_steps, steps)
         if eng.forces is None:
             with self.timers["SIMULATION_FORCE_CALCULATION"]:
                 eng.prepare_start()
@@ -859,6 +904,7 @@ class MDSimulation:
             )
             ovf_window.append(overflow)
             self.last_globals = gv
+            profiler.tick(k, lambda: float(gv.upot))
             self.time += self.config.timestep
             if self.step > self.config.equilibration_steps:
                 self._cv_win.append(gv.upot)
@@ -918,6 +964,10 @@ class MDSimulation:
                 global_log.info("run aborted by plugin at step %d", self.step)
                 break
         loop_timer.stop()
+        profiler.finish(
+            lambda: float(self.last_globals.upot)
+            if self.last_globals is not None else None
+        )
         for p in self._plugins:
             p.finish(self)
         if final_checkpoint:

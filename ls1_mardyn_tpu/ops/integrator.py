@@ -64,6 +64,86 @@ def upd_pre_force(
     )
 
 
+def _kahan(x, comp, inc):
+    """Compensated accumulation x += inc (Kahan-Neumaier): returns
+    (x_new, comp_new).  The f32 answer to the reference's SPDP
+    mixed-precision mode (SIMD_TYPES.h:110-113: f32 compute,
+    effectively-f64 accumulate)."""
+    y = inc - comp
+    t = x + y
+    return t, (t - x) - y
+
+
+def upd_pre_force_kahan(
+    mol: MoleculeState,
+    forces: Forces,
+    pp: PairParams,
+    dt: float,
+    rcomp: jnp.ndarray,
+    vcomp: jnp.ndarray,
+):
+    """upd_pre_force with compensated r/v accumulation (the multi-chip
+    paths keep absolute f32 positions; without compensation the per-step
+    rounding of r += dt*v at |r| >> dt*|v| injects a random heating
+    kick -- the single-chip RMM path solves this with cell-local
+    coordinates instead)."""
+    dtype = mol.r.dtype
+    dt = jnp.asarray(dt, dtype)
+    half = 0.5 * dt
+    mass = pp.mass[mol.cid][:, None]
+    has_rot = (pp.rot_dof[mol.cid] > 0)[:, None]
+    vmask = mol.valid[:, None]
+
+    v, vcomp = _kahan(
+        mol.v, vcomp, jnp.where(vmask, half / mass * forces.F, 0.0)
+    )
+    r, rcomp = _kahan(mol.r, rcomp, jnp.where(vmask, dt * v, 0.0))
+
+    w = _body_omega(pp, mol.cid, mol.q, mol.L)
+    q_half = qnormalize(mol.q + half[..., None] * qdifferentiate(mol.q, w))
+    L = mol.L + jnp.where(vmask & has_rot, half * forces.M, 0.0)
+    w_half = _body_omega(pp, mol.cid, q_half, L)
+    q_new = qnormalize(mol.q + dt[..., None] * qdifferentiate(q_half, w_half))
+    rot = (vmask & has_rot)[..., :1]
+    q = jnp.where(rot, q_new, mol.q)
+
+    out = MoleculeState(
+        r=r, v=v, q=q, L=L, cid=mol.cid, mid=mol.mid, valid=mol.valid
+    )
+    return out, rcomp, vcomp
+
+
+def upd_post_force_kahan(
+    mol: MoleculeState,
+    forces: Forces,
+    pp: PairParams,
+    dt: float,
+    vcomp: jnp.ndarray,
+):
+    """upd_post_force with compensated v accumulation; returns
+    (state, mv2, Iw2, vcomp)."""
+    dtype = mol.r.dtype
+    half = 0.5 * jnp.asarray(dt, dtype)
+    mass = pp.mass[mol.cid]
+    has_rot = (pp.rot_dof[mol.cid] > 0)[:, None]
+    vmask = mol.valid[:, None]
+
+    v, vcomp = _kahan(
+        mol.v, vcomp,
+        jnp.where(vmask, half / mass[:, None] * forces.F, 0.0),
+    )
+    L = mol.L + jnp.where(vmask & has_rot, half * forces.M, 0.0)
+
+    mv2 = mass * jnp.sum(v * v, axis=-1) * mol.valid
+    w = _body_omega(pp, mol.cid, mol.q, L)
+    Iw2 = jnp.sum(pp.inertia[mol.cid] * w * w, axis=-1) * mol.valid
+
+    out = MoleculeState(
+        r=mol.r, v=v, q=mol.q, L=L, cid=mol.cid, mid=mol.mid, valid=mol.valid
+    )
+    return out, mv2, Iw2, vcomp
+
+
 def upd_post_force(
     mol: MoleculeState, forces: Forces, pp: PairParams, dt: float
 ) -> Tuple[MoleculeState, jnp.ndarray, jnp.ndarray]:

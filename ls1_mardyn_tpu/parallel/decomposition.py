@@ -45,7 +45,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ls1_mardyn_tpu.models.interaction import PairParams
 from ls1_mardyn_tpu.ops.cells import CellGridSpec
 from ls1_mardyn_tpu.ops.globals import calculate_global_values
-from ls1_mardyn_tpu.ops.integrator import upd_post_force, upd_pre_force
+from ls1_mardyn_tpu.ops.integrator import (
+    upd_post_force,
+    upd_post_force_kahan,
+    upd_pre_force,
+    upd_pre_force_kahan,
+)
 from ls1_mardyn_tpu.ops.pallas_lj import HX, lj_cell_forces_pallas
 from ls1_mardyn_tpu.ops.thermostat import apply_velocity_scaling
 from ls1_mardyn_tpu.state import Macroscopic, MoleculeState
@@ -139,12 +144,18 @@ def balanced_z_edges(z, nz: int, Lz: float, min_h: float) -> np.ndarray:
     return e.astype(np.float32)
 
 
-def _pack_payload(mol: MoleculeState, sel_idx: jnp.ndarray, ok: jnp.ndarray):
+def _pack_payload(mol: MoleculeState, sel_idx: jnp.ndarray, ok: jnp.ndarray,
+                  rcomp=None, vcomp=None):
     """Gather molecules into a fixed-size padded payload (the ppermute
     replacement for CommunicationBuffer's byte packing -- dense f32,
-    ids ride as float (exact below 2^24)."""
+    ids ride as float (exact below 2^24); the Kahan compensation
+    columns travel with their molecules so compensated integration
+    survives migration."""
     i = jnp.clip(sel_idx, 0, mol.capacity - 1)
     dtype = mol.r.dtype
+    zero3 = jnp.zeros_like(mol.r)
+    rc = zero3 if rcomp is None else rcomp
+    vc = zero3 if vcomp is None else vcomp
     cols = jnp.concatenate(
         [
             mol.r[i],
@@ -154,9 +165,11 @@ def _pack_payload(mol: MoleculeState, sel_idx: jnp.ndarray, ok: jnp.ndarray):
             mol.cid[i].astype(dtype)[:, None],
             mol.mid[i].astype(dtype)[:, None],
             ok.astype(dtype)[:, None],
+            rc[i],
+            vc[i],
         ],
         axis=1,
-    )  # [mig_cap, 16]
+    )  # [mig_cap, 22]
     return jnp.where(ok[:, None], cols, 0.0)
 
 
@@ -168,8 +181,10 @@ def _unpack_payload(buf: jnp.ndarray):
     cid = buf[:, 13].astype(jnp.int32)
     mid = buf[:, 14].astype(jnp.int32)
     valid = buf[:, 15] > 0.5
+    rc = buf[:, 16:19]
+    vc = buf[:, 19:22]
     q = jnp.where(valid[:, None], q, jnp.zeros_like(q).at[:, 0].set(1.0))
-    return r, v, q, L, cid, mid, valid
+    return r, v, q, L, cid, mid, valid, rc, vc
 
 
 class SlabSimulation:
@@ -245,12 +260,20 @@ class SlabSimulation:
         )
 
     # compat wrappers (the 4-/5-tuple API predates load balancing)
+    def make_aux(self, FM):
+        """(F, M) or aux-dict -> full aux with zeroed compensation."""
+        if isinstance(FM, dict):
+            return FM
+        F, M = FM
+        z = jnp.zeros_like(F)
+        return dict(F=F, M=M, rcomp=z, vcomp=z)
+
     def _step_sharded(self, mol, FM, z_edges=None, step=0):
         e = self._edges_default if z_edges is None else z_edges
-        mol, FM, gv, ovf, _nloc = self._step_sharded_lb(
-            mol, FM, e, jnp.asarray(step, jnp.int32)
+        mol, aux, gv, ovf, _nloc = self._step_sharded_lb(
+            mol, self.make_aux(FM), e, jnp.asarray(step, jnp.int32)
         )
-        return mol, FM, gv, ovf
+        return mol, (aux["F"], aux["M"]), gv, ovf
 
     def _force_sharded(self, mol, z_edges=None):
         e = self._edges_default if z_edges is None else z_edges
@@ -411,8 +434,9 @@ class SlabSimulation:
         return jax.lax.axis_index(AXIS)
 
     def _migrate(
-        self, mol: MoleculeState, dev_bounds: jnp.ndarray
-    ) -> Tuple[MoleculeState, jnp.ndarray]:
+        self, mol: MoleculeState, dev_bounds: jnp.ndarray,
+        rcomp: jnp.ndarray, vcomp: jnp.ndarray,
+    ):
         """Exchange molecules that left the local slab with the +-1
         neighbors (LEAVING_ONLY exchange).  Assumes dt is small enough
         that nobody crosses more than one slab per step (the reference
@@ -457,8 +481,8 @@ class SlabSimulation:
             | (jnp.sum(go_down) > cfg.migrate_cap)
             | jnp.any(too_far)
         )
-        buf_up = _pack_payload(mol, up_idx, up_ok)
-        buf_dn = _pack_payload(mol, dn_idx, dn_ok)
+        buf_up = _pack_payload(mol, up_idx, up_ok, rcomp, vcomp)
+        buf_dn = _pack_payload(mol, dn_idx, dn_ok, rcomp, vcomp)
         perm_up = [(i, (i + 1) % Pn) for i in range(Pn)]
         perm_dn = [(i, (i - 1) % Pn) for i in range(Pn)]
         recv_from_below = jax.lax.ppermute(buf_up, AXIS, perm_up)
@@ -467,7 +491,7 @@ class SlabSimulation:
         # drop the leavers locally
         keep = mol.valid & ~(go_up | go_down)
         # merge: concat local + received, validity-sort, truncate
-        rr, rv, rq, rL, rcid, rmid, rvalid = _unpack_payload(
+        rr, rv, rq, rL, rcid, rmid, rvalid, rrc, rvc = _unpack_payload(
             jnp.concatenate([recv_from_below, recv_from_above], axis=0)
         )
         cat = lambda a, b: jnp.concatenate([a, b], axis=0)
@@ -478,6 +502,8 @@ class SlabSimulation:
         cid = cat(mol.cid, rcid)
         mid = cat(mol.mid, rmid)
         valid = cat(keep, rvalid)
+        rc = cat(rcomp, rrc)
+        vc = cat(vcomp, rvc)
         # valid first (stable), then truncate to capacity
         ordr = jnp.argsort(~valid)[: cfg.n_local_cap]
         overflow = overflow | (jnp.sum(valid) > cfg.n_local_cap)
@@ -486,7 +512,7 @@ class SlabSimulation:
             r=sel(r), v=sel(v), q=sel(q), L=sel(L),
             cid=sel(cid), mid=sel(mid), valid=sel(valid),
         )
-        return out, overflow
+        return out, overflow, sel(rc), sel(vc)
 
     def _pack_planes(self, mol: MoleculeState) -> jnp.ndarray:
         """Per-molecule kernel planes: LJ mode [x,y,z,valid]; multi-site
@@ -693,9 +719,14 @@ class SlabSimulation:
         return (F, M), u6g, uXg, rfg, virg
 
     def _device_step(
-        self, mol: MoleculeState, F_prev: jnp.ndarray,
+        self, mol: MoleculeState, aux,
         z_edges: jnp.ndarray, step: jnp.ndarray
     ):
+        """aux: dict(F, M, rcomp, vcomp) -- previous forces plus the
+        Kahan compensation state of the compensated f32 integration
+        (the multi-chip answer to the reference's SPDP mixed-precision
+        mode, SIMD_TYPES.h:110-113; the single-chip RMM path uses
+        cell-local coordinates instead)."""
         cfg = self.cfg
         from ls1_mardyn_tpu.state import Forces
         from ls1_mardyn_tpu.ops.cells import wrap_positions
@@ -705,17 +736,29 @@ class SlabSimulation:
         dev_bounds = z_edges[
             jnp.arange(cfg.n_devices + 1, dtype=jnp.int32) * nzl
         ]
-        F_prev, M_prev = F_prev
+        F_prev, M_prev = aux["F"], aux["M"]
+        rcomp, vcomp = aux["rcomp"], aux["vcomp"]
         zeros3 = jnp.zeros_like(F_prev)
         forces_prev = Forces(F=F_prev, M=M_prev, Vi=zeros3)
-        mol = upd_pre_force(mol, forces_prev, self.pp, cfg.dt)
-        mol = dataclasses.replace(mol, r=wrap_positions(mol.r, cfg.box))
-        mol, mig_overflow = self._migrate(mol, dev_bounds)
+        mol, rcomp, vcomp = upd_pre_force_kahan(
+            mol, forces_prev, self.pp, cfg.dt, rcomp, vcomp
+        )
+        wrapped = wrap_positions(mol.r, cfg.box)
+        # a periodic wrap shifts r by ~L; the compensation no longer
+        # matches the new representation -- reset it there (rare event
+        # per molecule, ulp-level effect)
+        rcomp = jnp.where(wrapped == mol.r, rcomp, 0.0)
+        mol = dataclasses.replace(mol, r=wrapped)
+        mol, mig_overflow, rcomp, vcomp = self._migrate(
+            mol, dev_bounds, rcomp, vcomp
+        )
         F, M, (u6, uX, my_rf, vir), bin_overflow = self._device_forces(
             mol, z_edges
         )
         forces = Forces(F=F, M=M, Vi=zeros3)
-        mol, mv2, iw2 = upd_post_force(mol, forces, self.pp, cfg.dt)
+        mol, mv2, iw2, vcomp = upd_post_force_kahan(
+            mol, forces, self.pp, cfg.dt, vcomp
+        )
 
         # one fused psum: (u6, vir, summv2, sumIw2, N, rotDOF) --
         # the agglomerated CollectiveCommunication analogue
@@ -748,6 +791,7 @@ class SlabSimulation:
         )
         if cfg.thermostat and cfg.target_temperature > 0:
             mol = apply_velocity_scaling(mol, gv.beta_trans, gv.beta_rot)
+            vcomp = vcomp * gv.beta_trans
         if cfg.temp_control_regions:
             from ls1_mardyn_tpu.ops.thermostat import (
                 apply_temperature_control,
@@ -766,4 +810,5 @@ class SlabSimulation:
         # per-device molecule count rides out sharded ([P] globally):
         # the driver's load balancer reads it with the other globals
         # (the MeasureLoad signal, src/parallel/LoadCalc.h:227)
-        return mol, (F, M), gv, overflow, nloc.reshape(1)
+        aux_out = dict(F=F, M=M, rcomp=rcomp, vcomp=vcomp)
+        return mol, aux_out, gv, overflow, nloc.reshape(1)

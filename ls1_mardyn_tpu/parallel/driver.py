@@ -504,7 +504,10 @@ class ParallelMDSimulation:
             return None
         from ls1_mardyn_tpu.state import Forces
 
-        F, M = self._FM
+        if isinstance(self._FM, dict):
+            F, M = self._FM["F"], self._FM["M"]
+        else:
+            F, M = self._FM
         F = np.asarray(F)
         M = np.asarray(M)
         # per-molecule virials are not produced by the sharded kernels
@@ -523,7 +526,17 @@ class ParallelMDSimulation:
         kw = {}
         if self.kind == "slab" and self.z_edges is not None:
             kw["z_edges"] = self.z_edges
-        if self._FM is not None:
+        if isinstance(self._FM, dict):
+            a = self._FM
+            self.mol_sharded, ex = self.sim.distribute(
+                self._mol_cache,
+                extras=tuple(
+                    np.asarray(a[k]) for k in ("F", "M", "rcomp", "vcomp")
+                ),
+                **kw,
+            )
+            self._FM = dict(zip(("F", "M", "rcomp", "vcomp"), ex))
+        elif self._FM is not None:
             F, M = self._FM
             self.mol_sharded, self._FM = self.sim.distribute(
                 self._mol_cache, extras=(np.asarray(F), np.asarray(M)), **kw
@@ -588,7 +601,17 @@ class ParallelMDSimulation:
         min_h = max(self.config.cutoff, self.config.lj_cutoff)
         edges = balanced_z_edges(z, nzg, cfg.box[2], min_h)
         self.z_edges = edges
-        if self._FM is not None:
+        if isinstance(self._FM, dict):
+            a = self._FM
+            self.mol_sharded, ex = self.sim.distribute(
+                g,
+                extras=tuple(
+                    np.asarray(a[k]) for k in ("F", "M", "rcomp", "vcomp")
+                ),
+                z_edges=edges,
+            )
+            self._FM = dict(zip(("F", "M", "rcomp", "vcomp"), ex))
+        elif self._FM is not None:
             F, M = self._FM
             self.mol_sharded, self._FM = self.sim.distribute(
                 g, extras=(np.asarray(F), np.asarray(M)), z_edges=edges
@@ -668,22 +691,28 @@ class ParallelMDSimulation:
         return ideal + conf
 
     def _recompute_forces(self):
-        """(F, M) at the current positions (first element of the force
-        entry for both decompositions)."""
+        """Force/aux state at the current positions.  Slab: an aux dict
+        (F, M, zeroed Kahan compensation); mesh3d: the (F, M) tuple."""
         if self.kind == "slab":
-            return self.sim._force_sharded(
+            FM = self.sim._force_sharded(
                 self.mol_sharded, self._edges_arg()
             )[0]
+            return self.sim.make_aux(FM)
         return self.sim._force_sharded(self.mol_sharded)[0]
 
     # main loop ----------------------------------------------------------
     def run(self, steps: Optional[int] = None, print_every: int = 100,
             final_checkpoint: Optional[str] = None,
             loop_abort_time: float = 0.0,
-            timed_checkpoint: float = 0.0):
+            timed_checkpoint: float = 0.0,
+            profile_dir: Optional[str] = None,
+            profile_steps=(10, 15)):
         import jax.numpy as jnp
 
+        from ls1_mardyn_tpu.driver import _TraceCapture
+
         steps = steps if steps is not None else self.config.steps
+        profiler = _TraceCapture(profile_dir, profile_steps, steps)
         slab = self.kind == "slab"
         if self._FM is None:
             self._flush_mol()
@@ -705,7 +734,8 @@ class ParallelMDSimulation:
             if slab:
                 (self.mol_sharded, self._FM, gv, overflow,
                  nloc) = self.sim._step_sharded_lb(
-                    self.mol_sharded, self._FM, self._edges_arg(),
+                    self.mol_sharded, self.sim.make_aux(self._FM),
+                    self._edges_arg(),
                     jnp.asarray(self.step, jnp.int32),
                 )
             else:
@@ -716,6 +746,7 @@ class ParallelMDSimulation:
             ovf_window.append(overflow)
             self._mol_cache = None
             self.last_globals = gv
+            profiler.tick(k, lambda: float(gv.upot))
             self.time += self.config.timestep
             if self.step > self.config.equilibration_steps:
                 self._cv_win.append(gv.upot)
@@ -771,6 +802,9 @@ class ParallelMDSimulation:
             if self.run_abort:
                 global_log.info("run aborted by plugin at step %d", self.step)
                 break
+        profiler.finish(
+            lambda: float(gv.upot) if gv is not None else None
+        )
         for p in self._plugins:
             p.finish(self)
         if final_checkpoint:

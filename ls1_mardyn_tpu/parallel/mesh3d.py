@@ -342,7 +342,7 @@ class Mesh3DSimulation:
             rx_below = jax.lax.ppermute(buf_up, axname, perm_up)
             rx_above = jax.lax.ppermute(buf_dn, axname, perm_dn)
             keep = mol.valid & ~(go_up | go_down)
-            rr, rv, rq, rL, rcid, rmid, rvalid = _unpack_payload(
+            rr, rv, rq, rL, rcid, rmid, rvalid, _rc, _vc = _unpack_payload(
                 jnp.concatenate([rx_below, rx_above], axis=0)
             )
             cat = lambda a, b: jnp.concatenate([a, b], axis=0)

@@ -77,3 +77,18 @@ def test_cli_smoke(tmp_path):
                "--final-checkpoint", str(tmp_path / "fin.dat")])
     assert rc == 0
     assert (tmp_path / "fin.dat").exists()
+
+
+def test_cli_profile_trace(tmp_path):
+    """--profile captures a jax.profiler device trace over the step
+    window (the TaskTimingProfiler/PAPI role, Simulation.cpp:1249-1254);
+    the window is clamped into short runs."""
+    os.chdir(tmp_path)
+    from ls1_mardyn_tpu.cli import main
+
+    trace_dir = tmp_path / "trace"
+    rc = main([ARGON_CFG, "-N", "4", "--print-every", "0",
+               "--profile", str(trace_dir), "--profile-steps", "2:4"])
+    assert rc == 0
+    traces = list(trace_dir.rglob("*.xplane.pb"))
+    assert traces, list(trace_dir.rglob("*"))

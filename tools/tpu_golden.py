@@ -50,7 +50,7 @@ SCENES = [
 ]
 CUTOFF = 35.0
 TMP = "/tmp/tpu_golden_exchange.npz"
-N_1CLJ = 110592  # 48^3 lattice points, rho=0.8 liquid (27/cell at nd=16)
+N_1CLJ = 32768  # 32^3 lattice points, rho=0.8 liquid
 
 
 def make_1clj_positions():
@@ -66,7 +66,7 @@ def make_1clj_positions():
     L = (N_1CLJ / rho) ** (1.0 / 3.0)
     data = cubic_grid(N_1CLJ, [L, L, L], 1.1, seed=11)
     r64 = np.asarray(data.r, np.float64)
-    nd = 20  # edge 2.585 > rc=2.5 (sentinel-eligible), max occ 16 < 32
+    nd = 12  # edge 2.87 > rc=2.5 (sentinel-eligible), max occ 35 < cap 64
     cl = np.asarray([L / nd] * 3, np.float64)
     c3 = np.clip(np.floor(r64 / cl).astype(np.int64), 0, nd - 1)
     local32 = (r64 - c3 * cl).astype(np.float32)
@@ -102,7 +102,7 @@ def phase_oracle():
         import dataclasses
 
         mol = dataclasses.replace(mol, r=jnp.asarray(r_eff[order]))
-        f, m = compute_forces_n2_jit(mol, pp, box, chunk=1024)
+        f, m = compute_forces_n2_jit(mol, pp, box, chunk=512)
         out["lj_F"] = np.asarray(f.F, np.float64)
         out["lj_upot"] = np.float64(m.upot)
         out["lj_virial"] = np.float64(m.total_virial)
@@ -143,9 +143,9 @@ def phase_device(quick: bool):
     data, r_eff, L, nd = make_1clj_positions()
     mol, pp, table, box = build_scene(data, cutoff=2.5, dtype=jnp.float32)
     spec = CellGridSpec(dims=(nd, nd, nd),
-                        box=(float(L),) * 3, cap=32)
+                        box=(float(L),) * 3, cap=64)
     sim = RMMSimulation(table, pp, box, spec, dt=0.002,
-                        target_temperature=1.1, thermostat=True, tx=4,
+                        target_temperature=1.1, thermostat=True, tx=2,
                         interpret=backend == "cpu")
 
     # recover the slot -> molecule mapping: init stores mid = component
