@@ -140,9 +140,12 @@ class PMEParams:
         return PMEParams(alpha=ep.alpha, grid=G, order=order)
 
 
-def _grid_indices_weights(rs, wq, box, grid, p, dtype, with_derivs=False):
-    """Flattened mesh indices [NS, p^3] + spreading weights [NS, p^3]
-    (and d/dx,d/dy,d/dz weight products when with_derivs)."""
+def _grid_indices_weights(rs, wq, box, grid, p, dtype, with_derivs=False,
+                          products=True):
+    """Per-dimension spline columns (bw/w3, + dw3/scale when
+    with_derivs), and with products=True also the materialized
+    [NS, p^3] flattened mesh indices and weight products the direct
+    gather path consumes (the sorted paths never need them)."""
     G = jnp.asarray(grid, jnp.int32)
     Gf = jnp.asarray(grid, dtype)
     L = jnp.asarray(box, dtype)
@@ -154,6 +157,15 @@ def _grid_indices_weights(rs, wq, box, grid, p, dtype, with_derivs=False):
     else:
         w = bspline_weights(frac, p)
         dw = None
+    out = dict(
+        bw=jnp.mod(base, G[None, :]),  # wrapped base index [NS, 3]
+        w3=w,  # per-dimension spline weights [NS, 3, p]
+    )
+    if with_derivs:
+        out["dw3"] = dw  # per-dimension derivative columns [NS, 3, p]
+        out["scale"] = Gf / L  # du/dr
+    if not products:
+        return out
     joff = jnp.arange(p, dtype=jnp.int32)
     idx3 = jnp.mod(base[:, :, None] - joff[None, None, :], G[None, :, None])
     # combined [NS, p, p, p]
@@ -164,12 +176,8 @@ def _grid_indices_weights(rs, wq, box, grid, p, dtype, with_derivs=False):
         * grid[2]
         + idx3[:, 2, None, None, :]
     )
-    out = dict(
-        lin=lin.reshape(lin.shape[0], -1),
-        W=W.reshape(W.shape[0], -1),
-        bw=jnp.mod(base, G[None, :]),  # wrapped base index [NS, 3]
-        w3=w,  # per-dimension spline weights [NS, 3, p]
-    )
+    out["lin"] = lin.reshape(lin.shape[0], -1)
+    out["W"] = W.reshape(W.shape[0], -1)
     if with_derivs:
         dwx, dwy, dwz = dw[:, 0, :], dw[:, 1, :], dw[:, 2, :]
         scale = Gf / L  # du/dr
@@ -258,6 +266,107 @@ def _spread_sorted(bw, w3, wq, grid, p: int, dtype):
     return pad
 
 
+def _gather_sorted(bw, w3, dw3, scale, wq, phi, grid, p: int, dtype):
+    """Force interpolation as the exact linear TRANSPOSE of
+    _spread_sorted: gather-free per-site reads of the potential mesh.
+
+    The direct formulation gathers phi at [NS, p^3] scattered indices
+    (TPU element gathers run ~1 GB/s -- the dominant SPME cost at
+    N >= 1e6 sites).  Dual trick: with sites sorted by their base mesh
+    index lin0 (the SAME order as the spread), the per-site value for
+    spline offset c,
+
+        v_i = phi_pad[lin_s[i] - c],
+
+    is constant on each lin_s-segment, so it equals a prefix sum of
+    telescoping mesh-value differences scattered at the segment edges:
+
+        v = cumsum(zeros(N+1).at[edges_full[m]].add(
+                phi_pad[m-c] - phi_pad[m-1-c]))
+
+    The scatter positions edges_full[:ngp+1] are OFFSET-INDEPENDENT
+    (sorted, one searchsorted for all p^3 offsets) and the values are a
+    contiguous slice of ONE precomputed difference array -- per offset
+    this costs an ngp-sized sorted scatter + an N cumsum instead of an
+    N-element random gather.  Weight products are formed in-scan from
+    the three sorted per-dimension spline/derivative columns, exactly
+    like the spread.  Returns site forces [NS, 3] (already multiplied
+    by -wq)."""
+    G1, G2, G3 = grid
+    Gp = (G1 + p - 1, G2 + p - 1, G3 + p - 1)
+    ngp = Gp[0] * Gp[1] * Gp[2]
+    n = bw.shape[0]
+
+    # padded potential mesh: padded index i <-> real index (i-(p-1)) mod G
+    # per dim, so the head margin is a copy of the real tail.
+    pad = phi.reshape(grid)
+    for ax, G in enumerate(grid):
+        head = jax.lax.slice_in_dim(pad, G - (p - 1), G, axis=ax)
+        pad = jnp.concatenate([head, pad], axis=ax)
+    phi_padf = pad.reshape(-1)
+
+    lin0 = (
+        (bw[:, 0] + (p - 1)) * Gp[1] + (bw[:, 1] + (p - 1))
+    ) * Gp[2] + (bw[:, 2] + (p - 1))
+    order = jnp.argsort(lin0)
+    lin_s = lin0[order]
+    cmax = (p - 1) * (Gp[1] * Gp[2] + Gp[2] + 1)
+    edges_full = jnp.searchsorted(
+        lin_s, jnp.arange(ngp + 1, dtype=lin_s.dtype)
+    )
+
+    # one difference array serves every offset via a contiguous slice:
+    # vals for offset c live at Dphi_ext[cmax-c : cmax-c+ngp] where
+    # Dphi_ext[v] = ph[v-cmax] - ph[v-cmax-1] (zero-padded prefix).
+    ph_ext = jnp.concatenate([jnp.zeros((cmax + 1,), dtype), phi_padf])
+    dphi_ext = ph_ext[1:] - ph_ext[:-1]  # [cmax + ngp]
+
+    # sorted per-dimension spline columns (scale folded into derivs)
+    wx_s = w3[:, 0, :][order]
+    wy_s = w3[:, 1, :][order]
+    wz_s = w3[:, 2, :][order]
+    dwx_s = (dw3[:, 0, :] * scale[0])[order]
+    dwy_s = (dw3[:, 1, :] * scale[1])[order]
+    dwz_s = (dw3[:, 2, :] * scale[2])[order]
+
+    offs = np.array(
+        [
+            (jx, jy, jz, jx * Gp[1] * Gp[2] + jy * Gp[2] + jz)
+            for jx in range(p)
+            for jy in range(p)
+            for jz in range(p)
+        ],
+        np.int32,
+    )
+
+    col = lambda a, j: jax.lax.dynamic_index_in_dim(a, j, 1, keepdims=False)
+
+    def body(acc, xs):
+        jx, jy, jz, c = xs
+        vals = jax.lax.dynamic_slice_in_dim(dphi_ext, cmax - c, ngp)
+        a = jnp.zeros((n + 1,), dtype).at[edges_full[:-1]].add(
+            vals, indices_are_sorted=True
+        )
+        v = jnp.cumsum(a)[:n]  # phi_pad[lin_s - c] per sorted site
+        fx, fy, fz = acc
+        wyz = col(wy_s, jy) * col(wz_s, jz)
+        fx = fx + (col(dwx_s, jx) * wyz) * v
+        fy = fy + (col(wx_s, jx) * col(dwy_s, jy) * col(wz_s, jz)) * v
+        fz = fz + (col(wx_s, jx) * col(wy_s, jy) * col(dwz_s, jz)) * v
+        return (fx, fy, fz), None
+
+    z = jnp.zeros((n,), dtype)
+    (fx, fy, fz), _ = jax.lax.scan(
+        body, (z, z, z),
+        tuple(jnp.asarray(offs[:, i]) for i in range(4)),
+    )
+    F_s = jnp.stack([fx, fy, fz], axis=-1) * (-wq[order][:, None])
+    # unsort back to site order (one N-row permutation scatter)
+    return jnp.zeros_like(F_s).at[order].set(
+        F_s, unique_indices=True
+    )
+
+
 def _recip_kernel(box, grid, alpha, dtype):
     """G(k) * |b1 b2 b3|^2 on the FFT mesh (numpy, trace-time const)."""
     box = np.asarray(box, float)
@@ -292,9 +401,15 @@ class PMESolver:
     real-space pair interaction (same alpha) plus the shared self/intra
     corrections (applied here, like EwaldSolver)."""
 
-    def __init__(self, box, params: PMEParams, dtype=jnp.float64):
+    def __init__(self, box, params: PMEParams, dtype=jnp.float64,
+                 gather_mode: str = "sorted"):
         self.params = params
         self.box = tuple(float(b) for b in np.asarray(box))
+        # 'sorted': gather-free force interpolation (_gather_sorted,
+        # the transpose of the sorted spread); 'direct': plain [NS,p^3]
+        # mesh gather (kept for A/B measurement and as the oracle for
+        # the sorted path's regression test)
+        self.gather_mode = gather_mode
         self.kern = jnp.asarray(
             _full_kernel(self.box, params.grid, params.alpha, params.order,
                          np.float64),
@@ -308,7 +423,8 @@ class PMESolver:
         grid = self.params.grid
         dtype = rs.dtype
         giw = _grid_indices_weights(
-            rs, wq, self.box, grid, p, dtype, with_derivs=True
+            rs, wq, self.box, grid, p, dtype, with_derivs=True,
+            products=self.gather_mode != "sorted",
         )
         ng = int(np.prod(grid))
         Q = _spread_sorted(giw["bw"], giw["w3"], wq, grid, p, dtype)
@@ -323,6 +439,11 @@ class PMESolver:
         u = 0.5 * jnp.sum(Q * phi) * jnp.asarray(global_share, dtype)
         # force: F_d = -q * sum_support dW_d * phi
         phi_flat = phi.reshape(-1)
+        if self.gather_mode == "sorted":
+            return u, _gather_sorted(
+                giw["bw"], giw["w3"], giw["dw3"], giw["scale"], wq,
+                phi_flat, grid, p, dtype,
+            )
         ph = phi_flat[giw["lin"]]  # [NS, p^3]
         F = jnp.stack(
             [-jnp.sum(giw["D"][d] * ph, axis=1) * wq for d in range(3)],

@@ -91,3 +91,26 @@ def test_pme_params_auto():
     p = PMEParams.auto(np.array([10.0, 10.0, 10.0]), rc=3.0)
     assert all(g >= 8 and (g & (g - 1)) == 0 for g in p.grid)
     assert p.alpha > 0
+
+
+def test_pme_sorted_gather_matches_direct():
+    """The gather-free force interpolation (_gather_sorted, the
+    transpose of the sorted spread) is bit-for-bit the same
+    discretization as the direct [NS, p^3] mesh gather."""
+    rng = np.random.default_rng(7)
+    for (n, grid, p, L) in [
+        (500, (8, 8, 8), 4, 10.0),
+        (257, (12, 10, 8), 6, 13.7),
+    ]:
+        box = (L, L * 1.1, L * 0.9)
+        params = PMEParams(alpha=0.8, grid=grid, order=p)
+        rs = jnp.asarray(rng.uniform(0, 1, (n, 3)) * np.asarray(box))
+        wq = jnp.asarray(rng.normal(size=n))
+        wq = wq - wq.mean()
+        pa = PMESolver(box, params, dtype=jnp.float64, gather_mode="direct")
+        pb = PMESolver(box, params, dtype=jnp.float64, gather_mode="sorted")
+        ua, Fa = jax.jit(pa.mesh_energy_forces)(rs, wq)
+        ub, Fb = jax.jit(pb.mesh_energy_forces)(rs, wq)
+        assert float(abs(ua - ub)) < 1e-10
+        err = float(jnp.max(jnp.abs(Fa - Fb)) / jnp.max(jnp.abs(Fa)))
+        assert err < 1e-12, (n, grid, p, err)

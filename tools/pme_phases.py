@@ -1,12 +1,14 @@
 """Per-phase SPME timings on the real device (VERDICT r1 item 5).
 
-Times the three phases of the reciprocal-space pass separately at a
+Times the phases of the reciprocal-space pass separately at a
 configurable site count:
-  - spread: sorted scatter-free B-spline charge spreading
-  - fft:    forward FFT + kernel multiply + inverse FFT
-  - gather: force interpolation (the [NS, p^3] potential-mesh reads)
-plus the fused end-to-end pass, so the restructure work is
-evidence-driven.  Usage: python tools/pme_phases.py [N] [order]
+  - spread:        sorted scatter-free B-spline charge spreading
+  - fft:           forward FFT + kernel multiply + inverse FFT
+  - gather_direct: force interpolation via the [NS, p^3] mesh gather
+  - gather_sorted: force interpolation via the gather-free transpose
+                   of the sorted spread (_gather_sorted)
+plus the fused end-to-end pass for both modes, so the restructure work
+is evidence-driven.  Usage: python tools/pme_phases.py [N] [order]
 """
 
 import json
@@ -17,6 +19,14 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def jax_sync(x):
+    import jax
+
+    for leaf in jax.tree_util.tree_leaves(x):
+        np.asarray(jax.device_get(leaf))
+        break
 
 
 def _timeit(fn, *a, reps=3, inner=2):
@@ -34,22 +44,14 @@ def _timeit(fn, *a, reps=3, inner=2):
     return min(ts)
 
 
-def jax_sync(x):
-    import jax
-
-    leaves = jax.tree_util.tree_leaves(x)
-    for l in leaves:
-        np.asarray(jax.device_get(l))
-        break
-
-
 def main():
     import jax
     import jax.numpy as jnp
 
     from ls1_mardyn_tpu.ops.pme import (
         PMEParams,
-        SmoothPME,
+        PMESolver,
+        _gather_sorted,
         _grid_indices_weights,
         _spread_sorted,
     )
@@ -66,30 +68,30 @@ def main():
 
     rng = np.random.default_rng(3)
     rs = jnp.asarray(rng.uniform(0, L, (n, 3)), dtype)
-    wq = jnp.asarray(
-        np.where(np.arange(n) % 2 == 0, 1.0, -1.0), dtype
-    )
+    wq = jnp.asarray(np.where(np.arange(n) % 2 == 0, 1.0, -1.0), dtype)
 
-    pme = SmoothPME(box, params, dtype=dtype)
     p = params.order
     grid = params.grid
     ng = int(np.prod(grid))
+    solver_d = PMESolver(box, params, dtype=dtype, gather_mode="direct")
+    solver_s = PMESolver(box, params, dtype=dtype, gather_mode="sorted")
 
     @jax.jit
     def phase_spread(rs, wq):
-        giw = _grid_indices_weights(rs, wq, box, grid, p, dtype)
+        giw = _grid_indices_weights(rs, wq, box, grid, p, dtype,
+                                    products=False)
         Q = _spread_sorted(giw["bw"], giw["w3"], wq, grid, p, dtype)
         return jnp.sum(Q)
 
     @jax.jit
     def phase_fft(Q):
         Qh = jnp.fft.fftn(Q)
-        conv = pme.kern.astype(dtype) * Qh
+        conv = solver_s.kern.astype(dtype) * Qh
         phi = jnp.real(jnp.fft.ifftn(conv)).astype(dtype) * ng
         return jnp.sum(phi)
 
     @jax.jit
-    def phase_gather(rs, wq, phi_flat):
+    def phase_gather_direct(rs, wq, phi_flat):
         giw = _grid_indices_weights(
             rs, wq, box, grid, p, dtype, with_derivs=True
         )
@@ -101,8 +103,22 @@ def main():
         return jnp.sum(F)
 
     @jax.jit
-    def full(rs, wq):
-        u, F = pme.mesh_energy_forces(rs, wq)
+    def phase_gather_sorted(rs, wq, phi_flat):
+        giw = _grid_indices_weights(
+            rs, wq, box, grid, p, dtype, with_derivs=True, products=False
+        )
+        F = _gather_sorted(giw["bw"], giw["w3"], giw["dw3"], giw["scale"],
+                           wq, phi_flat, grid, p, dtype)
+        return jnp.sum(F)
+
+    @jax.jit
+    def full_direct(rs, wq):
+        u, F = solver_d.mesh_energy_forces(rs, wq)
+        return u + jnp.sum(F)
+
+    @jax.jit
+    def full_sorted(rs, wq):
+        u, F = solver_s.mesh_energy_forces(rs, wq)
         return u + jnp.sum(F)
 
     Q0 = jnp.zeros(tuple(grid), dtype)
@@ -115,8 +131,10 @@ def main():
         "backend": jax.default_backend(),
         "spread_s": _timeit(phase_spread, rs, wq),
         "fft_s": _timeit(phase_fft, Q0),
-        "gather_s": _timeit(phase_gather, rs, wq, phi0),
-        "full_s": _timeit(full, rs, wq),
+        "gather_direct_s": _timeit(phase_gather_direct, rs, wq, phi0),
+        "gather_sorted_s": _timeit(phase_gather_sorted, rs, wq, phi0),
+        "full_direct_s": _timeit(full_direct, rs, wq),
+        "full_sorted_s": _timeit(full_sorted, rs, wq),
     }
     print(json.dumps(out))
 
