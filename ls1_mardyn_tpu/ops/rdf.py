@@ -76,6 +76,61 @@ def pair_distance_histogram(
     return 0.5 * h  # unordered pairs
 
 
+@functools.partial(
+    jax.jit, static_argnames=("spec", "ncomp", "chunk")
+)
+def pair_count_by_component(
+    r: jnp.ndarray,
+    valid: jnp.ndarray,
+    cid: jnp.ndarray,
+    spec: CellGridSpec,
+    nbr_ids: jnp.ndarray,
+    nbr_shift: jnp.ndarray,
+    rc2_lj,
+    rc2_c,
+    ncomp: int,
+    chunk: int = 32,
+):
+    """Exact unordered pair counts per component pair, within the LJ
+    and electrostatic cutoffs separately: two [ncomp, ncomp] matrices
+    (the measuring half of the reference's FlopCounter cell processor,
+    adapter/FlopCounter.h:60 -- it traverses the cells and counts the
+    pairs each loop body would actually evaluate, rather than modeling
+    them from the mean density).  Counting is one-hot matmuls per cell
+    row: counts[k, l] = oh_i^T (mask) oh_j."""
+    n = r.shape[0]
+    cap = spec.cap
+    dtype = r.dtype
+    bins = bin_particles(r, valid, spec)
+    eye = jnp.eye(ncomp, dtype=dtype)
+
+    def one_cell(c):
+        i_idx = bins.slots[c]
+        j_idx = bins.slots[nbr_ids[c]].reshape(-1)
+        j_shift = jnp.repeat(nbr_shift[c], cap, axis=0).astype(dtype)
+        si = jnp.clip(i_idx, 0, n - 1)
+        sj = jnp.clip(j_idx, 0, n - 1)
+        oki = (i_idx >= 0) & valid[si]
+        okj = (j_idx >= 0) & valid[sj]
+        d = r[si][:, None, :] - (r[sj] + j_shift)[None, :, :]
+        dr2 = jnp.sum(d * d, axis=-1)
+        ok = oki[:, None] & okj[None, :] & (si[:, None] != sj[None, :])
+        oh_i = eye[jnp.clip(cid[si], 0, ncomp - 1)]  # [cap, K]
+        oh_j = eye[jnp.clip(cid[sj], 0, ncomp - 1)]  # [27cap, K]
+        m_lj = (ok & (dr2 < rc2_lj)).astype(dtype)
+        m_c = (ok & (dr2 < rc2_c)).astype(dtype)
+        return oh_i.T @ m_lj @ oh_j, oh_i.T @ m_c @ oh_j
+
+    cells = jnp.arange(spec.n_cells)
+    pad = (-spec.n_cells) % chunk
+    cells_p = jnp.concatenate([cells, jnp.zeros((pad,), cells.dtype)])
+    keep = (jnp.arange(spec.n_cells + pad) < spec.n_cells).astype(dtype)
+    lj, cc = jax.lax.map(jax.vmap(one_cell), cells_p.reshape(-1, chunk))
+    lj = jnp.sum(lj.reshape(-1, ncomp, ncomp) * keep[:, None, None], axis=0)
+    cc = jnp.sum(cc.reshape(-1, ncomp, ncomp) * keep[:, None, None], axis=0)
+    return 0.5 * lj, 0.5 * cc, bins.overflow
+
+
 def normalize_rdf(hist: np.ndarray, n: int, volume: float, rmax: float, samples: int):
     """g(r) normalization against the ideal-gas shell
     (RDF.cpp accumulation/normalization)."""

@@ -169,9 +169,14 @@ class MaxWriter(PluginBase):
 
 @PluginFactory.register("FlopRateWriter")
 class FlopRateWriter(PluginBase):
-    """Model-based FLOP rate (src/io/FlopRateWriter.cpp +
-    adapter/FlopCounter.h:60): counts LJ/charge/dipole/quadrupole pair
-    flops from the interaction model and divides by wall time."""
+    """Measured FLOP rate (src/io/FlopRateWriter.cpp +
+    adapter/FlopCounter.h:60): a jitted cell traversal counts the
+    ACTUAL cutoff pairs per component pair on write steps (the
+    FlopCounter role -- the reference also re-traverses the container
+    to count rather than modeling from density), converts them to
+    flops with FlopCounter's per-interaction costs, and divides by
+    wall time.  Falls back to the mean-density pair model only if the
+    counting traversal's private binning overflows."""
 
     # flop counts per interaction type (FlopCounter's model)
     FLOPS = {"lj": 30, "charge": 14, "dipole": 98, "quadrupole": 128}
@@ -179,40 +184,93 @@ class FlopRateWriter(PluginBase):
     def init(self, sim):
         self._t0 = _time.time()
         self._f = open(f"{self.output_prefix}.floprate", "w")
-        self._f.write("#step\tFLOP/step(model)\tGFLOPS\n")
+        self._f.write("#step\tFLOP/step(measured)\tGFLOPS\n")
+        self._spec = None
+        self._cap = 0
+
+    def _count_pairs(self, sim):
+        """Exact [K,K] LJ/electrostatic pair counts via
+        ops.rdf.pair_count_by_component; None on binning overflow."""
+        import jax.numpy as jnp
+
+        from ls1_mardyn_tpu.ops.cells import CellGridSpec, neighbor_table
+        from ls1_mardyn_tpu.ops.rdf import pair_count_by_component
+
+        mol = sim.molecules()
+        r = np.asarray(mol.r)
+        valid = np.asarray(mol.valid)
+        rc = max(float(sim.config.lj_cutoff), float(sim.config.cutoff))
+        box = tuple(float(b) for b in np.asarray(sim.box))
+        if self._spec is None or bool(self._overflow):
+            # size the cell capacity from the live occupancy (2x margin,
+            # multiple of 8); only rebuilt on overflow -> rare recompiles
+            dims = tuple(max(1, int(np.floor(b / rc))) for b in box)
+            cl = np.asarray(box) / np.asarray(dims)
+            c3 = np.clip(
+                (r[valid] / cl).astype(np.int64), 0,
+                np.asarray(dims) - 1,
+            )
+            lin = (c3[:, 0] * dims[1] + c3[:, 1]) * dims[2] + c3[:, 2]
+            occ = np.bincount(lin, minlength=int(np.prod(dims))).max() if valid.any() else 1
+            cap = max(8, int(-(-2 * int(occ) // 8) * 8))
+            if self._spec is None or cap > self._spec.cap:
+                self._spec = CellGridSpec(dims=dims, box=box, cap=cap)
+                ids, shift = neighbor_table(self._spec)
+                self._nbr = (jnp.asarray(ids), jnp.asarray(shift))
+        lj, cc, ovf = pair_count_by_component(
+            jnp.asarray(r), jnp.asarray(valid),
+            jnp.asarray(np.asarray(mol.cid)),
+            self._spec, self._nbr[0],
+            self._nbr[1].astype(jnp.asarray(r).dtype),
+            float(sim.config.lj_cutoff) ** 2, float(sim.config.cutoff) ** 2,
+            sim.table.K,
+        )
+        self._overflow = bool(ovf)
+        if self._overflow:
+            return None
+        return np.asarray(lj), np.asarray(cc)
+
+    def _model_pairs(self, sim):
+        """Mean-density fallback: [K,K] pair counts from composition."""
+        mol = sim.molecules()
+        cid = np.asarray(mol.cid)
+        valid = np.asarray(mol.valid)
+        K = sim.table.K
+        nk = np.array([np.sum(valid & (cid == k)) for k in range(K)], float)
+        n = nk.sum()
+        pairs_kl = np.outer(nk, nk)
+        np.fill_diagonal(pairs_kl, nk * (nk - 1))
+        pairs_kl *= 0.5
+        vol = sim.volume or 1.0
+        frac = lambda rc: (4.0 / 3.0) * np.pi * rc ** 3 / vol
+        return (pairs_kl * frac(float(sim.config.lj_cutoff)),
+                pairs_kl * frac(float(sim.config.cutoff)))
 
     def end_step(self, sim, step):
         if step % self.write_frequency:
             return
-        gv = sim.last_globals
-        n = int(float(gv.n)) if gv is not None else 0
-        # pair-count model: N * mean neighbors within cutoff
-        rc = sim.lj_cutoff
-        rho = n / sim.volume if sim.volume else 0.0
-        pairs = 0.5 * n * (4.0 / 3.0) * np.pi * rc ** 3 * rho
-        # per-molecule-pair site interaction counts from the component
-        # mix (FlopCounter.h counts each of the 7 loop bodies)
-        per_pair = 0.0
+        self._overflow = getattr(self, "_overflow", False)
+        counted = self._count_pairs(sim)
+        if counted is None:  # overflow: retry once with the regrown cap
+            counted = self._count_pairs(sim)
+        lj_kl, cc_kl = counted if counted is not None else self._model_pairs(sim)
         comps = sim.table.components
-        counts = np.zeros(len(comps))
-        cid = np.asarray(sim.molecules().cid)
-        valid = np.asarray(sim.molecules().valid)
-        for k in range(len(comps)):
-            counts[k] = np.sum(valid & (cid == k))
-        w = counts / max(counts.sum(), 1)
-        nl = np.array([len(c.ljcenters) for c in comps])
-        nc = np.array([len(c.charges) for c in comps])
-        nd = np.array([len(c.dipoles) for c in comps])
-        nq = np.array([len(c.quadrupoles) for c in comps])
-        mean = lambda a: float((w * a).sum())
-        per_pair = (
-            mean(nl) ** 2 * self.FLOPS["lj"]
-            + mean(nc) ** 2 * self.FLOPS["charge"]
-            + (2 * mean(nc) * mean(nd) + mean(nd) ** 2) * self.FLOPS["dipole"]
-            + (2 * mean(nc) * mean(nq) + 2 * mean(nd) * mean(nq)
-               + mean(nq) ** 2) * self.FLOPS["quadrupole"]
+        nl = np.array([len(c.ljcenters) for c in comps], float)
+        nc = np.array([len(c.charges) for c in comps], float)
+        nd = np.array([len(c.dipoles) for c in comps], float)
+        nq = np.array([len(c.quadrupoles) for c in comps], float)
+        # per-pair site-interaction flops, exact per component pair
+        # (the 7 potforce.h loop bodies FlopCounter tallies)
+        f_lj = np.outer(nl, nl) * self.FLOPS["lj"]
+        f_cc = (
+            np.outer(nc, nc) * self.FLOPS["charge"]
+            + (np.outer(nc, nd) + np.outer(nd, nc) + np.outer(nd, nd))
+            * self.FLOPS["dipole"]
+            + (np.outer(nc, nq) + np.outer(nq, nc) + np.outer(nd, nq)
+               + np.outer(nq, nd) + np.outer(nq, nq))
+            * self.FLOPS["quadrupole"]
         )
-        flops = pairs * per_pair
+        flops = float((lj_kl * f_lj).sum() + (cc_kl * f_cc).sum())
         dt = max(_time.time() - self._t0, 1e-9)
         self._f.write(f"{step}\t{flops:.4e}\t{flops * step / dt / 1e9:.4f}\n")
         self._f.flush()

@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 
 from ls1_mardyn_tpu.driver import MDSimulation
 from ls1_mardyn_tpu.io.xml_config import PluginSpec, XMLConfig
@@ -83,3 +84,70 @@ def test_mmpld_writer_format(tmp_path):
     assert (vt, ct) == (1, 0)
     count = struct.unpack_from("<Q", raw, seek0 + 4 + 2 + 8)[0]
     assert count == 100
+
+
+def test_pair_count_by_component_matches_bruteforce():
+    """The FlopCounter-role cell traversal counts exactly the cutoff
+    pairs a brute-force min-image sweep finds, per component pair."""
+    import jax.numpy as jnp
+
+    from ls1_mardyn_tpu.ops.cells import CellGridSpec, neighbor_table
+    from ls1_mardyn_tpu.ops.rdf import pair_count_by_component
+
+    rng = np.random.default_rng(11)
+    L, n, K = 9.0, 300, 2
+    r = rng.uniform(0, L, (n, 3))
+    cid = (rng.uniform(size=n) < 0.3).astype(np.int32)  # inhomogeneous mix
+    valid = np.ones(n, bool)
+    valid[::17] = False
+    rc_lj, rc_c = 2.0, 2.5
+
+    # brute force min-image
+    d = r[:, None, :] - r[None, :, :]
+    d -= L * np.round(d / L)
+    dr2 = (d * d).sum(-1)
+    ok = valid[:, None] & valid[None, :] & ~np.eye(n, dtype=bool)
+    ref = {}
+    for rc, nm in ((rc_lj, "lj"), (rc_c, "c")):
+        m = ok & (dr2 < rc * rc)
+        cnt = np.zeros((K, K))
+        for a in range(K):
+            for b in range(K):
+                cnt[a, b] = 0.5 * np.sum(m & np.outer(cid == a, cid == b))
+        ref[nm] = cnt
+
+    spec = CellGridSpec(dims=(3, 3, 3), box=(L, L, L), cap=40)
+    ids, shift = neighbor_table(spec)
+    lj, cc, ovf = pair_count_by_component(
+        jnp.asarray(r), jnp.asarray(valid), jnp.asarray(cid),
+        spec, jnp.asarray(ids), jnp.asarray(shift, jnp.float64),
+        rc_lj ** 2, rc_c ** 2, K,
+    )
+    assert not bool(ovf)
+    np.testing.assert_allclose(np.asarray(lj), ref["lj"], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(cc), ref["c"], atol=1e-9)
+
+
+def test_floprate_writer_measures_pairs(tmp_path):
+    """FlopRateWriter output equals the brute-force pair count x
+    FlopCounter's per-LJ-pair cost (exact counting, not the density
+    model)."""
+    os.chdir(tmp_path)
+    cfg, fm = _cfg(n=216, rho=0.4, plugins=[
+        ("FlopRateWriter", {"writefrequency": "2", "outputprefix": "fr"}),
+    ])
+    sim = MDSimulation(cfg, force_mode=fm)
+    sim.run(steps=2, print_every=0)
+    line = (tmp_path / "fr.floprate").read_text().splitlines()[-1]
+    step, flops, gflops = line.split()
+    mol = sim.molecules()
+    r = np.asarray(mol.r)[np.asarray(mol.valid)]
+    L = float(sim.box[0])
+    d = r[:, None, :] - r[None, :, :]
+    d -= L * np.round(d / L)
+    dr2 = (d * d).sum(-1)
+    pairs = 0.5 * float(
+        np.sum((dr2 < 2.5 ** 2) & ~np.eye(len(r), dtype=bool))
+    )
+    assert float(flops) == pytest.approx(pairs * 30, rel=1e-12)
+    assert np.isfinite(float(gflops))
