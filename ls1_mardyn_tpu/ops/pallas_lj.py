@@ -1368,3 +1368,575 @@ def lj_cell_forces_pallas_zb(
     u6 = jnp.sum(scal[..., 0])
     vir = jnp.sum(scal[..., 1])
     return out, u6, vir
+
+
+def _lj_cw_kernel(
+    i_ref,
+    *refs,
+    nx: int,
+    cap: int,
+    tx: int,
+    ny: int,
+    nz: int,
+    box: Tuple[float, float, float],
+    eps24: float,
+    sig2: float,
+    shift6: float,
+    rc2: float,
+    compute_macro: bool,
+    sentinel: bool,
+    fast_recip: bool,
+    out_dtype,
+):
+    """Cell-window kernel: per-i-CELL j windows instead of per-tile.
+
+    The row/lanej kernels pair every i slot of a tx-cell tile against
+    the whole (tx+2)-cell window -- at tx=4, cap=32 that is 256
+    candidate lanes per i of which only the 3 cells around i's own cell
+    (96 slots) can ever be inside the cutoff.  This kernel restores
+    per-cell windows: the tile's i slots are processed as tx groups of
+    `cap` sublanes (one cell each), and group g's pair block is
+    [cap, 4*cap] against that cell's own window.  The 4th window cell
+    (x-distance >= one cell edge >= rc) never passes the cutoff test --
+    it is alignment padding with correct physics.  Candidate lanes per
+    i drop 2x (256 -> 128 at cap=32); the group blocks are natural
+    [cap, 1] x [1, 4*cap] VPU broadcasts, and no coordinate ever rides
+    a matmul (exact at every precision).
+
+    Alignment: group g's window starts g*cap lanes into the row -- a
+    MISALIGNED lane slice that measured ~45% of the step when taken
+    in-kernel (tools/ablate_cw.py: 213 ms vs 118 with aligned reads).
+    The caller therefore pre-stacks 4 phase-shifted copies of the j row
+    (phase g = the row advanced by g*cap lanes) so every in-kernel read
+    is ds(t*txc, 4*cap) at a 128-multiple offset.  The copies cost one
+    fused XLA shift-stack (HBM-bandwidth, ~2 ms at N=4.2M) against the
+    ~95 ms of in-register shuffling they remove.
+
+    Requires cell-local coordinates and min cell edge >= rc (both
+    already required by the RMM sentinel path).
+    """
+    row_refs = refs[:9]
+    f_ref = refs[9]
+    _bx, by, bz = box
+    txc = tx * cap
+    gw = 4 * cap  # group window lanes
+    n_tiles = nx // tx
+
+    e24 = jnp.asarray(eps24, out_dtype)
+    s2 = jnp.asarray(sig2, out_dtype)
+    sh6 = jnp.asarray(shift6, out_dtype)
+    cut2 = jnp.asarray(rc2, out_dtype)
+
+    lane4 = jax.lax.broadcasted_iota(jnp.int32, (1, NPLANE), 1)
+    oh = [(lane4 == c).astype(out_dtype) for c in range(NPLANE)]
+
+    cly = by / ny
+    clz = bz / nz
+    clx = _bx / nx
+    # window lane l covers cell (g-1) + l//cap relative to i's cell g
+    lgw = jax.lax.broadcasted_iota(jnp.int32, (1, gw), 1)
+    xoff = (1 - lgw // cap).astype(out_dtype) * jnp.asarray(clx, out_dtype)
+    # center-row self pair: same cell (l//cap == 1), same slot
+    sgw = jax.lax.broadcasted_iota(jnp.int32, (cap, gw), 0)
+    not_self = (lgw // cap != 1) | (lgw % cap != sgw)
+
+    def tile(t, _):
+        off = pl.multiple_of(t * txc, txc)
+        ti = i_ref[0, 0, :, pl.ds(off, txc)]  # [4, txc]
+        G = ti.T  # [txc, 4] exact Mosaic transpose
+        xi = jnp.sum(G * oh[0], axis=1, keepdims=True)  # [txc, 1]
+        yi = jnp.sum(G * oh[1], axis=1, keepdims=True)
+        zi = jnp.sum(G * oh[2], axis=1, keepdims=True)
+        if not sentinel:
+            wi = jnp.sum(G * oh[3], axis=1, keepdims=True)
+
+        u6_t = jnp.zeros((), out_dtype)
+        vir_t = jnp.zeros((), out_dtype)
+        fcols = []
+        for g in range(tx):
+            s0 = g * cap
+            xg = xi[s0 : s0 + cap]  # [cap, 1]
+            yg = yi[s0 : s0 + cap]
+            zg = zi[s0 : s0 + cap]
+            if not sentinel:
+                wg = wi[s0 : s0 + cap]
+            ax = jnp.zeros((cap, gw), out_dtype)
+            ay = jnp.zeros((cap, gw), out_dtype)
+            az = jnp.zeros((cap, gw), out_dtype)
+            if compute_macro:
+                au = jnp.zeros((cap, gw), out_dtype)
+                av = jnp.zeros((cap, gw), out_dtype)
+            for k, (dz, dy) in enumerate(_OFFS):
+                # phase-g copy: group g's window at an aligned offset
+                Hw = row_refs[k][g, 0, 0, :, pl.ds(off, gw)]  # [4, gw]
+                xj = Hw[0:1]  # [1, gw] static sublane slices
+                yj = Hw[1:2]
+                zj = Hw[2:3]
+                dx = (xg - xj) + xoff  # [cap, gw]
+                dyv = (yg - jnp.asarray(dy * cly, out_dtype)) - yj
+                dzv = (zg - jnp.asarray(dz * clz, out_dtype)) - zj
+                dr2 = dx * dx + dyv * dyv + dzv * dzv
+                mask = dr2 < cut2
+                if not sentinel:
+                    mask = mask & (wg * Hw[3:4] > 0.5)
+                if k == _CENTER:
+                    mask = mask & not_self
+                if fast_recip:
+                    den = jnp.where(mask, dr2, jnp.asarray(1e30, out_dtype))
+                    r0 = pl.reciprocal(den, approx=True)
+                    invdr2 = r0 * (2.0 - den * r0)
+                    mf = mask.astype(out_dtype) if compute_macro else None
+                else:
+                    mf = mask.astype(out_dtype)
+                    invdr2 = mf / jnp.where(mask, dr2, 1.0)
+                lj6 = s2 * invdr2
+                lj6 = lj6 * lj6 * lj6
+                lj12 = lj6 * lj6
+                lj12m6 = lj12 - lj6
+                fac = e24 * (lj12 + lj12m6) * invdr2
+                ax = ax + fac * dx
+                ay = ay + fac * dyv
+                az = az + fac * dzv
+                if compute_macro:
+                    au = au + (e24 * lj12m6 + sh6 * mf)
+                    av = av + fac * dr2
+            fxg = jnp.sum(ax, axis=1, keepdims=True)  # [cap, 1]
+            fyg = jnp.sum(ay, axis=1, keepdims=True)
+            fzg = jnp.sum(az, axis=1, keepdims=True)
+            if compute_macro:
+                u6_t = u6_t + jnp.sum(au)
+                vir_t = vir_t + jnp.sum(av)
+            fcols.append(jnp.concatenate([fxg, fyg, fzg], axis=1))  # [cap, 3]
+        Fcat = jnp.concatenate(fcols, axis=0)  # [txc, 3]
+        scal_col = (0.5 * u6_t) * (
+            jax.lax.broadcasted_iota(jnp.int32, (txc, 1), 0) == 0
+        ).astype(out_dtype) + (0.5 * vir_t) * (
+            jax.lax.broadcasted_iota(jnp.int32, (txc, 1), 0) == 1
+        ).astype(out_dtype)
+        Fcat = jnp.concatenate([Fcat, scal_col], axis=1)  # [txc, 4]
+        f_ref[0, 0, :, pl.ds(off, txc)] = Fcat.T
+        return _
+
+    jax.lax.fori_loop(0, n_tiles, tile, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nx", "ny", "nz", "cap", "tx", "box", "eps24", "sig2", "shift6",
+        "rc2", "interpret", "z_halo", "compute_macro", "sentinel",
+        "fast_recip",
+    ),
+)
+def lj_cell_forces_pallas_cw(
+    r_i: jnp.ndarray,  # [nz, ny, 4, nx*cap]
+    r_j: jnp.ndarray,  # [nz(+2), ny, 4, (nx+4)*cap]: 1 left + 3 right x-halo cells
+    *,
+    nx: int,
+    ny: int,
+    nz: int,
+    cap: int,
+    tx: int,
+    box: Tuple[float, float, float],
+    eps24: float,
+    sig2: float,
+    shift6: float,
+    rc2: float,
+    interpret: bool = False,
+    z_halo: bool = False,
+    compute_macro: bool = True,
+    sentinel: bool = False,
+    fast_recip: bool = False,
+):
+    """Cell-window variant (see _lj_cw_kernel).  Cell-local coordinates
+    only; min cell edge >= rc.  Same output contract as the other
+    kernels."""
+    Wj = (nx + 4) * cap
+    nzj = nz + 2 if z_halo else nz
+    assert r_i.shape == (nz, ny, NPLANE, nx * cap), r_i.shape
+    assert r_j.shape == (nzj, ny, NPLANE, Wj), r_j.shape
+    assert nx % tx == 0 and nx >= 3
+    cl2 = min(box[0] / nx, box[1] / ny, box[2] / nz) ** 2
+    assert cl2 >= rc2, ("cw kernel requires cell edge >= rc", cl2, rc2)
+    if not interpret:
+        assert (tx * cap) % 128 == 0
+        assert (4 * cap) % 128 == 0, "cw kernel needs 4*cap % 128 == 0"
+    out_dtype = r_i.dtype
+
+    # phase-shifted j copies: phase g advanced by g*cap lanes so group
+    # g's in-kernel window reads are 128-aligned (see kernel doc).
+    # Width: the last tile's group-g window ends at
+    # (nx/tx-1)*txc + 4*cap = (nx + 4 - tx)*cap lanes into the phase.
+    Pw = (nx + max(0, 4 - tx)) * cap
+    P = jnp.stack(
+        [r_j[:, :, :, g * cap : g * cap + Pw] for g in range(tx)]
+    )  # [tx, nzj, ny, 4, Pw]
+
+    i_spec = pl.BlockSpec(
+        (1, 1, NPLANE, nx * cap), lambda z, y: (z, y, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    zmap = (lambda z, dz: z + dz + 1) if z_halo else (lambda z, dz: (z + dz) % nz)
+    jmap = lambda z, y, dz, dy: (0, zmap(z, dz), (y + dy) % ny, 0, 0)
+    j_specs = [
+        pl.BlockSpec(
+            (tx, 1, 1, NPLANE, Pw),
+            functools.partial(jmap, dz=dz, dy=dy),
+            memory_space=pltpu.VMEM,
+        )
+        for dz, dy in _OFFS
+    ]
+    out_spec = pl.BlockSpec(
+        (1, 1, NPLANE, nx * cap), lambda z, y: (z, y, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kernel = functools.partial(
+        _lj_cw_kernel,
+        nx=nx,
+        cap=cap,
+        tx=tx,
+        ny=ny,
+        nz=nz,
+        box=box,
+        eps24=eps24,
+        sig2=sig2,
+        shift6=shift6,
+        rc2=rc2,
+        compute_macro=compute_macro,
+        sentinel=sentinel,
+        fast_recip=fast_recip,
+        out_dtype=out_dtype,
+    )
+    n_pairs = nz * ny * nx * cap * 9 * 4 * cap
+    out = pl.pallas_call(
+        kernel,
+        grid=(nz, ny),
+        in_specs=[i_spec] + j_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((nz, ny, NPLANE, nx * cap), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=26 * n_pairs,
+            bytes_accessed=(9 * tx + 2) * nx * cap * NPLANE * nz * ny * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(r_i, *([P] * 9))
+    scal = out[:, :, 3, :].reshape(nz, ny, nx // tx, tx * cap)
+    u6 = jnp.sum(scal[..., 0])
+    vir = jnp.sum(scal[..., 1])
+    return out, u6, vir
+
+
+def _lj_cwn3l_kernel(
+    i_ref,
+    j0_ref,
+    jp_ref,
+    f_ref,
+    up_ref,
+    oi_ref,
+    sown_ref,
+    sup_ref,
+    *,
+    nx: int,
+    cap: int,
+    tx: int,
+    ny: int,
+    nz: int,
+    box: Tuple[float, float, float],
+    eps24: float,
+    sig2: float,
+    shift6: float,
+    rc2: float,
+    compute_macro: bool,
+    sentinel: bool,
+    fast_recip: bool,
+    Pw: int,
+    out_dtype,
+):
+    """Newton-3rd-law cell-window kernel: 5 forward row offsets instead
+    of 9 (the C08 forward-pair idea, /root/reference/src/
+    particleContainer/LinkedCellTraversals/C08BasedTraversals.h:122-126)
+    on the cw group geometry.
+
+    Each program owns z-plane z.  Row offsets: (dz=0,dy=0) forward-x +
+    self-cell j>i half, (0,+1), (1,-1), (1,0), (1,+1).  The j-side
+    forces (-pair force) cannot be written at the pair site without
+    misaligned stores, so they accumulate into PHASE-SEPARATED VMEM
+    scratch planes (sown: own z-plane targets, sup: z+1 targets), each
+    [tx, ny, 4, Pw] indexed exactly like the phase-stacked j input --
+    every store is an aligned ds(t*txc, 4*cap) slice of phase g.  At
+    program end the phases are shifted back (static once-per-program
+    lane shifts), the periodic x halo is folded, and the own-plane sum
+    joins the i-side forces in this program's output block; the z+1
+    plane is emitted to a second output folded by the caller with one
+    z-roll.  Energies/virial are counted once per pair (not halved).
+    """
+    _bx, by, bz = box
+    txc = tx * cap
+    gw = 4 * cap
+    n_tiles = nx // tx
+    Wj = (nx + 4) * cap
+
+    e24 = jnp.asarray(eps24, out_dtype)
+    s2 = jnp.asarray(sig2, out_dtype)
+    sh6 = jnp.asarray(shift6, out_dtype)
+    cut2 = jnp.asarray(rc2, out_dtype)
+
+    lane4 = jax.lax.broadcasted_iota(jnp.int32, (1, NPLANE), 1)
+    oh = [(lane4 == c).astype(out_dtype) for c in range(NPLANE)]
+
+    cly = by / ny
+    clz = bz / nz
+    clx = _bx / nx
+    lgw = jax.lax.broadcasted_iota(jnp.int32, (1, gw), 1)
+    wcell = lgw // cap  # window cell 0..3 == i-cell offset -1..+2
+    xoff = (1 - wcell).astype(out_dtype) * jnp.asarray(clx, out_dtype)
+    sgw = jax.lax.broadcasted_iota(jnp.int32, (cap, gw), 0)
+    # center row: forward-x half -- j in cells g+1/g+2(pad) or same
+    # cell with a strictly larger slot index
+    fwd_mask = (wcell > 1) | ((wcell == 1) & (lgw % cap > sgw))
+
+    # offsets evaluated: index 0 is the center (forward-x) row
+    offs = [(0, 0), (0, 1), (1, -1), (1, 0), (1, 1)]
+
+    sown_ref[...] = jnp.zeros((tx, ny, NPLANE, Pw), out_dtype)
+    sup_ref[...] = jnp.zeros((tx, ny, NPLANE, Pw), out_dtype)
+    oi_ref[...] = jnp.zeros((ny, NPLANE, nx * cap), out_dtype)
+
+    def yloop(y, _):
+        def tile(t, _):
+            off = pl.multiple_of(t * txc, txc)
+            ti = i_ref[0, y, :, pl.ds(off, txc)]  # [4, txc]
+            G = ti.T
+            xi = jnp.sum(G * oh[0], axis=1, keepdims=True)
+            yi = jnp.sum(G * oh[1], axis=1, keepdims=True)
+            zi = jnp.sum(G * oh[2], axis=1, keepdims=True)
+            if not sentinel:
+                wi = jnp.sum(G * oh[3], axis=1, keepdims=True)
+            u6_t = jnp.zeros((), out_dtype)
+            vir_t = jnp.zeros((), out_dtype)
+            fcols = []
+            for g in range(tx):
+                s0 = g * cap
+                xg = xi[s0 : s0 + cap]
+                yg = yi[s0 : s0 + cap]
+                zg = zi[s0 : s0 + cap]
+                if not sentinel:
+                    wg = wi[s0 : s0 + cap]
+                ax = jnp.zeros((cap, gw), out_dtype)
+                ay = jnp.zeros((cap, gw), out_dtype)
+                az = jnp.zeros((cap, gw), out_dtype)
+                if compute_macro:
+                    au = jnp.zeros((cap, gw), out_dtype)
+                    av = jnp.zeros((cap, gw), out_dtype)
+                for k, (dz, dy) in enumerate(offs):
+                    jref = j0_ref if dz == 0 else jp_ref
+                    yj_row = (y + dy) % ny
+                    Hw = jref[g, 0, yj_row, :, pl.ds(off, gw)]  # [4, gw]
+                    xj = Hw[0:1]
+                    yj = Hw[1:2]
+                    zj = Hw[2:3]
+                    dx = (xg - xj) + xoff
+                    dyv = (yg - jnp.asarray(dy * cly, out_dtype)) - yj
+                    dzv = (zg - jnp.asarray(dz * clz, out_dtype)) - zj
+                    dr2 = dx * dx + dyv * dyv + dzv * dzv
+                    mask = dr2 < cut2
+                    if not sentinel:
+                        mask = mask & (wg * Hw[3:4] > 0.5)
+                    if k == 0:
+                        mask = mask & fwd_mask
+                    if fast_recip:
+                        den = jnp.where(mask, dr2, jnp.asarray(1e30, out_dtype))
+                        r0 = pl.reciprocal(den, approx=True)
+                        invdr2 = r0 * (2.0 - den * r0)
+                        mf = mask.astype(out_dtype) if compute_macro else None
+                    else:
+                        mf = mask.astype(out_dtype)
+                        invdr2 = mf / jnp.where(mask, dr2, 1.0)
+                    lj6 = s2 * invdr2
+                    lj6 = lj6 * lj6 * lj6
+                    lj12 = lj6 * lj6
+                    lj12m6 = lj12 - lj6
+                    fac = e24 * (lj12 + lj12m6) * invdr2
+                    fdx = fac * dx
+                    fdy = fac * dyv
+                    fdz = fac * dzv
+                    ax = ax + fdx
+                    ay = ay + fdy
+                    az = az + fdz
+                    if compute_macro:
+                        au = au + (e24 * lj12m6 + sh6 * mf)
+                        av = av + fac * dr2
+                    # j-side forces: -colsum, into the phase-g scratch
+                    jf = jnp.concatenate(
+                        [
+                            -jnp.sum(fdx, axis=0, keepdims=True),
+                            -jnp.sum(fdy, axis=0, keepdims=True),
+                            -jnp.sum(fdz, axis=0, keepdims=True),
+                            jnp.zeros((1, gw), out_dtype),
+                        ],
+                        axis=0,
+                    )  # [4, gw]
+                    sref = sown_ref if dz == 0 else sup_ref
+                    cur = sref[g, yj_row, :, pl.ds(off, gw)]
+                    sref[g, yj_row, :, pl.ds(off, gw)] = cur + jf
+                fxg = jnp.sum(ax, axis=1, keepdims=True)
+                fyg = jnp.sum(ay, axis=1, keepdims=True)
+                fzg = jnp.sum(az, axis=1, keepdims=True)
+                if compute_macro:
+                    u6_t = u6_t + jnp.sum(au)
+                    vir_t = vir_t + jnp.sum(av)
+                fcols.append(jnp.concatenate([fxg, fyg, fzg], axis=1))
+            Fcat = jnp.concatenate(fcols, axis=0)  # [txc, 3]
+            scal_col = u6_t * (
+                jax.lax.broadcasted_iota(jnp.int32, (txc, 1), 0) == 0
+            ).astype(out_dtype) + vir_t * (
+                jax.lax.broadcasted_iota(jnp.int32, (txc, 1), 0) == 1
+            ).astype(out_dtype)
+            Fcat = jnp.concatenate([Fcat, scal_col], axis=1)
+            oi_ref[y, :, pl.ds(off, txc)] = Fcat.T
+            return _
+
+        jax.lax.fori_loop(0, n_tiles, tile, 0)
+        return _
+
+    jax.lax.fori_loop(0, ny, yloop, 0)
+
+    # fold the phase scratches back to absolute lanes (static lane
+    # shifts, once per program) and apply the periodic x-halo wrap.
+    # Pure concat/slice arithmetic: Mosaic has no scatter-add.
+    def fold(sref):
+        def place(a, lo, width):
+            """zero-pad a to [ny, 4, width] with `a` starting at lane lo"""
+            parts = []
+            if lo:
+                parts.append(jnp.zeros((ny, NPLANE, lo), out_dtype))
+            parts.append(a)
+            hi = width - lo - a.shape[-1]
+            if hi:
+                parts.append(jnp.zeros((ny, NPLANE, hi), out_dtype))
+            return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else a
+
+        acc = place(sref[0], 0, Wj)
+        for g in range(1, tx):
+            acc = acc + place(sref[g], g * cap, Wj)
+        main = acc[:, :, cap : (nx + 1) * cap]
+        wrap_l = place(acc[:, :, :cap], (nx - 1) * cap, nx * cap)
+        wrap_r = place(acc[:, :, (nx + 1) * cap :], 0, nx * cap)
+        return main + wrap_l + wrap_r  # [ny, 4, nx*cap]
+
+    f_ref[0] = oi_ref[...] + fold(sown_ref)
+    up_ref[0] = fold(sup_ref)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nx", "ny", "nz", "cap", "tx", "box", "eps24", "sig2", "shift6",
+        "rc2", "interpret", "compute_macro", "sentinel", "fast_recip",
+    ),
+)
+def lj_cell_forces_pallas_cwn3l(
+    r_i: jnp.ndarray,  # [nz, ny, 4, nx*cap]
+    r_j: jnp.ndarray,  # [nz, ny, 4, (nx+4)*cap]
+    *,
+    nx: int,
+    ny: int,
+    nz: int,
+    cap: int,
+    tx: int,
+    box: Tuple[float, float, float],
+    eps24: float,
+    sig2: float,
+    shift6: float,
+    rc2: float,
+    interpret: bool = False,
+    compute_macro: bool = True,
+    sentinel: bool = False,
+    fast_recip: bool = False,
+):
+    """Newton-3rd-law cell-window variant (see _lj_cwn3l_kernel).
+    Periodic single-chip only (no z_halo).  Same output contract as the
+    other kernels."""
+    Wj = (nx + 4) * cap
+    assert r_i.shape == (nz, ny, NPLANE, nx * cap), r_i.shape
+    assert r_j.shape == (nz, ny, NPLANE, Wj), r_j.shape
+    assert nx % tx == 0 and nx >= 3
+    cl2 = min(box[0] / nx, box[1] / ny, box[2] / nz) ** 2
+    assert cl2 >= rc2, ("cwn3l kernel requires cell edge >= rc", cl2, rc2)
+    if not interpret:
+        assert (tx * cap) % 128 == 0
+        assert (4 * cap) % 128 == 0
+    out_dtype = r_i.dtype
+
+    Pw = (nx + max(0, 4 - tx)) * cap
+    P = jnp.stack(
+        [r_j[:, :, :, g * cap : g * cap + Pw] for g in range(tx)]
+    )  # [tx, nz, ny, 4, Pw]
+
+    i_spec = pl.BlockSpec(
+        (1, ny, NPLANE, nx * cap), lambda z: (z, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    j_specs = [
+        pl.BlockSpec(
+            (tx, 1, ny, NPLANE, Pw),
+            functools.partial(lambda z, dz: (0, (z + dz) % nz, 0, 0, 0), dz=dz),
+            memory_space=pltpu.VMEM,
+        )
+        for dz in (0, 1)
+    ]
+    out_specs = [
+        pl.BlockSpec(
+            (1, ny, NPLANE, nx * cap), lambda z: (z, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, ny, NPLANE, nx * cap), lambda z: (z, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    kernel = functools.partial(
+        _lj_cwn3l_kernel,
+        nx=nx,
+        cap=cap,
+        tx=tx,
+        ny=ny,
+        nz=nz,
+        box=box,
+        eps24=eps24,
+        sig2=sig2,
+        shift6=shift6,
+        rc2=rc2,
+        compute_macro=compute_macro,
+        sentinel=sentinel,
+        fast_recip=fast_recip,
+        Pw=Pw,
+        out_dtype=out_dtype,
+    )
+    n_pairs = nz * ny * nx * cap * 5 * 4 * cap
+    out, up = pl.pallas_call(
+        kernel,
+        grid=(nz,),
+        in_specs=[i_spec] + j_specs,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((nz, ny, NPLANE, nx * cap), out_dtype),
+            jax.ShapeDtypeStruct((nz, ny, NPLANE, nx * cap), out_dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((ny, NPLANE, nx * cap), out_dtype),
+            pltpu.VMEM((tx, ny, NPLANE, Pw), out_dtype),
+            pltpu.VMEM((tx, ny, NPLANE, Pw), out_dtype),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(r_i, P, P)
+    # z+1 targets: program z accumulated forces for plane z+1
+    out = out + jnp.roll(up, 1, axis=0)
+    scal = out[:, :, 3, :].reshape(nz, ny, nx // tx, tx * cap)
+    u6 = jnp.sum(scal[..., 0])
+    vir = jnp.sum(scal[..., 1])
+    return out, u6, vir

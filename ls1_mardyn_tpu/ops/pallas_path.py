@@ -59,6 +59,14 @@ class PallasLJPath:
         assert spec.z_edges is None, "1CLJ local-coords path needs a uniform grid"
         self.sentinel = sentinel_eligible(spec.cell_len, self.rc2, spec.cap)
         self.fast_recip = not interpret
+        # cell-window kernel: per-i-cell j windows, 2x fewer candidate
+        # lanes (see pallas_lj._lj_cw_kernel); needs register-aligned
+        # group windows and >= 3 x-cells for its 3-cell right halo
+        self.cw = (
+            (4 * spec.cap) % 128 == 0
+            and nx >= 3
+            and float(min(spec.cell_len)) ** 2 >= self.rc2
+        )
 
     def __call__(self, mol: MoleculeState) -> Tuple[Forces, Macroscopic, jnp.ndarray]:
         spec = self.spec
@@ -123,11 +131,7 @@ class PallasLJPath:
             return jnp.concatenate(parts, axis=2)
 
         r_i = jnp.moveaxis(g, -1, 2)  # [nz, ny, 4, nx*cap]
-        r_j = jnp.moveaxis(with_halo(g), -1, 2)  # [nz, ny, 4, (nx+2*hx)*cap]
-
-        f, u6, vir = lj_cell_forces_pallas(
-            r_i,
-            r_j,
+        kw = dict(
             nx=nx,
             ny=ny,
             nz=nz,
@@ -139,12 +143,23 @@ class PallasLJPath:
             shift6=self.shift6,
             rc2=self.rc2,
             interpret=self.interpret,
-            local_coords=True,
-            hx=hx,
-            jt=self.jt,
             sentinel=self.sentinel,
             fast_recip=self.fast_recip,
         )
+        if self.cw:
+            from ls1_mardyn_tpu.ops.pallas_lj import lj_cell_forces_pallas_cw
+
+            gj = jnp.concatenate(
+                [g[:, :, (nx - 1) * cap :], g, g[:, :, : 3 * cap]], axis=2
+            )
+            f, u6, vir = lj_cell_forces_pallas_cw(
+                r_i, jnp.moveaxis(gj, -1, 2), **kw
+            )
+        else:
+            r_j = jnp.moveaxis(with_halo(g), -1, 2)
+            f, u6, vir = lj_cell_forces_pallas(
+                r_i, r_j, local_coords=True, hx=hx, jt=self.jt, **kw
+            )
         # gather back to flat arrays via the inverse slot map (each
         # valid molecule occupies exactly one slot; gathers beat TPU
         # scatters by a wide margin)

@@ -130,13 +130,27 @@ class RMMSimulation:
         # lane-major-j kernel (lj_cell_forces_pallas_lanej): avoids the
         # per-row j->sublane move cost class entirely (see kernel doc)
         # and sidesteps the row kernel's selector-matmul bf16 rounding
-        # of j coordinates.  Measured 2026-08-17 (unthrottled session,
-        # tools/ab_kernels.py): 174 ms/step vs row 142 at N=4.2M, and
-        # the defer accumulators spill VMEM at small nx (128-cell rows:
-        # 280 MB of 128 MB).  Off by default until it wins; the row
-        # kernel's measured force error is recorded in TPU_GOLDEN.json.
+        # of j coordinates.  Measured 2026-08-18 (unthrottled session,
+        # tools/ab_kernels.py, N=4.2M): lanej 171 ms/step vs row 407 --
+        # the row kernel's selector matmuls run 6-pass under the
+        # package-wide exact-f32 matmul setting.
         self.lanej = False
         self.lanej_defer = True
+        # cell-window kernel (lj_cell_forces_pallas_cw): per-i-CELL
+        # 4-cell j windows as static lane sub-slices of one aligned
+        # tile load -- 2x fewer candidate lanes than the per-tile
+        # window kernels (128 vs 256 per i at cap=32), no coordinate
+        # matmuls.  The production default where its group geometry
+        # fits (4*cap lanes per group window must be register-aligned).
+        self.cw = (
+            (4 * spec.cap) % 128 == 0
+            and spec.dims[0] >= 3
+            and float(min(spec.cell_len)) ** 2 >= self.rc2
+        )
+        # Newton-3rd-law cell-window kernel: 5 forward rows instead of
+        # 9, j-side forces via phase-separated VMEM scratch (see
+        # _lj_cwn3l_kernel)
+        self.cwn3l = self.cw
         # approx-reciprocal + Newton instead of IEEE divide (f32 TPU)
         self.fast_recip = not interpret
         self._step_jit = jax.jit(functools.partial(self._step, compute_macro=True))
@@ -159,6 +173,41 @@ class RMMSimulation:
         # x halo: plain copies -- cell-local coordinates need no +-L
         # shift (the kernel's cell-difference offsets are exact)
         hx = self.hx
+        if self.cw:
+            from ls1_mardyn_tpu.ops.pallas_lj import (
+                lj_cell_forces_pallas_cw,
+                lj_cell_forces_pallas_cwn3l,
+            )
+
+            # cw halo: 1 left + 3 right periodic cells (the 3rd right
+            # cell only feeds the alignment-pad 4th window cell, whose
+            # pairs sit >= one cell edge >= rc away)
+            left = r_i[:, :, :, (nx - 1) * cap :]
+            right3 = r_i[:, :, :, : 3 * cap]
+            r_j = jnp.concatenate([left, r_i, right3], axis=3)
+            fn = (
+                lj_cell_forces_pallas_cwn3l
+                if self.cwn3l
+                else lj_cell_forces_pallas_cw
+            )
+            return fn(
+                r_i,
+                r_j,
+                nx=nx,
+                ny=ny,
+                nz=nz,
+                cap=cap,
+                tx=self.tx,
+                box=self.box,
+                eps24=self.eps24,
+                sig2=self.sig2,
+                shift6=self.shift6,
+                rc2=self.rc2,
+                interpret=self.interpret,
+                compute_macro=compute_macro,
+                sentinel=self.sentinel,
+                fast_recip=self.fast_recip,
+            )
         pad = jnp.zeros((nz, ny, 4, (hx - 1) * cap), dtype)
         left = r_i[:, :, :, (nx - 1) * cap :]
         right = r_i[:, :, :, :cap]

@@ -48,6 +48,8 @@ def main():
     )
 
     def configure(v):
+        sim.cw = v in ("cw", "cwn3l")
+        sim.cwn3l = v == "cwn3l"
         sim.zb = v in ("zb", "gram")
         sim.zb_gram = v == "gram"
         sim.n3l = v == "n3l"
