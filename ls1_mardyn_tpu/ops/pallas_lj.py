@@ -1650,6 +1650,8 @@ def _lj_cwn3l_kernel(
     compute_macro: bool,
     sentinel: bool,
     fast_recip: bool,
+    gsub: int,
+    ablate: str,
     Pw: int,
     out_dtype,
 ):
@@ -1657,6 +1659,18 @@ def _lj_cwn3l_kernel(
     of 9 (the C08 forward-pair idea, /root/reference/src/
     particleContainer/LinkedCellTraversals/C08BasedTraversals.h:122-126)
     on the cw group geometry.
+
+    gsub splits each [cap, gw] group block into cap/gsub-sublane
+    slabs so the live set (3 force accumulators + the coordinate and
+    LJ chains, ~50+ vregs at cap=32) fits the VPU register file.
+
+    Measured dead end (2026-08-18, unthrottled chip, N=4.2M,
+    interleaved A/B): offloading the force reductions to the MXU as
+    fi = ri'*S - fac @ [xj;yj;zj;1]^T dots ran 118.7 ms/step vs 81.0
+    for the VPU reductions -- each dot has N=4 output columns (3% MXU
+    lane utilization) and exact-f32 needs 6 passes, so the ~10 VPU
+    slots/pair saved cost ~90 ms of MXU time.  (The mode validated to
+    4e-13 in f64 interpret before removal; see git history.)
 
     Each program owns z-plane z.  Row offsets: (dz=0,dy=0) forward-x +
     self-cell j>i half, (0,+1), (1,-1), (1,0), (1,+1).  The j-side
@@ -1699,8 +1713,9 @@ def _lj_cwn3l_kernel(
     # offsets evaluated: index 0 is the center (forward-x) row
     offs = [(0, 0), (0, 1), (1, -1), (1, 0), (1, 1)]
 
-    sown_ref[...] = jnp.zeros((tx, ny, NPLANE, Pw), out_dtype)
-    sup_ref[...] = jnp.zeros((tx, ny, NPLANE, Pw), out_dtype)
+    if "nojf" not in ablate:
+        sown_ref[...] = jnp.zeros((tx, ny, NPLANE, Pw), out_dtype)
+        sup_ref[...] = jnp.zeros((tx, ny, NPLANE, Pw), out_dtype)
     oi_ref[...] = jnp.zeros((ny, NPLANE, nx * cap), out_dtype)
 
     def yloop(y, _):
@@ -1708,9 +1723,15 @@ def _lj_cwn3l_kernel(
             off = pl.multiple_of(t * txc, txc)
             ti = i_ref[0, y, :, pl.ds(off, txc)]  # [4, txc]
             G = ti.T
-            xi = jnp.sum(G * oh[0], axis=1, keepdims=True)
-            yi = jnp.sum(G * oh[1], axis=1, keepdims=True)
-            zi = jnp.sum(G * oh[2], axis=1, keepdims=True)
+            if "noonehot" in ablate:
+                # ablation: skip the one-hot plane extraction (WRONG)
+                xi = G[:, 0:1]
+                yi = G[:, 1:2]
+                zi = G[:, 2:3]
+            else:
+                xi = jnp.sum(G * oh[0], axis=1, keepdims=True)
+                yi = jnp.sum(G * oh[1], axis=1, keepdims=True)
+                zi = jnp.sum(G * oh[2], axis=1, keepdims=True)
             if not sentinel:
                 wi = jnp.sum(G * oh[3], axis=1, keepdims=True)
             u6_t = jnp.zeros((), out_dtype)
@@ -1723,70 +1744,117 @@ def _lj_cwn3l_kernel(
                 zg = zi[s0 : s0 + cap]
                 if not sentinel:
                     wg = wi[s0 : s0 + cap]
-                ax = jnp.zeros((cap, gw), out_dtype)
-                ay = jnp.zeros((cap, gw), out_dtype)
-                az = jnp.zeros((cap, gw), out_dtype)
-                if compute_macro:
-                    au = jnp.zeros((cap, gw), out_dtype)
-                    av = jnp.zeros((cap, gw), out_dtype)
+                # hoist the five j-window loads for this group
+                rows = []
                 for k, (dz, dy) in enumerate(offs):
                     jref = j0_ref if dz == 0 else jp_ref
                     yj_row = (y + dy) % ny
-                    Hw = jref[g, 0, yj_row, :, pl.ds(off, gw)]  # [4, gw]
-                    xj = Hw[0:1]
-                    yj = Hw[1:2]
-                    zj = Hw[2:3]
-                    dx = (xg - xj) + xoff
-                    dyv = (yg - jnp.asarray(dy * cly, out_dtype)) - yj
-                    dzv = (zg - jnp.asarray(dz * clz, out_dtype)) - zj
-                    dr2 = dx * dx + dyv * dyv + dzv * dzv
-                    mask = dr2 < cut2
-                    if not sentinel:
-                        mask = mask & (wg * Hw[3:4] > 0.5)
-                    if k == 0:
-                        mask = mask & fwd_mask
-                    if fast_recip:
-                        den = jnp.where(mask, dr2, jnp.asarray(1e30, out_dtype))
-                        r0 = pl.reciprocal(den, approx=True)
-                        invdr2 = r0 * (2.0 - den * r0)
-                        mf = mask.astype(out_dtype) if compute_macro else None
+                    if "staty" in ablate:
+                        # ablation: static row index (PHYSICS-WRONG);
+                        # attributes the dynamic-index load cost
+                        yw = k
                     else:
-                        mf = mask.astype(out_dtype)
-                        invdr2 = mf / jnp.where(mask, dr2, 1.0)
-                    lj6 = s2 * invdr2
-                    lj6 = lj6 * lj6 * lj6
-                    lj12 = lj6 * lj6
-                    lj12m6 = lj12 - lj6
-                    fac = e24 * (lj12 + lj12m6) * invdr2
-                    fdx = fac * dx
-                    fdy = fac * dyv
-                    fdz = fac * dzv
-                    ax = ax + fdx
-                    ay = ay + fdy
-                    az = az + fdz
+                        yw = yj_row
+                    Hw = jref[g, 0, yw, :, pl.ds(off, gw)]  # [4, gw]
+                    rows.append((k, dz, dy, yw, Hw))
+                # gsub > 1 processes the group in cap/gsub-sublane
+                # slabs: the full [cap, gw] live set (3 accumulators +
+                # the coordinate/LJ chain) exceeds the VPU register
+                # file and spills; slabs keep it resident.
+                csub = cap // gsub
+                fsub = []
+                for s in range(gsub):
+                    a = s * csub
+                    xgs = xg[a : a + csub]
+                    ygs = yg[a : a + csub]
+                    zgs = zg[a : a + csub]
+                    if not sentinel:
+                        wgs = wg[a : a + csub]
+                    fwd_s = fwd_mask[a : a + csub]
+                    ax = jnp.zeros((csub, gw), out_dtype)
+                    ay = jnp.zeros((csub, gw), out_dtype)
+                    az = jnp.zeros((csub, gw), out_dtype)
                     if compute_macro:
-                        au = au + (e24 * lj12m6 + sh6 * mf)
-                        av = av + fac * dr2
-                    # j-side forces: -colsum, into the phase-g scratch
-                    jf = jnp.concatenate(
-                        [
-                            -jnp.sum(fdx, axis=0, keepdims=True),
-                            -jnp.sum(fdy, axis=0, keepdims=True),
-                            -jnp.sum(fdz, axis=0, keepdims=True),
-                            jnp.zeros((1, gw), out_dtype),
-                        ],
-                        axis=0,
-                    )  # [4, gw]
-                    sref = sown_ref if dz == 0 else sup_ref
-                    cur = sref[g, yj_row, :, pl.ds(off, gw)]
-                    sref[g, yj_row, :, pl.ds(off, gw)] = cur + jf
-                fxg = jnp.sum(ax, axis=1, keepdims=True)
-                fyg = jnp.sum(ay, axis=1, keepdims=True)
-                fzg = jnp.sum(az, axis=1, keepdims=True)
-                if compute_macro:
-                    u6_t = u6_t + jnp.sum(au)
-                    vir_t = vir_t + jnp.sum(av)
-                fcols.append(jnp.concatenate([fxg, fyg, fzg], axis=1))
+                        au = jnp.zeros((csub, gw), out_dtype)
+                        av = jnp.zeros((csub, gw), out_dtype)
+                    for k, dz, dy, yw, Hw in rows:
+                        xj = Hw[0:1]
+                        yj = Hw[1:2]
+                        zj = Hw[2:3]
+                        dx = (xgs - xj) + xoff
+                        dyv = (ygs - jnp.asarray(dy * cly, out_dtype)) - yj
+                        dzv = (zgs - jnp.asarray(dz * clz, out_dtype)) - zj
+                        dr2 = dx * dx + dyv * dyv + dzv * dzv
+                        mask = dr2 < cut2
+                        if not sentinel:
+                            mask = mask & (wgs * Hw[3:4] > 0.5)
+                        if k == 0:
+                            mask = mask & fwd_s
+                        if "norcp" in ablate:
+                            # ablation: no masking/reciprocal (WRONG)
+                            invdr2 = dr2
+                            mf = (
+                                mask.astype(out_dtype)
+                                if compute_macro else None
+                            )
+                        elif fast_recip:
+                            den = jnp.where(
+                                mask, dr2, jnp.asarray(1e30, out_dtype)
+                            )
+                            r0 = pl.reciprocal(den, approx=True)
+                            invdr2 = r0 * (2.0 - den * r0)
+                            mf = (
+                                mask.astype(out_dtype)
+                                if compute_macro else None
+                            )
+                        else:
+                            mf = mask.astype(out_dtype)
+                            invdr2 = mf / jnp.where(mask, dr2, 1.0)
+                        if "nolj" in ablate:
+                            # ablation: skip the LJ chain (WRONG)
+                            lj12m6 = invdr2
+                            fac = invdr2
+                        else:
+                            lj6 = s2 * invdr2
+                            lj6 = lj6 * lj6 * lj6
+                            lj12 = lj6 * lj6
+                            lj12m6 = lj12 - lj6
+                            fac = e24 * (lj12 + lj12m6) * invdr2
+                        fdx = fac * dx
+                        fdy = fac * dyv
+                        fdz = fac * dzv
+                        ax = ax + fdx
+                        ay = ay + fdy
+                        az = az + fdz
+                        if compute_macro:
+                            au = au + (e24 * lj12m6 + sh6 * mf)
+                            av = av + fac * dr2
+                        if "nojf" not in ablate:
+                            # j-side forces: -colsum, into the phase-g
+                            # scratch
+                            jf = jnp.concatenate(
+                                [
+                                    -jnp.sum(fdx, axis=0, keepdims=True),
+                                    -jnp.sum(fdy, axis=0, keepdims=True),
+                                    -jnp.sum(fdz, axis=0, keepdims=True),
+                                    jnp.zeros((1, gw), out_dtype),
+                                ],
+                                axis=0,
+                            )  # [4, gw]
+                            sref = sown_ref if dz == 0 else sup_ref
+                            cur = sref[g, yw, :, pl.ds(off, gw)]
+                            sref[g, yw, :, pl.ds(off, gw)] = cur + jf
+                    fxg = jnp.sum(ax, axis=1, keepdims=True)
+                    fyg = jnp.sum(ay, axis=1, keepdims=True)
+                    fzg = jnp.sum(az, axis=1, keepdims=True)
+                    if compute_macro:
+                        u6_t = u6_t + jnp.sum(au)
+                        vir_t = vir_t + jnp.sum(av)
+                    fsub.append(jnp.concatenate([fxg, fyg, fzg], axis=1))
+                fcols.append(
+                    fsub[0] if gsub == 1
+                    else jnp.concatenate(fsub, axis=0)
+                )
             Fcat = jnp.concatenate(fcols, axis=0)  # [txc, 3]
             scal_col = u6_t * (
                 jax.lax.broadcasted_iota(jnp.int32, (txc, 1), 0) == 0
@@ -1825,8 +1893,12 @@ def _lj_cwn3l_kernel(
         wrap_r = place(acc[:, :, (nx + 1) * cap :], 0, nx * cap)
         return main + wrap_l + wrap_r  # [ny, 4, nx*cap]
 
-    f_ref[0] = oi_ref[...] + fold(sown_ref)
-    up_ref[0] = fold(sup_ref)
+    if "nojf" in ablate:
+        f_ref[0] = oi_ref[...]
+        up_ref[0] = jnp.zeros((ny, NPLANE, nx * cap), out_dtype)
+    else:
+        f_ref[0] = oi_ref[...] + fold(sown_ref)
+        up_ref[0] = fold(sup_ref)
 
 
 @functools.partial(
@@ -1834,6 +1906,7 @@ def _lj_cwn3l_kernel(
     static_argnames=(
         "nx", "ny", "nz", "cap", "tx", "box", "eps24", "sig2", "shift6",
         "rc2", "interpret", "compute_macro", "sentinel", "fast_recip",
+        "gsub", "ablate",
     ),
 )
 def lj_cell_forces_pallas_cwn3l(
@@ -1854,10 +1927,13 @@ def lj_cell_forces_pallas_cwn3l(
     compute_macro: bool = True,
     sentinel: bool = False,
     fast_recip: bool = False,
+    gsub: int = 1,
+    ablate: str = "",
 ):
     """Newton-3rd-law cell-window variant (see _lj_cwn3l_kernel).
     Periodic single-chip only (no z_halo).  Same output contract as the
-    other kernels."""
+    other kernels.  gsub splits group blocks into cap/gsub-sublane
+    slabs against VPU register spills."""
     Wj = (nx + 4) * cap
     assert r_i.shape == (nz, ny, NPLANE, nx * cap), r_i.shape
     assert r_j.shape == (nz, ny, NPLANE, Wj), r_j.shape
@@ -1911,6 +1987,8 @@ def lj_cell_forces_pallas_cwn3l(
         compute_macro=compute_macro,
         sentinel=sentinel,
         fast_recip=fast_recip,
+        gsub=gsub,
+        ablate=ablate,
         Pw=Pw,
         out_dtype=out_dtype,
     )

@@ -151,6 +151,9 @@ class RMMSimulation:
         # 9, j-side forces via phase-separated VMEM scratch (see
         # _lj_cwn3l_kernel)
         self.cwn3l = self.cw
+        # group-block sublane split against VPU register spills (see
+        # _lj_cwn3l_kernel gsub)
+        self.cw_gsub = 1
         # approx-reciprocal + Newton instead of IEEE divide (f32 TPU)
         self.fast_recip = not interpret
         self._step_jit = jax.jit(functools.partial(self._step, compute_macro=True))
@@ -160,6 +163,7 @@ class RMMSimulation:
             functools.partial(self._step, compute_macro=False)
         )
         self._rebin_jit = jax.jit(self._rebin)
+        self._rebin_shift_jit = jax.jit(self._rebin_shift)
         self._forces_jit = jax.jit(self._forces)
         self.state: RMMState = None
         self._k = 0
@@ -190,9 +194,11 @@ class RMMSimulation:
                 if self.cwn3l
                 else lj_cell_forces_pallas_cw
             )
+            extra = {"gsub": self.cw_gsub} if self.cwn3l else {}
             return fn(
                 r_i,
                 r_j,
+                **extra,
                 nx=nx,
                 ny=ny,
                 nz=nz,
@@ -405,6 +411,126 @@ class RMMSimulation:
         return jnp.asarray(np.stack([x, y, z], -1), jnp.int32)
 
     # -- rebin (every k steps) --------------------------------------------
+    def _rebin_shift(self, st: RMMState):
+        """3-stage dimension-wise shift-merge rebin.
+
+        The full rebin (below) is a global sort + [slots, 11] row
+        gather: measured 330-480 ms at N=4.2M (TPU gathers run at
+        ~1 GB/s, and every op on [slots, 11] wastes 117 of 128 lanes).
+        But between rebins molecules drift at most one cell (verlet
+        skin), so rebinning is a NEAREST-NEIGHBOR exchange -- the
+        single-chip analogue of the reference's 3-stage indirect
+        scheme (/root/reference/src/parallel/
+        NeighbourCommunicationScheme.h:172: exchange dimension-wise,
+        diagonal hops ride consecutive stages).
+
+        Per stage (x, then y, then z): every cell's slot row is
+        re-packed from the 3 candidate rows (left neighbor, own, right
+        neighbor, via jnp.roll) with one 3*cap-wide axis sort keyed by
+        "belongs to this cell after the hop" -- candidates that belong
+        get their stable slot-order iota, everything else BIG, and the
+        first cap sorted entries are the new row.  All 11 payload
+        columns ride the sort as operands: no gathers, no global sort.
+        Measured 150 ms/rebin at N=4.2M vs 467 for the full rebin
+        (60-88 ms/stage is lax.sort itself; a gather-free butterfly
+        routing via ops/sublane measured SLOWER in XLA, 187 ms,
+        because un-fused shift stages each pay a full memory pass --
+        it needs a fused Pallas kernel to win).  Returns (state,
+        overflow) where overflow also latches |hop| > 1 (skin
+        violated) and cell-full -- the caller falls back to the full
+        rebin.
+        """
+        nx, ny, nz = self.spec.dims
+        cap = self.spec.cap
+        p = st.planes
+        dtype = p.dtype
+        BIG = jnp.asarray(np.iinfo(np.int32).max, jnp.int32)
+        # fold Kahan compensators into the primaries (restarted below)
+        r = p[:, :, 0:3, :] + st.rcomp
+        v = p[:, :, 4:7, :] + st.vcomp
+        # 11 payload columns as [nz, ny, nx, cap]
+        def grid4(a):
+            return a.reshape(nz, ny, nx, cap)
+
+        cols = (
+            [grid4(r[:, :, c, :]) for c in range(3)]
+            + [grid4(p[:, :, 3, :])]
+            + [grid4(v[:, :, c, :]) for c in range(3)]
+            + [grid4(p[:, :, 7, :])]
+            + [grid4(st.forces[:, :, c, :]) for c in range(3)]
+        )
+        cl = [float(c) for c in self.spec.cell_len]
+        overflow = jnp.zeros((), jnp.bool_)
+        # stage axes: coordinate column, cell length, roll axis
+        for coord_c, cl_a, axis in ((0, cl[0], 2), (1, cl[1], 1), (2, cl[2], 0)):
+            cla = jnp.asarray(cl_a, dtype)
+            valid = cols[3] > 0.5
+            d = jnp.floor(cols[coord_c] / cla).astype(jnp.int32)
+            overflow = overflow | jnp.any(valid & (jnp.abs(d) > 1))
+            keys = []
+            payload = [[] for _ in cols]
+            slot_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (nz, ny, nx, cap), 3
+            )
+            for ri, roll in enumerate((1, 0, -1)):
+                # roll=+1 presents cell c-1's row to cell c: those
+                # molecules belong here iff their hop d == +1
+                dr = jnp.roll(d, roll, axis=axis) if roll else d
+                vr = jnp.roll(valid, roll, axis=axis) if roll else valid
+                belong = vr & (dr == roll)
+                keys.append(
+                    jnp.where(belong, slot_iota + cap * ri, BIG)
+                )
+                for ci, a in enumerate(cols):
+                    ar = jnp.roll(a, roll, axis=axis) if roll else a
+                    if ci == coord_c:
+                        # hop adjusts the cell-local coordinate
+                        ar = ar - jnp.asarray(roll, dtype) * cla
+                    payload[ci].append(ar)
+            key = jnp.concatenate(keys, axis=-1)  # [nz, ny, nx, 3cap]
+            ops = [jnp.concatenate(pc, axis=-1) for pc in payload]
+            sorted_all = jax.lax.sort([key] + ops, num_keys=1)
+            key_s = sorted_all[0]
+            # molecules beyond cap have nowhere to go: cell overflow
+            overflow = overflow | jnp.any(key_s[..., cap:] < BIG)
+            placed = key_s[..., :cap] < BIG
+            cols = [a[..., :cap] for a in sorted_all[1:]]
+            # clear dropped/empty slots (validity column drives the
+            # rest; coordinate columns re-filled after the last stage)
+            cols[3] = jnp.where(placed, cols[3], 0.0)
+        valid = cols[3] > 0.5
+        if self.sentinel:
+            slot = jax.lax.broadcasted_iota(jnp.int32, (nz, ny, nx, cap), 3)
+            ysent = SENTINEL_SCALE * (1.0 + slot.astype(dtype))
+            cols[1] = jnp.where(valid, cols[1], ysent)
+            cols[0] = jnp.where(valid, cols[0], 0.0)
+            cols[2] = jnp.where(valid, cols[2], 0.0)
+        else:
+            for c in (0, 1, 2):
+                cols[c] = jnp.where(valid, cols[c], 0.0)
+        for c in (4, 5, 6, 7, 8, 9, 10):
+            cols[c] = jnp.where(valid, cols[c], 0.0)
+
+        def flat4(a):
+            return a.reshape(nz, ny, 1, nx * cap)
+
+        planes = jnp.concatenate(
+            [flat4(cols[c]) for c in (0, 1, 2, 3, 4, 5, 6, 7)], axis=2
+        )
+        forces = jnp.concatenate([flat4(cols[c]) for c in (8, 9, 10)], axis=2)
+        zero3 = jnp.zeros_like(forces)
+        return (
+            RMMState(
+                planes=planes,
+                forces=forces,
+                vcomp=zero3,
+                rcomp=zero3,
+                u6=st.u6,
+                vir=st.vir,
+            ),
+            overflow,
+        )
+
     def _rebin(self, st: RMMState):
         nx, ny, nz = self.spec.dims
         cap = self.spec.cap
@@ -508,7 +634,13 @@ class RMMSimulation:
         last_full = None
         for i in range(steps):
             if self._k and (self._k % self.rebin_every == 0):
-                self.state, overflow = self._rebin_jit(self.state)
+                # shift-merge rebin (3-stage nearest-neighbor); the
+                # rare overflow (cell full / skin violated) falls back
+                # to the general global-sort rebin on the SAME state
+                st2, ovf = self._rebin_shift_jit(self.state)
+                if bool(ovf):
+                    st2, ovf = self._rebin_jit(self.state)
+                self.state = st2
             full = (self._k % self.sample_every == 0) or (i == steps - 1)
             step_fn = self._step_jit if full else self._step_fast_jit
             self.state, gv = step_fn(self.state)

@@ -193,10 +193,12 @@ def test_pallas_lj_cw_matches_row_kernel(sentinel):
     np.testing.assert_allclose(float(vir_b), float(vir_a), rtol=1e-12)
 
 
-@pytest.mark.parametrize("sentinel", [False, True])
-def test_pallas_lj_cwn3l_matches_cw(sentinel):
+@pytest.mark.parametrize("sentinel,gsub", [(False, 1), (True, 1),
+                                           (False, 2), (True, 4)])
+def test_pallas_lj_cwn3l_matches_cw(sentinel, gsub):
     """The Newton-3rd-law cell-window kernel (5 forward rows, j-side
-    forces via phase scratch + fold) must reproduce the cw kernel."""
+    forces via phase scratch + fold) must reproduce the cw kernel at
+    every register-split factor gsub."""
     from ls1_mardyn_tpu.ops.pallas_lj import (
         SENTINEL_SCALE,
         lj_cell_forces_pallas_cw,
@@ -228,7 +230,7 @@ def test_pallas_lj_cwn3l_matches_cw(sentinel):
               interpret=True, compute_macro=True,
               sentinel=sentinel, fast_recip=False)
     out_a, u6_a, vir_a = lj_cell_forces_pallas_cw(r_i, r_j, **kw)
-    out_b, u6_b, vir_b = lj_cell_forces_pallas_cwn3l(r_i, r_j, **kw)
+    out_b, u6_b, vir_b = lj_cell_forces_pallas_cwn3l(r_i, r_j, gsub=gsub, **kw)
     fa = np.asarray(out_a)[:, :, :3]
     fb = np.asarray(out_b)[:, :, :3]
     scale = np.abs(fa).max()

@@ -5,6 +5,8 @@ LeapfrogRMM equivalence): same scene, same steps, energies and
 temperature must match the general path.
 """
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -12,6 +14,7 @@ import numpy as np
 from ls1_mardyn_tpu.io.generators import cubic_grid
 from ls1_mardyn_tpu.ops.cells import CellGridSpec
 from ls1_mardyn_tpu.ops.pallas_path import PallasLJPath
+from ls1_mardyn_tpu.ops.pallas_lj import SENTINEL_SCALE
 from ls1_mardyn_tpu.ops.rmm import RMMSimulation
 from ls1_mardyn_tpu.scene import build_scene
 from ls1_mardyn_tpu.simulation import SimConfig, SingleChipSimulation
@@ -104,3 +107,61 @@ def test_rmm_init_packing_consistent_on_boundaries():
     rt = np.asarray(mol.r, np.float64)[mid[w] - 1]
     err = np.abs(absr[w] - rt).max()
     assert err < 1e-4, f"mispacked molecules: max displacement {err}"
+
+
+@pytest.mark.parametrize("sentinel_edge", [0.2, 0.8])
+def test_rmm_shift_rebin_matches_full(sentinel_edge):
+    """The 3-stage shift-merge rebin must produce the same molecules
+    in the same cells with identical r/v/F as the global-sort rebin
+    (slot assignment within a cell may differ), in both sentinel and
+    validity-plane modes, after real drift across cell boundaries."""
+    n, rho, rc, T = 500, 0.5, 2.5, 1.2
+    L = (n / rho) ** (1 / 3)
+    data = cubic_grid(n, [L, L, L], T, seed=3)
+    mol, pp, table, box = build_scene(data, cutoff=rc, dtype=jnp.float32)
+    nd = max(4, int(L / (rc + sentinel_edge)))
+    nd -= nd % 4
+    spec = CellGridSpec(dims=(nd, nd, nd),
+                        box=tuple(float(b) for b in np.asarray(box)), cap=32)
+    sim = RMMSimulation(table, pp, box, spec, dt=0.004,
+                        target_temperature=T, thermostat=True, tx=4,
+                        rebin_every=10 ** 9, sample_every=1, interpret=True)
+    sim.init_from_molecules(mol)
+    for _ in range(12):
+        sim.state, _ = sim._step_jit(sim.state)
+    st = sim.state
+    sa, ova = sim._rebin(st)
+    sb, ovb = sim._rebin_shift(st)
+    assert not bool(ova) and not bool(ovb)
+
+    def by_mid(s):
+        p = np.asarray(s.planes)
+        f = np.asarray(s.forces)
+        nz, ny, C, W = p.shape
+        flat = p.transpose(0, 1, 3, 2).reshape(-1, C)
+        ff = f.transpose(0, 1, 3, 2).reshape(-1, 3)
+        valid = flat[:, 3] > 0.5
+        cap = spec.cap
+        nx = spec.dims[0]
+        cell = np.stack([
+            np.tile(np.repeat(np.arange(nx), cap), nz * ny),
+            np.tile(np.repeat(np.arange(ny), nx * cap), nz),
+            np.repeat(np.arange(nz), ny * nx * cap),
+        ], -1)
+        o = np.argsort(flat[valid, 7])
+        return flat[valid][o], ff[valid][o], cell[valid][o]
+
+    fa, Fa, ca = by_mid(sa)
+    fb, Fb, cb = by_mid(sb)
+    assert fa.shape == fb.shape
+    np.testing.assert_array_equal(fa[:, 7], fb[:, 7])  # same molecules
+    np.testing.assert_array_equal(ca, cb)              # same cells
+    np.testing.assert_array_equal(fa[:, 0:3], fb[:, 0:3])  # same locals
+    np.testing.assert_array_equal(fa[:, 4:7], fb[:, 4:7])
+    np.testing.assert_array_equal(Fa, Fb)
+    if sim.sentinel:
+        pb = np.asarray(sb.planes)
+        wv = pb[:, :, 3, :] > 0.5
+        slot = np.tile(np.arange(spec.cap), spec.dims[0])[None, None, :]
+        exp = SENTINEL_SCALE * (1.0 + slot)
+        assert not ((~wv) & (np.abs(pb[:, :, 1, :] - exp) > 1e-3)).any()

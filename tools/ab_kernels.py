@@ -48,8 +48,9 @@ def main():
     )
 
     def configure(v):
-        sim.cw = v in ("cw", "cwn3l")
-        sim.cwn3l = v == "cwn3l"
+        sim.cw = v.startswith(("cw", "cwn3l"))
+        sim.cwn3l = v.startswith("cwn3l")
+        sim.cw_gsub = int(v.rsplit("g", 1)[1]) if v.startswith("cwn3l") and "g" in v[5:] else 1
         sim.zb = v in ("zb", "gram")
         sim.zb_gram = v == "gram"
         sim.n3l = v == "n3l"
