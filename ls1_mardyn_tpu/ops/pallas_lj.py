@@ -1628,15 +1628,7 @@ def lj_cell_forces_pallas_cw(
 
 
 def _lj_cwn3l_kernel(
-    i_ref,
-    j0_ref,
-    jp_ref,
-    f_ref,
-    up_ref,
-    oi_ref,
-    sown_ref,
-    sup_ref,
-    *,
+    *refs,
     nx: int,
     cap: int,
     tx: int,
@@ -1651,6 +1643,8 @@ def _lj_cwn3l_kernel(
     sentinel: bool,
     fast_recip: bool,
     gsub: int,
+    prefix: int,
+    skip_tail: bool,
     ablate: str,
     Pw: int,
     out_dtype,
@@ -1684,7 +1678,43 @@ def _lj_cwn3l_kernel(
     joins the i-side forces in this program's output block; the z+1
     plane is emitted to a second output folded by the caller with one
     z-roll.  Energies/virial are counted once per pair (not halved).
+
+    Occupancy skipping (prefix < cap, skip_tail=True): cells are
+    FRONT-PACKED (bin_by_id and the shift-merge rebin both emit valid
+    slots contiguously from slot 0), so i slots >= occ(cell) are empty
+    and their whole pair blocks are exact zeros.  The i slots of each
+    cell are processed as a dense [prefix, gw] block plus
+    (cap-prefix)/8 tail slabs of 8 sublanes, each guarded by
+    pl.when(occ > slot_offset) on a scalar per-cell occupancy count
+    (SMEM input).  At the bench geometry (mean occ 19.4 of cap=32,
+    sub-Poissonian spread ~1.5) prefix=24 skips the 4th slab for ~99.6%
+    of cells -- a ~25% cut in i-side pair lanes.  Tail-slab
+    i forces ride a VMEM scratch ([8,128] aligned stores) because
+    pl.when regions cannot return register values.  The reference's
+    analogue is simply that its cell loops run over the actual
+    molecule count (VectorizedCellProcessor.cpp:797 loops over
+    soa._mol_num, not a capacity).
+
+    MEASURED RESULT (tools/ab_skip.py, TPU v5e, 2026-08-18): SLOWER
+    than dense -- 65.2 ms dense vs 73.7 ms prefix=24 vs 94.2 ms
+    prefix=16 at the bench geometry.  The per-group pl.when branches
+    and the scratch zero-fill + read-back cost more than the skipped
+    slabs save.  Kept as a tested opt-in experiment (off by default,
+    RMMSimulation.cw_skip=False); the dense kernel remains the
+    production path.
     """
+    if skip_tail:
+        i_ref, j0_ref, jp_ref, occ_ref = refs[:4]
+        f_ref, up_ref = refs[4:6]
+        oi_ref, ft_ref, sown_ref, sup_ref = refs[6:]
+    else:
+        i_ref, j0_ref, jp_ref = refs[:3]
+        f_ref, up_ref = refs[3:5]
+        oi_ref, sown_ref, sup_ref = refs[5:]
+        occ_ref = None
+        ft_ref = None
+    TAIL = 8
+    tail_n = (cap - prefix) // TAIL
     _bx, by, bz = box
     txc = tx * cap
     gw = 4 * cap
@@ -1736,14 +1766,11 @@ def _lj_cwn3l_kernel(
                 wi = jnp.sum(G * oh[3], axis=1, keepdims=True)
             u6_t = jnp.zeros((), out_dtype)
             vir_t = jnp.zeros((), out_dtype)
+            if skip_tail and tail_n:
+                ft_ref[...] = jnp.zeros((tx * tail_n * TAIL, 128), out_dtype)
             fcols = []
             for g in range(tx):
                 s0 = g * cap
-                xg = xi[s0 : s0 + cap]
-                yg = yi[s0 : s0 + cap]
-                zg = zi[s0 : s0 + cap]
-                if not sentinel:
-                    wg = wi[s0 : s0 + cap]
                 # hoist the five j-window loads for this group
                 rows = []
                 for k, (dz, dy) in enumerate(offs):
@@ -1757,24 +1784,22 @@ def _lj_cwn3l_kernel(
                         yw = yj_row
                     Hw = jref[g, 0, yw, :, pl.ds(off, gw)]  # [4, gw]
                     rows.append((k, dz, dy, yw, Hw))
-                # gsub > 1 processes the group in cap/gsub-sublane
-                # slabs: the full [cap, gw] live set (3 accumulators +
-                # the coordinate/LJ chain) exceeds the VPU register
-                # file and spills; slabs keep it resident.
-                csub = cap // gsub
-                fsub = []
-                for s in range(gsub):
-                    a = s * csub
-                    xgs = xg[a : a + csub]
-                    ygs = yg[a : a + csub]
-                    zgs = zg[a : a + csub]
+
+                def slab(a, csub, macro):
+                    """Pair block for this group's i slots [a, a+csub)
+                    against the 5 hoisted j rows.  j-side (-) forces
+                    are stored into the phase scratch; returns the
+                    i-side ([csub,1] fx, fy, fz, u6, vir)."""
+                    xgs = xi[s0 + a : s0 + a + csub]
+                    ygs = yi[s0 + a : s0 + a + csub]
+                    zgs = zi[s0 + a : s0 + a + csub]
                     if not sentinel:
-                        wgs = wg[a : a + csub]
+                        wgs = wi[s0 + a : s0 + a + csub]
                     fwd_s = fwd_mask[a : a + csub]
                     ax = jnp.zeros((csub, gw), out_dtype)
                     ay = jnp.zeros((csub, gw), out_dtype)
                     az = jnp.zeros((csub, gw), out_dtype)
-                    if compute_macro:
+                    if macro:
                         au = jnp.zeros((csub, gw), out_dtype)
                         av = jnp.zeros((csub, gw), out_dtype)
                     for k, dz, dy, yw, Hw in rows:
@@ -1793,20 +1818,14 @@ def _lj_cwn3l_kernel(
                         if "norcp" in ablate:
                             # ablation: no masking/reciprocal (WRONG)
                             invdr2 = dr2
-                            mf = (
-                                mask.astype(out_dtype)
-                                if compute_macro else None
-                            )
+                            mf = mask.astype(out_dtype) if macro else None
                         elif fast_recip:
                             den = jnp.where(
                                 mask, dr2, jnp.asarray(1e30, out_dtype)
                             )
                             r0 = pl.reciprocal(den, approx=True)
                             invdr2 = r0 * (2.0 - den * r0)
-                            mf = (
-                                mask.astype(out_dtype)
-                                if compute_macro else None
-                            )
+                            mf = mask.astype(out_dtype) if macro else None
                         else:
                             mf = mask.astype(out_dtype)
                             invdr2 = mf / jnp.where(mask, dr2, 1.0)
@@ -1826,7 +1845,7 @@ def _lj_cwn3l_kernel(
                         ax = ax + fdx
                         ay = ay + fdy
                         az = az + fdz
-                        if compute_macro:
+                        if macro:
                             au = au + (e24 * lj12m6 + sh6 * mf)
                             av = av + fac * dr2
                         if "nojf" not in ablate:
@@ -1847,13 +1866,61 @@ def _lj_cwn3l_kernel(
                     fxg = jnp.sum(ax, axis=1, keepdims=True)
                     fyg = jnp.sum(ay, axis=1, keepdims=True)
                     fzg = jnp.sum(az, axis=1, keepdims=True)
+                    if macro:
+                        return fxg, fyg, fzg, jnp.sum(au), jnp.sum(av)
+                    return fxg, fyg, fzg, None, None
+
+                # gsub > 1 processes the dense block in cap/gsub-sublane
+                # slabs: the full [cap, gw] live set (3 accumulators +
+                # the coordinate/LJ chain) can exceed the VPU register
+                # file and spill; slabs keep it resident.
+                gparts = []
+                csub = prefix // gsub
+                for s in range(gsub):
+                    fxg, fyg, fzg, u6c, virc = slab(
+                        s * csub, csub, compute_macro
+                    )
+                    gparts.append(jnp.concatenate([fxg, fyg, fzg], axis=1))
                     if compute_macro:
-                        u6_t = u6_t + jnp.sum(au)
-                        vir_t = vir_t + jnp.sum(av)
-                    fsub.append(jnp.concatenate([fxg, fyg, fzg], axis=1))
+                        u6_t = u6_t + u6c
+                        vir_t = vir_t + virc
+                for q in range(tail_n):
+                    a = prefix + q * TAIL
+                    if skip_tail:
+                        occ_c = occ_ref[0, y, t * tx + g]
+
+                        @pl.when(occ_c > a)
+                        def _tail(a=a, g=g, q=q):
+                            fxg, fyg, fzg, _u, _v = slab(a, TAIL, False)
+                            blk = jnp.concatenate(
+                                [
+                                    fxg,
+                                    fyg,
+                                    fzg,
+                                    jnp.zeros((TAIL, 128 - 3), out_dtype),
+                                ],
+                                axis=1,
+                            )
+                            ft_ref[
+                                pl.ds((g * tail_n + q) * TAIL, TAIL), :
+                            ] = blk
+
+                    else:
+                        fxg, fyg, fzg, u6c, virc = slab(
+                            a, TAIL, compute_macro
+                        )
+                        gparts.append(
+                            jnp.concatenate([fxg, fyg, fzg], axis=1)
+                        )
+                        if compute_macro:
+                            u6_t = u6_t + u6c
+                            vir_t = vir_t + virc
+                if skip_tail and tail_n:
+                    tl = ft_ref[pl.ds(g * tail_n * TAIL, tail_n * TAIL), :]
+                    gparts.append(tl[:, 0:3])
                 fcols.append(
-                    fsub[0] if gsub == 1
-                    else jnp.concatenate(fsub, axis=0)
+                    gparts[0] if len(gparts) == 1
+                    else jnp.concatenate(gparts, axis=0)
                 )
             Fcat = jnp.concatenate(fcols, axis=0)  # [txc, 3]
             scal_col = u6_t * (
@@ -1906,12 +1973,13 @@ def _lj_cwn3l_kernel(
     static_argnames=(
         "nx", "ny", "nz", "cap", "tx", "box", "eps24", "sig2", "shift6",
         "rc2", "interpret", "compute_macro", "sentinel", "fast_recip",
-        "gsub", "ablate",
+        "gsub", "prefix", "skip_tail", "ablate",
     ),
 )
 def lj_cell_forces_pallas_cwn3l(
     r_i: jnp.ndarray,  # [nz, ny, 4, nx*cap]
     r_j: jnp.ndarray,  # [nz, ny, 4, (nx+4)*cap]
+    occ: jnp.ndarray = None,  # [nz, ny, nx] int32 per-cell counts
     *,
     nx: int,
     ny: int,
@@ -1928,12 +1996,15 @@ def lj_cell_forces_pallas_cwn3l(
     sentinel: bool = False,
     fast_recip: bool = False,
     gsub: int = 1,
+    prefix: int = 0,
+    skip_tail: bool = False,
     ablate: str = "",
 ):
     """Newton-3rd-law cell-window variant (see _lj_cwn3l_kernel).
     Periodic single-chip only (no z_halo).  Same output contract as the
     other kernels.  gsub splits group blocks into cap/gsub-sublane
-    slabs against VPU register spills."""
+    slabs against VPU register spills.  prefix/skip_tail/occ enable
+    front-packed occupancy skipping of empty tail i-slabs."""
     Wj = (nx + 4) * cap
     assert r_i.shape == (nz, ny, NPLANE, nx * cap), r_i.shape
     assert r_j.shape == (nz, ny, NPLANE, Wj), r_j.shape
@@ -1943,6 +2014,18 @@ def lj_cell_forces_pallas_cwn3l(
     if not interpret:
         assert (tx * cap) % 128 == 0
         assert (4 * cap) % 128 == 0
+    if prefix <= 0 or prefix > cap:
+        prefix = cap
+    assert prefix % 8 == 0 and (cap - prefix) % 8 == 0
+    assert prefix % gsub == 0 and (prefix // gsub) % 8 == 0
+    if skip_tail:
+        assert occ is not None and occ.shape == (nz, ny, nx)
+        # tail slabs run with macro=False under pl.when (no register
+        # returns from a predicated region): Upot/virial would miss
+        # the tail pairs
+        assert not compute_macro, "skip_tail requires compute_macro=False"
+        if prefix == cap:
+            skip_tail = False  # nothing to skip
     out_dtype = r_i.dtype
 
     Pw = (nx + max(0, 4 - tx)) * cap
@@ -1988,30 +2071,45 @@ def lj_cell_forces_pallas_cwn3l(
         sentinel=sentinel,
         fast_recip=fast_recip,
         gsub=gsub,
+        prefix=prefix,
+        skip_tail=skip_tail,
         ablate=ablate,
         Pw=Pw,
         out_dtype=out_dtype,
     )
-    n_pairs = nz * ny * nx * cap * 5 * 4 * cap
+    in_specs = [i_spec] + j_specs
+    operands = [r_i, P, P]
+    scratch_shapes = [pltpu.VMEM((ny, NPLANE, nx * cap), out_dtype)]
+    if skip_tail:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, ny, nx), lambda z: (z, 0, 0),
+                memory_space=pltpu.SMEM,
+            )
+        )
+        operands.append(occ.astype(jnp.int32))
+        scratch_shapes.append(
+            pltpu.VMEM((tx * (cap - prefix), 128), out_dtype)
+        )
+    scratch_shapes += [
+        pltpu.VMEM((tx, ny, NPLANE, Pw), out_dtype),
+        pltpu.VMEM((tx, ny, NPLANE, Pw), out_dtype),
+    ]
     out, up = pl.pallas_call(
         kernel,
         grid=(nz,),
-        in_specs=[i_spec] + j_specs,
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=[
             jax.ShapeDtypeStruct((nz, ny, NPLANE, nx * cap), out_dtype),
             jax.ShapeDtypeStruct((nz, ny, NPLANE, nx * cap), out_dtype),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((ny, NPLANE, nx * cap), out_dtype),
-            pltpu.VMEM((tx, ny, NPLANE, Pw), out_dtype),
-            pltpu.VMEM((tx, ny, NPLANE, Pw), out_dtype),
-        ],
+        scratch_shapes=scratch_shapes,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(r_i, P, P)
+    )(*operands)
     # z+1 targets: program z accumulated forces for plane z+1
     out = out + jnp.roll(up, 1, axis=0)
     scal = out[:, :, 3, :].reshape(nz, ny, nx // tx, tx * cap)

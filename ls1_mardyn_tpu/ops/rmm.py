@@ -154,6 +154,20 @@ class RMMSimulation:
         # group-block sublane split against VPU register spills (see
         # _lj_cwn3l_kernel gsub)
         self.cw_gsub = 1
+        # occupancy skipping: cells are front-packed, so i slots past
+        # the per-cell count are empty -- the kernel processes a dense
+        # [cw_prefix, gw] block plus pl.when-guarded 8-sublane tail
+        # slabs.  cw_prefix chosen from the measured occupancy
+        # histogram at init (0 = dense, no skipping); applied on the
+        # macro-free fast steps only.  Measured SLOWER at the bench
+        # geometry (tools/ab_skip.py, 2026-08-18: dense 65.2 ms,
+        # prefix=24 73.7 ms, prefix=16 94.2 ms at occ frac>24 = 0.004)
+        # -- the pl.when branches + the [8,128] scratch stores cost
+        # more than the skipped slabs save, the same alignment-tax
+        # class as the packed-pencil experiment.  Kept as a tested
+        # opt-in (correctness: tests/test_pallas_lj.py).
+        self.cw_skip = False
+        self.cw_prefix = 0
         # approx-reciprocal + Newton instead of IEEE divide (f32 TPU)
         self.fast_recip = not interpret
         self._step_jit = jax.jit(functools.partial(self._step, compute_macro=True))
@@ -195,9 +209,25 @@ class RMMSimulation:
                 else lj_cell_forces_pallas_cw
             )
             extra = {"gsub": self.cw_gsub} if self.cwn3l else {}
+            args = ()
+            if self.cwn3l:
+                skip = (
+                    self.cw_skip
+                    and not compute_macro
+                    and 0 < self.cw_prefix < cap
+                )
+                extra["prefix"] = self.cw_prefix if skip else 0
+                extra["skip_tail"] = skip
+                if skip:
+                    # per-cell occupancy from the validity plane (one
+                    # fused reduce; validity only changes at rebin, but
+                    # recomputing is cheaper than carrying state)
+                    w = planes[:, :, 3, :].reshape(nz, ny, nx, cap)
+                    args = (jnp.sum(w, axis=-1).astype(jnp.int32),)
             return fn(
                 r_i,
                 r_j,
+                *args,
                 **extra,
                 nx=nx,
                 ny=ny,
@@ -623,6 +653,25 @@ class RMMSimulation:
         planes = g.reshape(nz, ny, nx * cap, NP_RMM).transpose(0, 1, 3, 2)
         if bool(bins.overflow):
             raise RuntimeError("cell capacity exceeded at init")
+        # pick the occupancy-skip dense prefix from the measured
+        # occupancy histogram: cost(P) ~ P/8 dense slabs + 1.3 slab
+        # equivalents per pl.when tail activation (the 1.3 covers the
+        # branch + the extra per-slab j-scratch read-modify-write)
+        if self.cwn3l and self.cw_skip:
+            nvalid = np.asarray(mol.valid).astype(np.int64)
+            occ = np.bincount(
+                np.asarray(cell_host)[nvalid > 0], minlength=nx * ny * nz
+            )
+            cands = range(8, cap + 1, 8)
+            cost = {
+                P: P / 8.0
+                + sum(
+                    1.3 * float(np.mean(occ > a))
+                    for a in range(P, cap, 8)
+                )
+                for P in cands
+            }
+            self.cw_prefix = min(cost, key=cost.get)
         f, u6, vir = self._forces_jit(planes)
         z3 = jnp.zeros_like(f)
         self.state = RMMState(planes=planes, forces=f, vcomp=z3, rcomp=z3,

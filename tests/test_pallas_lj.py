@@ -237,3 +237,48 @@ def test_pallas_lj_cwn3l_matches_cw(sentinel, gsub):
     np.testing.assert_allclose(fb / scale, fa / scale, atol=1e-12)
     np.testing.assert_allclose(float(u6_b), float(u6_a), rtol=1e-11)
     np.testing.assert_allclose(float(vir_b), float(vir_a), rtol=1e-11)
+
+@pytest.mark.parametrize("sentinel,prefix", [(True, 16), (False, 24), (True, 8)])
+def test_pallas_lj_cwn3l_skip_tail(sentinel, prefix):
+    """Occupancy skipping (dense prefix + pl.when-guarded tail slabs on
+    front-packed cells) must reproduce the dense cwn3l kernel exactly:
+    skipped slabs hold only invalid slots whose pair blocks are exact
+    zeros on both the i and the j (N3L fold) side."""
+    from ls1_mardyn_tpu.ops.pallas_lj import (
+        SENTINEL_SCALE,
+        lj_cell_forces_pallas_cwn3l,
+    )
+
+    nd, cap, tx = 4, 32, 4
+    nx = ny = nz = nd
+    cl = 2.8
+    box = (nd * cl, nd * cl, nd * cl)
+    rng = np.random.default_rng(11)
+    W = nx * cap
+    r = rng.uniform(0, cl, size=(nz, ny, 3, W)).astype(np.float64)
+    slot = np.arange(W) % cap
+    # front-packed variable occupancy spanning every slab boundary
+    occ = rng.integers(2, cap + 1, size=(nz, ny, nx)).astype(np.int32)
+    occ_l = np.repeat(occ.reshape(nz, ny, nx), cap, axis=-1)
+    invalid = slot[None, None, :] >= occ_l
+    if sentinel:
+        ysent = SENTINEL_SCALE * (1.0 + slot.astype(np.float64))
+        r[:, :, 1, :] = np.where(invalid, ysent[None, None], r[:, :, 1, :])
+        r[:, :, 0, :] = np.where(invalid, 0.0, r[:, :, 0, :])
+        r[:, :, 2, :] = np.where(invalid, 0.0, r[:, :, 2, :])
+    w = np.where(invalid, 0.0, 1.0)
+    r_i = jnp.asarray(np.concatenate([r, w[:, :, None, :]], axis=2))
+    left = r_i[:, :, :, (nx - 1) * cap:]
+    r_j = jnp.concatenate([left, r_i, r_i[:, :, :, : 3 * cap]], axis=3)
+    kw = dict(nx=nx, ny=ny, nz=nz, cap=cap, tx=tx, box=box,
+              eps24=24.0, sig2=1.0, shift6=0.1, rc2=2.5 ** 2,
+              interpret=True, compute_macro=False,
+              sentinel=sentinel, fast_recip=False)
+    out_a, _, _ = lj_cell_forces_pallas_cwn3l(r_i, r_j, **kw)
+    out_b, _, _ = lj_cell_forces_pallas_cwn3l(
+        r_i, r_j, jnp.asarray(occ), prefix=prefix, skip_tail=True, **kw
+    )
+    fa = np.asarray(out_a)[:, :, :3]
+    fb = np.asarray(out_b)[:, :, :3]
+    scale = np.abs(fa).max()
+    np.testing.assert_allclose(fb / scale, fa / scale, atol=1e-12)
