@@ -1642,6 +1642,7 @@ def _lj_cwn3l_kernel(
     compute_macro: bool,
     sentinel: bool,
     fast_recip: bool,
+    newton: bool,
     gsub: int,
     prefix: int,
     skip_tail: bool,
@@ -1771,7 +1772,11 @@ def _lj_cwn3l_kernel(
             fcols = []
             for g in range(tx):
                 s0 = g * cap
-                # hoist the five j-window loads for this group
+                # hoist the five j-window loads for this group; fold
+                # the static window-cell x offset and the periodic
+                # y/z row shifts into the j coordinates here (1 op per
+                # j-lane per row, amortized over the cap i-sublanes --
+                # saves one [csub, gw] op per pair block)
                 rows = []
                 for k, (dz, dy) in enumerate(offs):
                     jref = j0_ref if dz == 0 else jp_ref
@@ -1783,7 +1788,10 @@ def _lj_cwn3l_kernel(
                     else:
                         yw = yj_row
                     Hw = jref[g, 0, yw, :, pl.ds(off, gw)]  # [4, gw]
-                    rows.append((k, dz, dy, yw, Hw))
+                    xjr = Hw[0:1] - xoff
+                    yjr = Hw[1:2] + jnp.asarray(dy * cly, out_dtype)
+                    zjr = Hw[2:3] + jnp.asarray(dz * clz, out_dtype)
+                    rows.append((k, dz, dy, yw, Hw, xjr, yjr, zjr))
 
                 def slab(a, csub, macro):
                     """Pair block for this group's i slots [a, a+csub)
@@ -1802,13 +1810,10 @@ def _lj_cwn3l_kernel(
                     if macro:
                         au = jnp.zeros((csub, gw), out_dtype)
                         av = jnp.zeros((csub, gw), out_dtype)
-                    for k, dz, dy, yw, Hw in rows:
-                        xj = Hw[0:1]
-                        yj = Hw[1:2]
-                        zj = Hw[2:3]
-                        dx = (xgs - xj) + xoff
-                        dyv = (ygs - jnp.asarray(dy * cly, out_dtype)) - yj
-                        dzv = (zgs - jnp.asarray(dz * clz, out_dtype)) - zj
+                    for k, dz, dy, yw, Hw, xjr, yjr, zjr in rows:
+                        dx = xgs - xjr
+                        dyv = ygs - yjr
+                        dzv = zgs - zjr
                         dr2 = dx * dx + dyv * dyv + dzv * dzv
                         mask = dr2 < cut2
                         if not sentinel:
@@ -1824,7 +1829,12 @@ def _lj_cwn3l_kernel(
                                 mask, dr2, jnp.asarray(1e30, out_dtype)
                             )
                             r0 = pl.reciprocal(den, approx=True)
-                            invdr2 = r0 * (2.0 - den * r0)
+                            if newton:
+                                invdr2 = r0 * (2.0 - den * r0)
+                            else:
+                                # raw VPU approx reciprocal (~1e-4
+                                # rel): opt-in, see RMMSimulation
+                                invdr2 = r0
                             mf = mask.astype(out_dtype) if macro else None
                         else:
                             mf = mask.astype(out_dtype)
@@ -1834,11 +1844,16 @@ def _lj_cwn3l_kernel(
                             lj12m6 = invdr2
                             fac = invdr2
                         else:
+                            # fac = 24eps*(2*lj12 - lj6)*invdr2
+                            #     = e24*(lj6*invdr2)*(2*lj6 - 1):
+                            # one op fewer than the lj12/lj12m6 form
                             lj6 = s2 * invdr2
                             lj6 = lj6 * lj6 * lj6
-                            lj12 = lj6 * lj6
-                            lj12m6 = lj12 - lj6
-                            fac = e24 * (lj12 + lj12m6) * invdr2
+                            fac = (
+                                e24 * (lj6 * invdr2) * (2.0 * lj6 - 1.0)
+                            )
+                            if macro:
+                                lj12m6 = lj6 * lj6 - lj6
                         fdx = fac * dx
                         fdy = fac * dyv
                         fdz = fac * dzv
@@ -1973,7 +1988,7 @@ def _lj_cwn3l_kernel(
     static_argnames=(
         "nx", "ny", "nz", "cap", "tx", "box", "eps24", "sig2", "shift6",
         "rc2", "interpret", "compute_macro", "sentinel", "fast_recip",
-        "gsub", "prefix", "skip_tail", "ablate",
+        "newton", "gsub", "prefix", "skip_tail", "ablate",
     ),
 )
 def lj_cell_forces_pallas_cwn3l(
@@ -1995,6 +2010,7 @@ def lj_cell_forces_pallas_cwn3l(
     compute_macro: bool = True,
     sentinel: bool = False,
     fast_recip: bool = False,
+    newton: bool = True,
     gsub: int = 1,
     prefix: int = 0,
     skip_tail: bool = False,
@@ -2070,6 +2086,7 @@ def lj_cell_forces_pallas_cwn3l(
         compute_macro=compute_macro,
         sentinel=sentinel,
         fast_recip=fast_recip,
+        newton=newton,
         gsub=gsub,
         prefix=prefix,
         skip_tail=skip_tail,

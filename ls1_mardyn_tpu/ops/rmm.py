@@ -170,6 +170,10 @@ class RMMSimulation:
         self.cw_prefix = 0
         # approx-reciprocal + Newton instead of IEEE divide (f32 TPU)
         self.fast_recip = not interpret
+        # drop the Newton refinement too (raw ~1e-4-rel VPU reciprocal,
+        # cwn3l only): saves ~3 of ~27 VPU slots/pair.  Off by default
+        # pending an NVE-drift qualification (tools/ab_recip.py)
+        self.recip_newton = True
         self._step_jit = jax.jit(functools.partial(self._step, compute_macro=True))
         # fast step: skips the Upot/virial reduction passes in the kernel
         # (20%); the thermostat needs only kinetic energy
@@ -178,6 +182,15 @@ class RMMSimulation:
         )
         self._rebin_jit = jax.jit(self._rebin)
         self._rebin_shift_jit = jax.jit(self._rebin_shift)
+        self._rebin_shift_pl_jit = jax.jit(self._rebin_shift_pl)
+        # the Pallas concentrator rebin needs power-of-2 cap and
+        # 128-aligned lane rows; cy must divide ny
+        nxd, nyd, nzd = spec.dims
+        self.rebin_pl = (
+            spec.cap & (spec.cap - 1) == 0
+            and (nxd * spec.cap) % 128 == 0
+            and nyd % 4 == 0
+        )
         self._forces_jit = jax.jit(self._forces)
         self.state: RMMState = None
         self._k = 0
@@ -211,6 +224,7 @@ class RMMSimulation:
             extra = {"gsub": self.cw_gsub} if self.cwn3l else {}
             args = ()
             if self.cwn3l:
+                extra["newton"] = self.recip_newton
                 skip = (
                     self.cw_skip
                     and not compute_macro
@@ -548,6 +562,45 @@ class RMMSimulation:
             [flat4(cols[c]) for c in (0, 1, 2, 3, 4, 5, 6, 7)], axis=2
         )
         forces = jnp.concatenate([flat4(cols[c]) for c in (8, 9, 10)], axis=2)
+        zero3 = jnp.zeros_like(forces)
+        return (
+            RMMState(
+                planes=planes,
+                forces=forces,
+                vcomp=zero3,
+                rcomp=zero3,
+                u6=st.u6,
+                vir=st.vir,
+            ),
+            overflow,
+        )
+
+    def _rebin_shift_pl(self, st: RMMState):
+        """Pallas shift-merge rebin (ops/pallas_rebin.py): the same
+        3-stage x/y/z nearest-neighbor re-pack as _rebin_shift with
+        bit-identical output, but the candidate merge runs as a
+        segmented-concentrator routing in VMEM instead of a 12-operand
+        lax.sort (whose ~50 compare-swap stages each pay a full HBM
+        pass).  Same (state, overflow) contract."""
+        from ls1_mardyn_tpu.ops.pallas_rebin import rebin_shift_pallas
+
+        nx, ny, nz = self.spec.dims
+        p = st.planes
+        r = p[:, :, 0:3, :] + st.rcomp
+        v = p[:, :, 4:7, :] + st.vcomp
+        big = jnp.concatenate(
+            [r, p[:, :, 3:4, :], v, p[:, :, 7:8, :], st.forces], axis=2
+        )
+        out, overflow = rebin_shift_pallas(
+            big,
+            dims=self.spec.dims,
+            cap=self.spec.cap,
+            cell_len=tuple(float(c) for c in self.spec.cell_len),
+            sentinel=self.sentinel,
+            interpret=self.interpret,
+        )
+        planes = out[:, :, 0:NP_RMM, :]
+        forces = out[:, :, NP_RMM:, :]
         zero3 = jnp.zeros_like(forces)
         return (
             RMMState(
