@@ -160,42 +160,130 @@ class MmspdBinWriter(PluginBase):
 
 @PluginFactory.register("Permittivity")
 class Permittivity(PluginBase):
-    """Static dielectric constant from dipole-moment fluctuations
+    """Static dielectric constant from dipole-moment fluctuations,
+    with the reference's block-average bookkeeping
     (src/plugins/Permittivity.{h,cpp}):
-      eps = 1 + (<M^2> - <M>^2) / (3 eps0 V kT)  (reduced: 4 pi eps0=1
-      -> eps = 1 + 4 pi (<M^2>-<M>^2) / (3 V T))."""
+
+      eps_block  = 1 + 4 pi (<M^2>_b - <M>_b^2) / (3 V T)
+      eps2_block = 1 + 4 pi  <M^2>_b            / (3 V T)
+
+    sampled every <recordingtimesteps> after <initstatistics>, blocked
+    every <writefrequency> steps (Permittivity.cpp:222-230); running
+    averages of M and <M^2> appended to <prefix>.permRAV every
+    <runningaveragestep> recorded steps (writeRunningAverage,
+    Permittivity.cpp:105-131); final <prefix>.perm table with one row
+    per block plus the block-average and whole-run permittivities
+    incl. the first-block weighting correction
+    (Permittivity.cpp:240-300)."""
 
     def __init__(self, params=None):
         super().__init__(params)
-        self._m = []
+        p = self.params
+        self.write_frequency = int(float(p.get("writefrequency", 1000)))
+        self.init_statistics = int(float(p.get("initstatistics", 0)))
+        self.recording_timesteps = int(float(p.get("recordingtimesteps", 1)))
+        self.rav_steps = int(float(p.get("runningaveragestep", 100)))
+        self._block_m = []     # recorded M vectors of the current block
+        self._blocks = []      # (mean M [3], mean M^2, n_particles)
+        self._rav_sum = np.zeros(3)
+        self._rav_sq = 0.0
+        self._rav_n = 0
+        self._rav_counter = 0
+        self._npart = 0
+        self._rav_rows = []
 
-    def after_forces(self, sim, step):
-        import jax.numpy as jnp
-
+    def _sample_M(self, sim):
         from ls1_mardyn_tpu.models.interaction import site_offsets
 
         mol = sim.engine.mol
-        pp = sim.pp
-        sites = site_offsets(pp, mol.q, mol.cid)
-        # total dipole moment: permanent dipoles (unit vectors * |mu|)
+        sites = site_offsets(sim.pp, mol.q, mol.cid)
         e = np.asarray(sites["dip_e"])  # [N, ND, 3]
         mu = np.asarray(sim.table.dip_abs)[np.asarray(mol.cid)]  # [N, ND]
         valid = np.asarray(mol.valid)
-        M = (mu[..., None] * e)[valid].sum(axis=(0, 1))
-        self._m.append(M)
+        self._npart += int(valid.sum())
+        return (mu[..., None] * e)[valid].sum(axis=(0, 1))
+
+    def end_step(self, sim, step):
+        if step <= self.init_statistics:
+            return
+        V = float(np.prod(sim.box))
+        T = float(sim.config.temperature) or 1.0
+        if step % self.recording_timesteps == 0:
+            M = self._sample_M(sim)
+            self._block_m.append(M)
+            self._rav_sum += M
+            self._rav_sq += float(M @ M)
+            self._rav_n += 1
+            if self._rav_n % self.rav_steps == 0:
+                self._rav_counter += 1
+                n = self._rav_counter * self.rav_steps
+                msq_inst = float(M @ M)
+                k = 4.0 * np.pi / (3.0 * T * V)
+                self._rav_rows.append(
+                    [step, n, *M, msq_inst, 1.0 + k * msq_inst,
+                     *(self._rav_sum / n), self._rav_sq / n,
+                     1.0 + k * self._rav_sq / n]
+                )
+        if step % self.write_frequency == 0 and self._block_m:
+            B = np.asarray(self._block_m)
+            self._blocks.append(
+                (B.mean(axis=0), float((B * B).sum(axis=1).mean()),
+                 self._npart, step)
+            )
+            self._block_m = []
+            self._npart = 0
 
     def finish(self, sim):
-        if not self._m:
+        if self._block_m:  # flush a partial final block
+            B = np.asarray(self._block_m)
+            self._blocks.append(
+                (B.mean(axis=0), float((B * B).sum(axis=1).mean()),
+                 self._npart, -1)
+            )
+        if not self._blocks:
             return
-        M = np.asarray(self._m)
-        var = (M * M).sum(axis=1).mean() - (M.mean(axis=0) ** 2).sum()
         T = float(sim.config.temperature) or 1.0
         V = float(np.prod(sim.box))
-        eps = 1.0 + 4.0 * np.pi * var / (3.0 * V * T)
-        with open(f"{self.output_prefix}.permittivity", "w") as f:
-            f.write("# <M^2>-<M>^2  V  T  epsilon\n")
-            f.write(f"{var:.8g} {V:.8g} {T:.8g} {eps:.8g}\n")
-        self.epsilon = eps
+        k = 4.0 * np.pi / (3.0 * T * V)
+        with open(f"{self.output_prefix}.permRAV", "w") as f:
+            f.write("time steps\trecording steps\tMx_inst\tMy_inst\t"
+                    "Mz_inst\tMsquared_inst\tperm_inst\tMx_rav\tMy_rav\t"
+                    "Mz_rav\tMsquared_rav\tperm_rav\n")
+            for row in self._rav_rows:
+                f.write("\t".join(f"{x:.7g}" for x in row) + "\n")
+        # first-block weighting correction (Permittivity.cpp:247-256)
+        corr0 = 0.0
+        if self.init_statistics % self.write_frequency:
+            corr0 = (
+                self.init_statistics % self.write_frequency
+            ) / self.write_frequency
+        eps_sum = eps2_sum = wsum = 0.0
+        tot_sq = 0.0
+        tot_m = np.zeros(3)
+        rows = []
+        for i, (m, msq, npart, step) in enumerate(self._blocks):
+            m2 = float(m @ m)
+            eps = 1.0 + k * (msq - m2)
+            eps2 = 1.0 + k * msq
+            w = (1.0 - corr0) if i == 0 else 1.0
+            eps_sum += eps * w
+            eps2_sum += eps2 * w
+            wsum += w
+            tot_sq += msq
+            tot_m += m
+            rows.append((step, npart, *m, m2, msq, eps, eps2))
+        nb = len(self._blocks)
+        tot_m /= nb
+        eps_total = 1.0 + k * (tot_sq / nb - float(tot_m @ tot_m))
+        with open(f"{self.output_prefix}.perm", "w") as f:
+            f.write("timestep\tN_particles\tMx\tMy\tMz\t<M>squared\t"
+                    "<M_squared>\tepsilon\tepsilon2\n")
+            for row in rows:
+                f.write("\t".join(f"{x:.7g}" for x in row) + "\n")
+            f.write(f"block average epsilon\t{eps_sum / wsum:.7g}\t"
+                    f"epsilon2\t{eps2_sum / wsum:.7g}\n")
+            f.write(f"epsilon_total\t{eps_total:.7g}\n")
+        self.epsilon = eps_sum / wsum
 
 
 @PluginFactory.register("Dropaligner")
@@ -302,54 +390,170 @@ class MirrorSystem(PluginBase):
 
 @PluginFactory.register("DirectedPM")
 class DirectedPM(PluginBase):
-    """Directed profile measurement (src/plugins/DirectedPM class role):
-    per-y-bin density, directed velocity, and directed temperature
-    (kinetic energy minus the bin drift)."""
+    """Moving-droplet analysis in cylindrical bins
+    (src/plugins/DirectedPM.{h,cpp}): molecules of one component are
+    binned in (R^2, h=y, phi) around the box axis
+    (DirectedPM.h:141-147: R2max = 0.24*minXZ^2, equal-R^2 rings so
+    every bin has the same volume); every <outputFrequency> steps the
+    per-bin densities classify bins into droplet (rho > rohCut *
+    maxDeviation, inside the permissible range that excludes the wall
+    adsorbate below heightWall and the membrane above heightMembrane,
+    DirectedPM.h:150-162) and vapor.  The droplet's directed velocity
+    (y) from the previous block is subtracted from the y-velocity
+    variance of droplet bins (DirectedPM.cpp:126-128); rohCut
+    self-adjusts to the measured liquid density
+    (DirectedPM.cpp:322).  Outputs: the global row file
+    (Global_output_DPM_MK.txt, DirectedPM.cpp:368-379: directed
+    velocity, gas/liquid density, pressures from the per-bin virial,
+    Txyz/Txz with and without the directed part) and the 2-D
+    density/temperature profiles (drop_MK_DirectedPM_<step>.NDpr /
+    .Temppr, DirectedPM.cpp:383-450)."""
 
     def __init__(self, params=None):
         super().__init__(params)
-        self.nbins = int(float(self.params.get("bins", 50)))
+        p = self.params
+        self.component = int(float(p.get("Component", p.get("component", 1))))
+        self.r_inc = int(float(p.get("rIncrements", 50)))
+        self.h_inc = int(float(p.get("hIncrements", 50)))
+        self.phi_inc = int(float(p.get("phiIncrements", 1)))
+        self.roh_cut = float(p.get("rohCutLiq", 0.5))
+        self.percent = float(p.get("maxDeviation", 1.0))
+        self.height_wall = float(p.get("heightWall", 0.0))
+        self.height_membrane = float(p.get("heightMembrane", 1e30))
+        self.out_freq = int(float(p.get("outputFrequency", 1000)))
         self._acc = None
-        self._samples = 0
+        self._first = True
+        self._v_dir_old = 0.0
+        self._roh_new = self.roh_cut
+        self._steps_in_block = 0
+
+    def _geom(self, sim):
+        box = np.asarray(sim.box, float)
+        min_xz = min(box[0], box[2])
+        r2max = 0.24 * min_xz * min_xz
+        inv = np.array([
+            self.r_inc / r2max,
+            self.h_inc / box[1],
+            self.phi_inc / (2.0 * np.pi),
+        ])
+        vol = np.pi / (inv[0] * inv[1] * self.phi_inc)
+        centre = np.array([0.5 * box[0], 0.0, 0.5 * box[2]])
+        return inv, vol, centre
 
     def after_forces(self, sim, step):
         mol = sim.engine.mol
-        valid = np.asarray(mol.valid)
-        y = np.asarray(mol.r)[valid, 1]
-        v = np.asarray(mol.v)[valid]
-        Ly = float(sim.box[1])
-        b = np.clip((y / Ly * self.nbins).astype(int), 0, self.nbins - 1)
+        fr = sim.engine.forces
+        inv, vol, centre = self._geom(sim)
+        nb = self.r_inc * self.h_inc * self.phi_inc
         if self._acc is None:
-            self._acc = np.zeros((self.nbins, 5))
-        for k in range(self.nbins):
-            sel = b == k
-            n = sel.sum()
-            if n == 0:
-                continue
-            self._acc[k, 0] += n
-            self._acc[k, 1:4] += v[sel].sum(axis=0)
-            self._acc[k, 4] += (v[sel] ** 2).sum()
-        self._samples += 1
+            # N, vx, vy, vz, vx2, vy2, vz2, dirvy2, Vix, Viy, Viz
+            self._acc = np.zeros((nb, 11))
+        valid = np.asarray(mol.valid) & (
+            np.asarray(mol.cid) == self.component - 1
+        )
+        r = np.asarray(mol.r)[valid] - centre
+        v = np.asarray(mol.v)[valid]
+        vi = np.asarray(fr.Vi)[valid] if fr is not None else np.zeros_like(v)
+        R2 = r[:, 0] ** 2 + r[:, 2] ** 2
+        phi = np.arctan2(r[:, 2], r[:, 0])
+        phi = np.where(phi < 0, phi + 2 * np.pi, phi)
+        rb = np.floor(R2 * inv[0]).astype(int)
+        hb = np.floor(r[:, 1] * inv[1]).astype(int)
+        pb = np.floor(phi * inv[2]).astype(int)
+        ok = (rb >= 0) & (rb < self.r_inc) & (hb >= 0) & (hb < self.h_inc) \
+            & (pb >= 0) & (pb < self.phi_inc)
+        uid = (hb * self.r_inc * self.phi_inc + rb * self.phi_inc + pb)[ok]
+        cols = np.concatenate(
+            [np.ones((ok.sum(), 1)), v[ok], v[ok] ** 2,
+             (v[ok, 1:2] - self._v_dir_old) ** 2, vi[ok]], axis=1
+        )
+        np.add.at(self._acc, uid, cols)
+        self._steps_in_block += 1
+        if step % self.out_freq == 0 and step > 0:
+            self._flush(sim, step, inv, vol)
 
-    def finish(self, sim):
-        if not self._samples:
-            return
-        mass = float(np.asarray(sim.pp.mass)[0])
-        V_bin = float(np.prod(sim.box)) / self.nbins
-        with open(f"{self.output_prefix}.directedpm", "w") as f:
-            f.write("# bin rho vx vy vz T_directed\n")
-            for k in range(self.nbins):
-                n, sx, sy, sz, v2 = self._acc[k]
-                if n == 0:
-                    f.write(f"{k} 0 0 0 0 0\n")
-                    continue
-                vd = np.array([sx, sy, sz]) / n
-                t_dir = mass * (v2 / n - (vd**2).sum()) / 3.0
-                rho = n / self._samples / V_bin
-                f.write(
-                    f"{k} {rho:.6g} {vd[0]:.6g} {vd[1]:.6g} {vd[2]:.6g} "
-                    f"{t_dir:.6g}\n"
-                )
+    def _flush(self, sim, step, inv, vol):
+        nf = self.out_freq
+        A = self._acc
+        n, vel, v2, dirvy2, vi = (
+            A[:, 0], A[:, 1:4], A[:, 4:7], A[:, 7], A[:, 8:11]
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rho = (n / nf) / vol
+            t_xyz = v2.sum(axis=1) / (3.0 * n)
+        # permissible range: exclude wall / membrane h-rows
+        hb = np.arange(self.r_inc * self.h_inc * self.phi_inc) // (
+            self.r_inc * self.phi_inc
+        )
+        h_edge = 1.0 / inv[1]
+        perm = (hb > np.ceil(self.height_wall / h_edge)) & (
+            hb < np.floor(self.height_membrane / h_edge)
+        )
+        cut = (self.roh_cut if self._first else self._roh_new) * self.percent
+        self._first = False
+        liq = (rho > cut) & perm
+        gas = perm & ~liq
+        n_liq, n_gas = n[liq].sum(), n[gas].sum()
+        if n_liq > 0:
+            v_drop = vel[liq].sum(axis=0) / n_liq
+            self._v_dir_old = v_drop[1]
+            self._roh_new = (n_liq / nf) / (max(liq.sum(), 1) * vol)
+            # droplet Ekin with the directed y part removed
+            ek_liq = 0.5 * (
+                v2[liq, 0].sum() + dirvy2[liq].sum() + v2[liq, 2].sum()
+            )
+            ekxz_liq = 0.5 * (v2[liq, 0].sum() + v2[liq, 2].sum())
+            t_liq = 2.0 * ek_liq / (3.0 * n_liq)
+            txz_liq = 2.0 * ekxz_liq / (2.0 * n_liq)
+            p_liq = (
+                t_liq * (n_liq / nf) / (vol * liq.sum())
+                + vi[liq].sum() / (3.0 * vol * liq.sum() * nf)
+            )
+        else:
+            v_drop = np.zeros(3)
+            t_liq = txz_liq = p_liq = 0.0
+        if n_gas > 0:
+            ek_gas = 0.5 * v2[gas].sum()
+            t_gas = 2.0 * ek_gas / (3.0 * n_gas)
+            txz_gas = (v2[gas, 0].sum() + v2[gas, 2].sum()) / (2.0 * n_gas)
+            rho_gas = (n_gas / nf) / (vol * gas.sum())
+            p_gas = (
+                t_gas * (n_gas / nf) / (vol * gas.sum())
+                + vi[gas].sum() / (3.0 * vol * gas.sum() * nf)
+            )
+        else:
+            t_gas = txz_gas = rho_gas = p_gas = 0.0
+        import os
+
+        mode = "a" if os.path.exists("Global_output_DPM_MK.txt") else "w"
+        with open("Global_output_DPM_MK.txt", mode) as f:
+            f.write(
+                f"{step} \t\t{v_drop[1]:.6g} \t\t {rho_gas:.6g} \t\t "
+                f"{self._roh_new:.6g} \t\t {p_gas:.6g} \t\t {p_liq:.6g} "
+                f"\t\t {t_gas:.6g} \t\t {t_liq:.6g} \t\t {txz_gas:.6g} "
+                f"\t\t {txz_liq:.6g}\n"
+            )
+        # 2-D (h x r) profiles, phi-major row layout as the reference
+        rr = np.arange(self.r_inc)
+        r_centers = 0.5 * (np.sqrt(rr + 1) + np.sqrt(rr)) / np.sqrt(inv[0])
+        for suffix, field in ((".NDpr", rho),
+                              (".Temppr", np.nan_to_num(t_xyz))):
+            with open(f"drop_MK_DirectedPM_{step}{suffix}", "w") as f:
+                f.write(f"//Segment volume: {vol:.6g}\n"
+                        f"//Accumulated data sets: {nf}\n"
+                        "// \t dr \t dh \t dphi \n")
+                f.write("\t" + "\t".join(
+                    f"{1 / x:.6g}" for x in inv) + "\n")
+                f.write("0 \t" + " \t".join(
+                    f"{x:.6g}" for x in r_centers) + " \t\n")
+                M = field.reshape(self.h_inc, self.r_inc, self.phi_inc)
+                for h in range(self.h_inc):
+                    hval = (h + 0.5) / inv[1]
+                    row = M[h].T.reshape(-1)  # phi-major, r within
+                    f.write(f"{hval:.6g}  \t" + "\t".join(
+                        f"{x:.6g}" for x in row) + "\n")
+        self._acc[:] = 0.0
+        self._steps_in_block = 0
 
 
 @PluginFactory.register("MettDeamonFeedrateDirector")

@@ -52,7 +52,10 @@ def test_extra_plugins_run(tmp_path):
     os.chdir(tmp_path)
     cfg = _cfg(
         plugins=[
-            ("DirectedPM", {"bins": "10", "outputprefix": "dpm"}),
+            ("DirectedPM", {"Component": "1", "rIncrements": "4",
+                            "hIncrements": "4", "phiIncrements": "1",
+                            "rohCutLiq": "0.05", "maxDeviation": "1",
+                            "outputFrequency": "2"}),
             ("ExamplePlugin", {"writeposition": "endStep",
                                "message": "hi"}),
         ],
@@ -69,11 +72,15 @@ def test_extra_plugins_run(tmp_path):
     assert ep.calls == 2
     assert (tmp_path / "mb.mmspd.bin").read_bytes().startswith(b"MMSPDb 1.0\n")
     assert "imbalance" in (tmp_path / "lb.lb.dat").read_text()
-    # DirectedPM profile written at finish
-    dpm = (tmp_path / "dpm.directedpm").read_text().splitlines()
-    assert len(dpm) == 11
-    rho_col = np.array([float(x.split()[1]) for x in dpm[1:]])
-    assert abs(rho_col.mean() - 0.4) < 0.1
+    # DirectedPM global row + 2-D profile files at the block boundary
+    # (reference names, DirectedPM.cpp:363,383)
+    glob = (tmp_path / "Global_output_DPM_MK.txt").read_text().splitlines()
+    assert len(glob) == 1 and glob[0].startswith("2 ")
+    nd = (tmp_path / "drop_MK_DirectedPM_2.NDpr").read_text().splitlines()
+    assert nd[0].startswith("//Segment volume")
+    assert (tmp_path / "drop_MK_DirectedPM_2.Temppr").exists()
+    # density rows: header(3) + bin-size row + r-centers row + h rows
+    assert len(nd) == 3 + 1 + 1 + 4
 
 
 def test_mirror_system_and_drop_plugins(tmp_path):
@@ -134,13 +141,25 @@ def test_permittivity_dipolar_gas(tmp_path):
         v=rng.normal(0, np.sqrt(T), (n, 3)),
         q=q, L=np.zeros((n, 3)),
     )
-    cfg = _cfg(plugins=[("Permittivity", {"outputprefix": "perm"})])
+    cfg = _cfg(plugins=[(
+        "Permittivity",
+        {"outputprefix": "perm", "writefrequency": "3",
+         "recordingtimesteps": "1", "runningaveragestep": "2"},
+    )])
     import unittest.mock as mock
 
     with mock.patch.object(MDSimulation, "_load_phasespace",
                            lambda self, c_: data):
         sim = MDSimulation(cfg, dtype=jnp.float64, force_mode="cells")
-        sim.run(steps=5, print_every=0)
-    assert (tmp_path / "perm.permittivity").exists()
+        sim.run(steps=7, print_every=0)
+    # block table + running-average stream (reference file pair,
+    # Permittivity.cpp:33,270)
+    assert (tmp_path / "perm.perm").exists()
+    assert (tmp_path / "perm.permRAV").exists()
+    body = (tmp_path / "perm.perm").read_text().splitlines()
+    assert body[0].startswith("timestep\tN_particles")
+    assert any(line.startswith("epsilon_total") for line in body)
+    # 7 steps / writefrequency 3 -> 2 full blocks + 1 partial
+    assert len(body) == 3 + 1 + 2
     eps = [p for p in sim._plugins if p.name == "Permittivity"][0].epsilon
     assert np.isfinite(eps) and eps > 1.0
