@@ -37,5 +37,20 @@ import jax as _jax
 # can genuinely tolerate bf16 must opt down per call site.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent XLA/Mosaic compilation cache: first compiles of the force
+# and rebin kernels cost seconds to minutes; every process restart
+# (CLI run, bench, tools) would pay them again without this.  The
+# reference has no analogue (C++ is ahead-of-time); the TPU equivalent
+# of its build cache is this kernel cache.  Opt out with
+# LS1_NO_COMPILE_CACHE=1 (e.g. when bisecting compiler issues).
+import os as _os
+
+if not _os.environ.get("LS1_NO_COMPILE_CACHE"):
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("LS1_COMPILE_CACHE", "/tmp/ls1_jax_cache"),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 from ls1_mardyn_tpu.state import MoleculeState, SimState  # noqa: F401
 from ls1_mardyn_tpu.models.components import Component, ComponentTable  # noqa: F401

@@ -130,3 +130,84 @@ def read_binary_checkpoint(
         q=q,
         L=L,
     )
+
+
+# ---------------------------------------------------------------------------
+# MPICheckpointWriter .dat format (byte-parity with the reference)
+# ---------------------------------------------------------------------------
+
+MPI_CKPT_MAGIC = b"MarDyn20150211trunk"
+_ENDIANNESS_TEST = 0x0A0B0C0D
+
+
+def write_mpi_checkpoint(path, data: PhaseSpaceData) -> None:
+    """Write the reference's MPICheckpointWriter binary format
+    (/root/reference/src/io/MPICheckpointWriter.cpp:330-393, sequential
+    branch; the MPI-IO branch produces the same bytes with one
+    bounding-box record per rank): 64-byte header (magic, zero pad,
+    endianness int, gap), "ICRVQD\\0", "BB\\0", #bb, per-bb (min[3],
+    max[3], startidx, count), then per molecule id/cid as uint64 and
+    r/v/q(wxyz)/D as float64 (ICRVQD record, 120 bytes).
+
+    One host gathers everything here (numbb = 1); the reference's
+    rank-parallel MPI-IO is a multi-host concern this single-host
+    framework serializes."""
+    n = len(data.mid)
+    gap = 7 + 3 + 8 + 1 * (6 * 8 + 2 * 8)
+    with open(path, "wb") as f:
+        f.write(MPI_CKPT_MAGIC)
+        f.write(b"\0" * (64 - len(MPI_CKPT_MAGIC) - 8 - 4))
+        f.write(np.int32(_ENDIANNESS_TEST).tobytes())
+        f.write(np.uint64(gap).tobytes())
+        f.write(b"ICRVQD\0")
+        f.write(b"BB\0")
+        f.write(np.uint64(1).tobytes())
+        f.write(np.zeros(3, np.float64).tobytes())  # bb min
+        f.write(np.asarray(data.box, np.float64).tobytes())  # bb max
+        f.write(np.uint64(0).tobytes())  # start index
+        f.write(np.uint64(n).tobytes())
+        rec = np.zeros((n, 15), np.float64)
+        rec[:, 0] = np.asarray(data.mid, np.uint64).view(np.float64)
+        rec[:, 1] = np.asarray(data.cid, np.uint64).view(np.float64)
+        rec[:, 2:5] = data.r
+        rec[:, 5:8] = data.v
+        rec[:, 8:12] = data.q
+        rec[:, 12:15] = data.L
+        f.write(rec.tobytes())
+
+
+def read_mpi_checkpoint(path) -> PhaseSpaceData:
+    """Read the MPICheckpointWriter .dat format (the MPI_IOReader role,
+    /root/reference/src/io/MPI_IOReader.cpp).  Returns a PhaseSpaceData
+    without components (the caller supplies them from the XML, exactly
+    like the reference which keeps components in the XML header)."""
+    raw = open(path, "rb").read()
+    assert raw[: len(MPI_CKPT_MAGIC)] == MPI_CKPT_MAGIC, "bad magic"
+    endian = np.frombuffer(raw[52:56], np.int32)[0]
+    assert endian == _ENDIANNESS_TEST, "endianness mismatch"
+    off = 64
+    fmt = raw[off : off + 7]
+    assert fmt == b"ICRVQD\0", fmt
+    off += 7
+    assert raw[off : off + 3] == b"BB\0"
+    off += 3
+    numbb = int(np.frombuffer(raw[off : off + 8], np.uint64)[0])
+    off += 8
+    box = None
+    total = 0
+    for _ in range(numbb):
+        bbmax = np.frombuffer(raw[off + 24 : off + 48], np.float64)
+        box = bbmax if box is None else np.maximum(box, bbmax)
+        total += int(np.frombuffer(raw[off + 56 : off + 64], np.uint64)[0])
+        off += 64
+    rec = np.frombuffer(
+        raw[off : off + total * 120], np.float64
+    ).reshape(total, 15)
+    return PhaseSpaceData(
+        components=[], mixing_xi=np.ones((0, 0)), mixing_eta=np.ones((0, 0)),
+        eps_rf=0.0, box=np.asarray(box), temperature=0.0, current_time=0.0,
+        mid=rec[:, 0].view(np.uint64).astype(np.int64).copy(),
+        cid=rec[:, 1].view(np.uint64).astype(np.int32).copy(),
+        r=rec[:, 2:5].copy(), v=rec[:, 5:8].copy(),
+        q=rec[:, 8:12].copy(), L=rec[:, 12:15].copy(),
+    )

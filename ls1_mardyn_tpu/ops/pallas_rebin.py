@@ -176,26 +176,38 @@ def _rebin_kernel(
     sentinel: bool,
     out_dtype,
 ):
-    """stage 'x'/'y': refs = (big_z, out, ovf); stage 'z':
-    refs = (big_zm, big_z, big_zp, out, ovf)."""
-    if stage == "z":
+    """stage 'x': refs = (left, own, right) x-tile blocks (the +-cap
+    lane halo for candidate construction); stage 'y': refs = (own,);
+    stage 'z': refs = (zm, z, zp).  Blocks are [1, ny, NCOL, Wt] with
+    Wt a multiple of cap: the concentrator routing never crosses a
+    cap-lane cell segment, so x-tiling is routing-safe and keeps every
+    vector op Wt wide (Mosaic compile time is superlinear in op
+    width: full-plane ops at nd=60 measured >10 min to compile, tiled
+    ops compile in ~1 min)."""
+    if stage == "x":
+        lf_ref, z_ref, rt_ref, out_ref, ovf_ref = refs
+    elif stage == "z":
         zm_ref, z_ref, zp_ref, out_ref, ovf_ref = refs
     else:
         z_ref, out_ref, ovf_ref = refs
-        zm_ref = zp_ref = None
-    W = z_ref.shape[-1]
+    Wt = z_ref.shape[-1]
     clx, cly, clz = cell_len
     flags = jnp.zeros((), jnp.int32)
 
     n_chunks = ny // cy
     for ci in range(n_chunks):
         y0 = ci * cy
+        A = z_ref[0, y0 : y0 + cy, :, :]
         if stage == "x":
-            A = z_ref[0, y0 : y0 + cy, :, :]
+            # candidate rows = global lane shifts by +-cap, assembled
+            # from the neighbor tiles' edge segments (periodic wrap
+            # rides the mod index maps)
+            lseg = lf_ref[0, y0 : y0 + cy, :, Wt - cap :]
+            rseg = rt_ref[0, y0 : y0 + cy, :, :cap]
             cands = [
-                (1, jnp.roll(A, cap, axis=-1)),
+                (1, jnp.concatenate([lseg, A[:, :, : Wt - cap]], axis=-1)),
                 (0, A),
-                (-1, jnp.roll(A, -cap, axis=-1)),
+                (-1, jnp.concatenate([A[:, :, cap:], rseg], axis=-1)),
             ]
             merged, over, far = _merge_stage(cands, 0, clx, cap, out_dtype)
         elif stage == "y":
@@ -224,7 +236,7 @@ def _rebin_kernel(
         else:  # z
             cands = [
                 (1, zm_ref[0, y0 : y0 + cy, :, :]),
-                (0, z_ref[0, y0 : y0 + cy, :, :]),
+                (0, A),
                 (-1, zp_ref[0, y0 : y0 + cy, :, :]),
             ]
             merged, over, far = _merge_stage(cands, 2, clz, cap, out_dtype)
@@ -233,7 +245,7 @@ def _rebin_kernel(
             # final stage: empty slots get the sentinel y-local
             valid = merged[:, 3:4, :] > 0.5
             ysent = SENTINEL_SCALE * (
-                1.0 + _lane_mod((1, 1, W), cap).astype(out_dtype)
+                1.0 + _lane_mod((1, 1, Wt), cap).astype(out_dtype)
             )
             ycol = (
                 jax.lax.broadcasted_iota(jnp.int32, (1, NCOL, 1), 1) == 1
@@ -243,14 +255,21 @@ def _rebin_kernel(
             )
         out_ref[0, y0 : y0 + cy, :, :] = merged
     # flag tile in VMEM (SMEM outputs of this shape are not
-    # lowerable); caller reduces with any()
-    ovf_ref[...] = jnp.full((1, 8, 128), flags)
+    # lowerable); all x-tiles of a z-plane revisit the same block --
+    # initialize at t == 0, then max-accumulate
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        ovf_ref[...] = jnp.zeros((1, 8, 128), jnp.int32)
+
+    ovf_ref[...] = jnp.maximum(ovf_ref[...], jnp.full((1, 8, 128), flags))
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "dims", "cap", "cell_len", "sentinel", "interpret", "cy",
+        "dims", "cap", "cell_len", "sentinel", "interpret", "cy", "wt",
     ),
 )
 def rebin_shift_pallas(
@@ -262,6 +281,7 @@ def rebin_shift_pallas(
     sentinel: bool,
     interpret: bool = False,
     cy: int = 0,
+    wt: int = 0,
 ):
     """3-stage (x, then y, then z) shift-merge rebin of the 11-column
     state stack.  Bit-identical output to ops/rmm.py:_rebin_shift.
@@ -276,13 +296,28 @@ def rebin_shift_pallas(
         # VMEM with the chunk SIZE
         cy = max(c for c in range(1, min(ny, 20) + 1) if ny % c == 0)
     assert ny % cy == 0, (ny, cy)
+    if wt <= 0:
+        # widest x-tile <= 768 lanes that keeps tiles register- and
+        # cell-aligned; Mosaic compile time grows superlinearly with
+        # the op width, runtime does not care at these sizes
+        align = 128 if W % 128 == 0 else cap
+        cands = [w for w in range(align, W + 1, align)
+                 if W % w == 0 and w % cap == 0 and w <= 768]
+        wt = max(cands) if cands else W
+    assert W % wt == 0 and wt % cap == 0, (W, wt, cap)
+    nxt = W // wt
     if not interpret:
-        assert W % 128 == 0
+        assert wt % 128 == 0
     out_dtype = big.dtype
     cl = tuple(float(c) for c in cell_len)
 
-    plane = pl.BlockSpec((1, ny, NCOL, W), lambda z: (z, 0, 0, 0))
-    ovf_spec = pl.BlockSpec((1, 8, 128), lambda z: (z, 0, 0))
+    def tile(dz=0, dt=0):
+        return pl.BlockSpec(
+            (1, ny, NCOL, wt),
+            lambda z, t: ((z + dz) % nz, 0, 0, (t + dt) % nxt),
+        )
+
+    ovf_spec = pl.BlockSpec((1, 8, 128), lambda z, t: (z, 0, 0))
     out_shape = [
         jax.ShapeDtypeStruct((nz, ny, NCOL, W), out_dtype),
         jax.ShapeDtypeStruct((nz, 8, 128), jnp.int32),
@@ -297,19 +332,19 @@ def rebin_shift_pallas(
             functools.partial(
                 _rebin_kernel, stage=stage, sentinel=sent, **common
             ),
-            grid=(nz,),
+            grid=(nz, nxt),
             in_specs=specs,
-            out_specs=[plane, ovf_spec],
+            out_specs=[tile(), ovf_spec],
             out_shape=out_shape,
             compiler_params=params,
             interpret=interpret,
         )(*operands)
 
-    sx, ovx = call("x", [plane], [big])
-    sy, ovy = call("y", [plane], [sx])
-    zm = pl.BlockSpec((1, ny, NCOL, W), lambda z: ((z - 1) % nz, 0, 0, 0))
-    zp = pl.BlockSpec((1, ny, NCOL, W), lambda z: ((z + 1) % nz, 0, 0, 0))
-    sz, ovz = call("z", [zm, plane, zp], [sy, sy, sy], sent=sentinel)
+    sx, ovx = call("x", [tile(dt=-1), tile(), tile(dt=1)], [big, big, big])
+    sy, ovy = call("y", [tile()], [sx])
+    sz, ovz = call(
+        "z", [tile(dz=-1), tile(), tile(dz=1)], [sy, sy, sy], sent=sentinel
+    )
     overflow = (
         jnp.any(ovx[:, 0, 0] > 0)
         | jnp.any(ovy[:, 0, 0] > 0)

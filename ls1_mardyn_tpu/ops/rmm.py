@@ -184,12 +184,14 @@ class RMMSimulation:
         self._rebin_shift_jit = jax.jit(self._rebin_shift)
         self._rebin_shift_pl_jit = jax.jit(self._rebin_shift_pl)
         # the Pallas concentrator rebin needs power-of-2 cap and
-        # 128-aligned lane rows; cy must divide ny
+        # 128-aligned lane rows (interpret mode keeps the lax.sort
+        # variant: per-op interpretation of the butterfly is slow on
+        # CPU and both paths are bit-identical anyway)
         nxd, nyd, nzd = spec.dims
         self.rebin_pl = (
-            spec.cap & (spec.cap - 1) == 0
+            not interpret
+            and spec.cap & (spec.cap - 1) == 0
             and (nxd * spec.cap) % 128 == 0
-            and nyd % 4 == 0
         )
         self._forces_jit = jax.jit(self._forces)
         self.state: RMMState = None
@@ -736,10 +738,18 @@ class RMMSimulation:
         last_full = None
         for i in range(steps):
             if self._k and (self._k % self.rebin_every == 0):
-                # shift-merge rebin (3-stage nearest-neighbor); the
-                # rare overflow (cell full / skin violated) falls back
-                # to the general global-sort rebin on the SAME state
-                st2, ovf = self._rebin_shift_jit(self.state)
+                # shift-merge rebin (3-stage nearest-neighbor): the
+                # Pallas concentrator kernel where the layout admits it
+                # (bit-identical to the lax.sort variant, measured 72
+                # vs 104 ms at N=4.2M, tools/ab_rebin.py); the rare
+                # overflow (cell full / skin violated) falls back to
+                # the general global-sort rebin on the SAME state
+                shift_fn = (
+                    self._rebin_shift_pl_jit
+                    if self.rebin_pl
+                    else self._rebin_shift_jit
+                )
+                st2, ovf = shift_fn(self.state)
                 if bool(ovf):
                     st2, ovf = self._rebin_jit(self.state)
                 self.state = st2

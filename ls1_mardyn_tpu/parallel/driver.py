@@ -554,6 +554,30 @@ class ParallelMDSimulation:
         f = self._gathered_forces()
         return None if f is None else f.F
 
+    def _export_phasespace(self):
+        """Gathered device state -> PhaseSpaceData (the MDSimulation
+        contract; used by plugins that serialize whole scenes, e.g.
+        MPICheckpointWriter's reference-format .dat files)."""
+        from ls1_mardyn_tpu.io.ascii_reader import PhaseSpaceData
+
+        mol = self._gathered_mol()
+        valid = np.asarray(mol.valid)
+        return PhaseSpaceData(
+            components=self.table.components,
+            mixing_xi=self.table.mixing_xi,
+            mixing_eta=self.table.mixing_eta,
+            eps_rf=self.table.eps_rf,
+            box=np.asarray(self.box),
+            temperature=self.config.temperature,
+            current_time=self.time,
+            mid=np.asarray(mol.mid)[valid].astype(np.int64),
+            cid=np.asarray(mol.cid)[valid],
+            r=np.asarray(mol.r)[valid],
+            v=np.asarray(mol.v)[valid],
+            q=np.asarray(mol.q)[valid],
+            L=np.asarray(mol.L)[valid],
+        )
+
     def write_checkpoint(self, path: str, binary: bool = False):
         self._flush_mol()
         self.sim.write_checkpoint(

@@ -92,14 +92,23 @@ class KDTreePrinter(PluginBase):
 
 @PluginFactory.register("MPICheckpointWriter")
 class MPICheckpointWriter(PluginBase):
-    """Parallel checkpoint writes (src/io/MPICheckpointWriter.cpp):
-    every rank contributes its slab; here the gathered binary writer."""
+    """Parallel checkpoint writes in the reference's MPICheckpointWriter
+    binary .dat format (byte layout of
+    src/io/MPICheckpointWriter.cpp:330-393: 64-byte magic header,
+    ICRVQD record stream; readable by the reference's MPI_IOReader).
+    Every rank contributes its slab in the reference; here the gathered
+    single-host write produces one bounding box."""
 
     def end_step(self, sim, step):
         if step == 0 or step % self.write_frequency:
             return
-        sim.write_checkpoint(
-            f"{self.output_prefix}-{step}.restart.dat", binary=True
+        from ls1_mardyn_tpu.io.binary_io import write_mpi_checkpoint
+
+        write_mpi_checkpoint(
+            f"{self.output_prefix}-{step}.restart.dat",
+            sim.export_phasespace()
+            if hasattr(sim, "export_phasespace")
+            else sim._export_phasespace(),
         )
 
 

@@ -66,3 +66,55 @@ def test_driver_binary_restart(tmp_path):
     assert int(sim2.mol.num_valid()) == n1
     gv = sim2.run(steps=1, print_every=0)
     assert np.isfinite(float(gv.upot))
+
+
+def test_mpi_checkpoint_format_roundtrip(tmp_path):
+    """MPICheckpointWriter .dat byte format
+    (MPICheckpointWriter.cpp:330-393): magic + 64-byte header +
+    ICRVQD/BB sections + packed uint64/float64 records; roundtrips
+    through read_mpi_checkpoint, and the header bytes match the
+    reference layout."""
+    import numpy as np
+
+    from ls1_mardyn_tpu.io.ascii_reader import PhaseSpaceData
+    from ls1_mardyn_tpu.io.binary_io import (
+        MPI_CKPT_MAGIC,
+        read_mpi_checkpoint,
+        write_mpi_checkpoint,
+    )
+    from ls1_mardyn_tpu.models.components import Component
+
+    rng = np.random.default_rng(5)
+    n = 37
+    c = Component(cid=0)
+    c.add_ljcenter(0, 0, 0, 1.0, 1.0, 1.0, 2.5, True)
+    q = rng.normal(size=(n, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    data = PhaseSpaceData(
+        components=[c], mixing_xi=np.ones((1, 1)),
+        mixing_eta=np.ones((1, 1)), eps_rf=1e10,
+        box=np.array([9.0, 10.0, 11.0]), temperature=1.0,
+        current_time=0.0,
+        mid=rng.permutation(n).astype(np.int64) + 1,
+        cid=rng.integers(0, 1, n).astype(np.int32),
+        r=rng.uniform(0, 9, (n, 3)), v=rng.normal(0, 1, (n, 3)),
+        q=q, L=rng.normal(0, 0.1, (n, 3)),
+    )
+    path = tmp_path / "ckpt.restart.dat"
+    write_mpi_checkpoint(path, data)
+    raw = path.read_bytes()
+    assert raw.startswith(MPI_CKPT_MAGIC)
+    assert raw[52:56] == np.int32(0x0A0B0C0D).tobytes()  # endianness
+    assert raw[64:71] == b"ICRVQD\0"
+    assert raw[71:74] == b"BB\0"
+    # per-molecule record = 2*uint64 + 13*double = 120 bytes
+    assert len(raw) == 64 + 7 + 3 + 8 + 64 + n * 120
+
+    back = read_mpi_checkpoint(path)
+    np.testing.assert_array_equal(back.mid, data.mid)
+    np.testing.assert_array_equal(back.cid, data.cid)
+    np.testing.assert_array_equal(back.r, data.r)
+    np.testing.assert_array_equal(back.v, data.v)
+    np.testing.assert_array_equal(back.q, data.q)
+    np.testing.assert_array_equal(back.L, data.L)
+    np.testing.assert_array_equal(back.box, data.box)
