@@ -32,19 +32,52 @@ import time
 import numpy as np
 
 
+def _occ_ok(r, L, dims, cap, headroom):
+    dims = np.asarray(dims)
+    edge = L / dims
+    c = np.clip((r / edge).astype(np.int64), 0, dims - 1)
+    idx = (c[:, 0] * dims[1] + c[:, 1]) * dims[2] + c[:, 2]
+    occ = np.bincount(idx, minlength=int(np.prod(dims)))
+    return occ.max() <= cap - headroom
+
+
 def _pick_grid(r, L, rc, cap, headroom=2):
     """Coarsest cubic grid (nx divisible by 4, edge >= rc) whose
     per-cell occupancy of the actual start state stays below cap with
     `headroom` slots to spare for drift between rebins."""
     nd_hi = int(np.floor(L / rc))  # finest grid with edge >= rc
     for nd in range(4, nd_hi + 1, 4):  # coarsest (= least work) first
-        edge = L / nd
-        c = np.clip((r / edge).astype(np.int64), 0, nd - 1)
-        idx = (c[:, 0] * nd + c[:, 1]) * nd + c[:, 2]
-        occ = np.bincount(idx, minlength=nd ** 3)
-        if occ.max() <= cap - headroom:
+        if _occ_ok(r, L, (nd, nd, nd), cap, headroom):
             return nd
     return None
+
+
+def _pick_grid3(r, L, rc, cap, headroom=2):
+    """Coarsest grid over ANISOTROPIC candidates (nx, ny, nz): kernel
+    work is n_cells * cap^2 regardless of occupancy, so fewer, fatter
+    cells win whenever the occupancy distribution admits them.  nx
+    stays a multiple of 4 (tx tiling / 128-lane rows at cap=32); y/z
+    only need edge >= rc.  Candidates are scanned in ascending
+    cell-count order, so the first admissible one is optimal under
+    the occupancy constraint."""
+    nd_hi = int(np.floor(L / rc))
+    xs = range(4, nd_hi + 1, 4)
+    yzs = range(3, nd_hi + 1)
+    cands = [
+        (nx * ny * nz, (nx, ny, nz))
+        for nx in xs for ny in yzs for nz in yzs
+        if max(ny, nz) - min(ny, nz) <= 8 and abs(ny - nx) <= 8
+        and abs(nz - nx) <= 8 and nz >= 3
+    ]
+    cands.sort()
+    min_cells = len(r) / (cap - headroom)  # coarser cannot fit at all
+    for cells, dims in cands:
+        if cells < min_cells:
+            continue
+        if _occ_ok(r, L, dims, cap, headroom):
+            return dims
+    nd = _pick_grid(r, L, rc, cap, headroom)
+    return (nd, nd, nd) if nd else None
 
 
 def main():
@@ -110,13 +143,15 @@ def main():
         skin = 0.2
         nd = max(4, int(np.floor(L / (rc + skin))))
         nd -= nd % 4
-    else:
-        nd = _pick_grid(np.asarray(data.r, np.float64) % L, L, rc, cap)
-        if nd is None:
+        dims = (nd, nd, nd)
+    if not no_equil:
+        dims = _pick_grid3(np.asarray(data.r, np.float64) % L, L, rc, cap)
+        if dims is None:
             nd = max(4, int(np.floor(L / rc)))
             nd -= nd % 4
+            dims = (nd, nd, nd)
     while True:
-        spec = CellGridSpec(dims=(nd, nd, nd), box=tuple(float(b) for b in np.asarray(box)), cap=cap)
+        spec = CellGridSpec(dims=dims, box=tuple(float(b) for b in np.asarray(box)), cap=cap)
         assert min(spec.cell_len) >= rc, (spec.cell_len, rc)
         # verlet skin: rebin cadence must keep drift under
         # (edge - rc)/2; at dt=0.002 and T=1.1 the per-step drift is
