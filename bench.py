@@ -52,7 +52,7 @@ def _pick_grid(r, L, rc, cap, headroom=2):
     return None
 
 
-def _pick_grid3(r, L, rc, cap, headroom=2):
+def _pick_grid3(r, L, rc, cap, headroom=2, skin_min=0.29):
     """Coarsest grid over ANISOTROPIC candidates (nx, ny, nz): kernel
     work is n_cells * cap^2 regardless of occupancy, so fewer, fatter
     cells win whenever the occupancy distribution admits them.  nx
@@ -60,22 +60,35 @@ def _pick_grid3(r, L, rc, cap, headroom=2):
     only need edge >= rc.  Candidates are scanned in ascending
     cell-count order, so the first admissible one is optimal under
     the occupancy constraint."""
-    nd_hi = int(np.floor(L / rc))
+    # skin_min keeps the verlet-skin rebin cadence at its cap (the
+    # driver uses rebin_every ~ skin / 0.018): a thinner edge trades
+    # kernel time for rebin time at a measured net loss (bench at
+    # (56,56,64): -7% cells, rebin 16 -> 11, net 0)
+    nd_hi = int(np.floor(L / (rc + skin_min)))
+    # all axes in multiples of 4: nx for the 128-lane rows, ny for the
+    # rebin kernel's row chunking (a prime ny degenerates the chunk
+    # loop to 1-row chunks and explodes Mosaic compile time)
     xs = range(4, nd_hi + 1, 4)
-    yzs = range(3, nd_hi + 1)
     cands = [
         (nx * ny * nz, (nx, ny, nz))
-        for nx in xs for ny in yzs for nz in yzs
+        for nx in xs for ny in xs for nz in xs
         if max(ny, nz) - min(ny, nz) <= 8 and abs(ny - nx) <= 8
-        and abs(nz - nx) <= 8 and nz >= 3
+        and abs(nz - nx) <= 8
     ]
     cands.sort()
-    min_cells = len(r) / (cap - headroom)  # coarser cannot fit at all
+    # only scan the band just below the cubic optimum: grids much
+    # coarser than that overflow on density fluctuations anyway, and
+    # every probe costs a 3N bincount pass
+    nd_cubic = _pick_grid(r, L, rc, cap, headroom)
+    hi_cells = nd_cubic ** 3 if nd_cubic else float("inf")
+    min_cells = max(len(r) / (cap - headroom), 0.8 * hi_cells)
     for cells, dims in cands:
-        if cells < min_cells:
+        if cells < min_cells or cells >= hi_cells:
             continue
         if _occ_ok(r, L, dims, cap, headroom):
             return dims
+    if nd_cubic:
+        return (nd_cubic, nd_cubic, nd_cubic)
     nd = _pick_grid(r, L, rc, cap, headroom)
     return (nd, nd, nd) if nd else None
 

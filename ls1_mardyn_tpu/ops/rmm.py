@@ -192,6 +192,11 @@ class RMMSimulation:
             not interpret
             and spec.cap & (spec.cap - 1) == 0
             and (nxd * spec.cap) % 128 == 0
+            # a decent row chunk must exist: tiny divisors of ny
+            # degenerate the rebin kernel's unrolled chunk loop and
+            # explode Mosaic compile time
+            and max(c for c in range(1, min(nyd, 20) + 1)
+                    if nyd % c == 0) >= 4
         )
         self._forces_jit = jax.jit(self._forces)
         self.state: RMMState = None

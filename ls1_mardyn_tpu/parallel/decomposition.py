@@ -51,7 +51,11 @@ from ls1_mardyn_tpu.ops.integrator import (
     upd_pre_force,
     upd_pre_force_kahan,
 )
-from ls1_mardyn_tpu.ops.pallas_lj import HX, lj_cell_forces_pallas
+from ls1_mardyn_tpu.ops.pallas_lj import (
+    HX,
+    lj_cell_forces_pallas,
+    lj_cell_forces_pallas_cw,
+)
 from ls1_mardyn_tpu.ops.thermostat import apply_velocity_scaling
 from ls1_mardyn_tpu.state import Macroscopic, MoleculeState
 
@@ -81,6 +85,15 @@ class SlabConfig:
     interpret: bool = False
     upot_corr: float = 0.0
     virial_corr: float = 0.0
+    # cell-window kernel for the 1CLJ path (lj_cell_forces_pallas_cw,
+    # cell-LOCAL coordinates): per-cell 4-cell j windows with no
+    # coordinate matmuls -- measured ~4x faster than the row kernel on
+    # TPU under the package-wide exact-f32 matmul setting, and exact
+    # halo arithmetic (no +-L shifts: cell-local periodicity is integer
+    # cell math).  Requires UNIFORM z rows (the load-balanced
+    # non-uniform-edge mode falls back to the row kernel), nx % tx == 0,
+    # nx >= 4, ny >= 3, (4*cap) % 128 == 0, cell edges >= rc.
+    cw_eligible: bool = False
     # multi-site mode: hashable kernel metadata (ops/pallas_multisite
     # _MSMeta); None selects the 1CLJ kernel
     ms_meta: object = None
@@ -258,6 +271,30 @@ class SlabSimulation:
                 check_vma=False,
             )
         )
+        if cfg.cw_eligible:
+            # cell-window variants (uniform z rows only; selected by
+            # _step_sharded/_force_sharded when no explicit non-uniform
+            # edge table is in play)
+            self._step_sharded_cw = jax.jit(
+                jax.shard_map(
+                    functools.partial(self._device_step, use_cw=True),
+                    mesh=self.mesh,
+                    in_specs=(P(AXIS), P(AXIS), P(), P()),
+                    out_specs=(P(AXIS), P(AXIS), P(), P(), P(AXIS)),
+                    check_vma=False,
+                )
+            )
+            self._force_sharded_cw = jax.jit(
+                jax.shard_map(
+                    functools.partial(
+                        self._device_forces_entry, use_cw=True
+                    ),
+                    mesh=self.mesh,
+                    in_specs=(P(AXIS), P()),
+                    out_specs=(P(AXIS), P(), P(), P(), P()),
+                    check_vma=False,
+                )
+            )
 
     # compat wrappers (the 4-/5-tuple API predates load balancing)
     def make_aux(self, FM):
@@ -269,6 +306,12 @@ class SlabSimulation:
         return dict(F=F, M=M, rcomp=z, vcomp=z)
 
     def _step_sharded(self, mol, FM, z_edges=None, step=0):
+        if z_edges is None and self.cfg.cw_eligible:
+            mol, aux, gv, ovf, _n = self._step_sharded_cw(
+                mol, self.make_aux(FM), self._edges_default,
+                jnp.asarray(step, jnp.int32),
+            )
+            return mol, aux, gv, ovf
         e = self._edges_default if z_edges is None else z_edges
         mol, aux, gv, ovf, _nloc = self._step_sharded_lb(
             mol, self.make_aux(FM), e, jnp.asarray(step, jnp.int32)
@@ -276,6 +319,8 @@ class SlabSimulation:
         return mol, (aux["F"], aux["M"]), gv, ovf
 
     def _force_sharded(self, mol, z_edges=None):
+        if z_edges is None and self.cfg.cw_eligible:
+            return self._force_sharded_cw(mol, self._edges_default)
         e = self._edges_default if z_edges is None else z_edges
         return self._force_sharded_lb(mol, e)
 
@@ -618,12 +663,124 @@ class SlabSimulation:
         r_i = jnp.moveaxis(g, -1, 2)
         return r_i, r_j, bins
 
-    def _device_forces(self, mol: MoleculeState, z_edges: jnp.ndarray):
+    def _local_views_cw(self, mol: MoleculeState, z_edges: jnp.ndarray):
+        """Cell-LOCAL kernel views for the cell-window 1CLJ path.
+
+        Same binning as _local_views, but coordinates are stored
+        relative to their cell's origin: the f32 representation keeps
+        ~1e-7 absolute precision regardless of box size, and ALL halo
+        copies (x wrap and the ppermuted z boundary planes, including
+        the periodic z link) are plain copies -- cell-local
+        periodicity is exact integer cell arithmetic, so the +-L
+        shifts of the absolute-coordinate path (and their f32
+        rounding) disappear.  Requires uniform z rows (the kernel's
+        fixed clz offsets); the caller guarantees that by only
+        selecting this path when no non-uniform edge table is in
+        play."""
+        cfg = self.cfg
+        spec = cfg.local_spec
+        rank = self._rank()
+        Pn = cfg.n_devices
+        dtype = mol.r.dtype
+        nx, ny, nzl, cap = cfg.nx, cfg.ny, cfg.nz_local, cfg.cap
+        clx = jnp.asarray(cfg.box[0] / nx, dtype)
+        cly = jnp.asarray(cfg.box[1] / ny, dtype)
+        clz = jnp.asarray(cfg.box[2] / (Pn * nzl), dtype)
+        cx = jnp.clip(
+            jnp.floor(mol.r[:, 0] / clx).astype(jnp.int32), 0, nx - 1
+        )
+        cy = jnp.clip(
+            jnp.floor(mol.r[:, 1] / cly).astype(jnp.int32), 0, ny - 1
+        )
+        # uniform rows: the device's z origin is rank * nzl * clz
+        z0 = rank.astype(dtype) * nzl * clz
+        cz = jnp.clip(
+            jnp.floor((mol.r[:, 2] - z0) / clz).astype(jnp.int32),
+            0, nzl - 1,
+        )
+        from ls1_mardyn_tpu.ops.cells import bin_by_id
+
+        cell = (cz * ny + cy) * nx + cx
+        bins = bin_by_id(cell, mol.valid, spec)
+        idx = bins.slots.reshape(nzl, ny, nx * cap)
+        safe = jnp.clip(idx, 0, mol.capacity - 1)
+        ok = (idx >= 0) & mol.valid[safe]
+        pack = self._pack_planes(mol)
+        P4 = pack.shape[1]
+        g = jnp.where(ok[..., None], pack[safe], 0.0)
+        # absolute -> cell-local: subtract each slot's cell origin
+        # (invalid slots keep garbage locals; the kernel masks them via
+        # the validity plane)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (nx * cap,), 0)
+        ox = (lanes // cap).astype(dtype) * clx          # [lanes]
+        oy = jnp.arange(ny, dtype=dtype) * cly           # [ny]
+        oz = z0 + jnp.arange(nzl, dtype=dtype) * clz     # [nzl]
+        origin = (
+            jnp.zeros((nzl, ny, nx * cap, P4), dtype)
+            .at[:, :, :, 0].set(ox[None, None, :])
+            .at[:, :, :, 1].set(oy[None, :, None])
+            .at[:, :, :, 2].set(oz[:, None, None])
+        )
+        g = g - jnp.where(ok[..., None], origin, 0.0)
+
+        # x halo: 1 left + 3 right periodic cells, PLAIN copies
+        gj = jnp.concatenate(
+            [g[:, :, (nx - 1) * cap :, :], g, g[:, :, : 3 * cap, :]],
+            axis=2,
+        )
+        # z halo: plain copies from the neighbors (no periodic shift)
+        perm_up = [(i, (i + 1) % Pn) for i in range(Pn)]
+        perm_dn = [(i, (i - 1) % Pn) for i in range(Pn)]
+        halo_below = jax.lax.ppermute(gj[-1:], AXIS, perm_up)
+        halo_above = jax.lax.ppermute(gj[:1], AXIS, perm_dn)
+        r_j = jnp.moveaxis(
+            jnp.concatenate([halo_below, gj, halo_above], axis=0), -1, 2
+        )  # [nzl+2, ny, 4, (nx+4)*cap]
+        r_i = jnp.moveaxis(g, -1, 2)
+        return r_i, r_j, bins
+
+    def _device_forces(
+        self, mol: MoleculeState, z_edges: jnp.ndarray, use_cw=False
+    ):
         """Returns (F, M, macro_partials(u6, uX, myRF, vir), overflow)."""
         cfg = self.cfg
-        r_i, r_j, bins = self._local_views(mol, z_edges)
         dtype = mol.r.dtype
         zero = jnp.zeros((), dtype)
+        if cfg.ms_meta is None and use_cw:
+            r_i, r_j, bins = self._local_views_cw(mol, z_edges)
+            f, u6, vir = lj_cell_forces_pallas_cw(
+                r_i,
+                r_j,
+                nx=cfg.nx,
+                ny=cfg.ny,
+                nz=cfg.nz_local,
+                cap=cfg.cap,
+                tx=cfg.tx,
+                # the kernel derives cell edges from box/dims: pass the
+                # LOCAL slab height so clz is the global cell height
+                box=(cfg.box[0], cfg.box[1], cfg.box[2] / cfg.n_devices),
+                eps24=cfg.eps24,
+                sig2=cfg.sig2,
+                shift6=cfg.shift6,
+                rc2=cfg.rc2,
+                interpret=cfg.interpret,
+                z_halo=True,
+                compute_macro=True,
+                sentinel=False,
+                fast_recip=not cfg.interpret,
+            )
+            fxyz = jnp.moveaxis(f[:, :, :3, :], 2, -1).reshape(-1, 3)
+            src = jnp.clip(bins.slot_of, 0, fxyz.shape[0] - 1)
+            F = jnp.where(mol.valid[:, None], fxyz[src], 0.0)
+            M = jnp.zeros_like(F)
+            uX = zero
+            for fn in self.extra_force_fns:
+                u_x, F_x, M_x = fn(mol, self.pp)
+                F = F + F_x
+                M = M + M_x
+                uX = uX + u_x
+            return F, M, (u6, uX, zero, vir), bins.overflow
+        r_i, r_j, bins = self._local_views(mol, z_edges)
         if cfg.ms_meta is None:
             f, u6, vir = lj_cell_forces_pallas(
                 r_i,
@@ -711,8 +868,12 @@ class SlabSimulation:
             uX = uX + u_x
         return F, M, (u6, uX, my_rf, vir), bins.overflow
 
-    def _device_forces_entry(self, mol: MoleculeState, z_edges: jnp.ndarray):
-        F, M, (u6, uX, my_rf, vir), _ovf = self._device_forces(mol, z_edges)
+    def _device_forces_entry(
+        self, mol: MoleculeState, z_edges: jnp.ndarray, use_cw=False
+    ):
+        F, M, (u6, uX, my_rf, vir), _ovf = self._device_forces(
+            mol, z_edges, use_cw=use_cw
+        )
         u6g, uXg, rfg, virg = jax.lax.psum(
             jnp.stack([u6, uX, my_rf, vir]), AXIS
         )
@@ -720,7 +881,7 @@ class SlabSimulation:
 
     def _device_step(
         self, mol: MoleculeState, aux,
-        z_edges: jnp.ndarray, step: jnp.ndarray
+        z_edges: jnp.ndarray, step: jnp.ndarray, use_cw=False
     ):
         """aux: dict(F, M, rcomp, vcomp) -- previous forces plus the
         Kahan compensation state of the compensated f32 integration
@@ -753,7 +914,7 @@ class SlabSimulation:
             mol, dev_bounds, rcomp, vcomp
         )
         F, M, (u6, uX, my_rf, vir), bin_overflow = self._device_forces(
-            mol, z_edges
+            mol, z_edges, use_cw=use_cw
         )
         forces = Forces(F=F, M=M, Vi=zeros3)
         mol, mv2, iw2, vcomp = upd_post_force_kahan(

@@ -397,12 +397,25 @@ class ParallelMDSimulation:
                     f"muVT slab decomposition needs >= {n_devices} z "
                     f"cell rows (box has {dims[2]})"
                 )
+            rc = float(config.cutoff)
+            cw_ok = (
+                is_1clj
+                and not interpret
+                and (4 * cap) % 128 == 0
+                and (tx * cap) % 128 == 0
+                and nx % tx == 0
+                and nx >= 4
+                and ny >= 3
+                and min(self.box[0] / nx, self.box[1] / ny,
+                        self.box[2] / nz) >= rc
+            )
             slab_cfg = SlabConfig(
                 n_devices=n_devices,
                 nz_local=nz // n_devices,
                 ny=ny,
                 nx=nx,
                 tx=tx,
+                cw_eligible=cw_ok,
                 temp_control_regions=tuple(
                     base.engine.config.temp_control_regions
                 ),

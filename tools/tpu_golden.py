@@ -157,6 +157,8 @@ def phase_device(quick: bool):
     )
 
     def variant_forces(name):
+        sim.cw = name in ("cw", "cwn3l")
+        sim.cwn3l = name == "cwn3l"
         sim.zb = name in ("zb", "gram")
         sim.zb_gram = name == "gram"
         sim.n3l = name == "n3l"
@@ -177,7 +179,7 @@ def phase_device(quick: bool):
         # as Macroscopic: upot = u6/6, total_virial = vir)
         return order, ff[valid], float(u6) / 6.0, float(vir)
 
-    variants = ["row", "lanej", "zb", "gram", "n3l"]
+    variants = ["cwn3l", "cw", "row", "lanej", "zb", "gram", "n3l"]
     order0 = None
     for v in variants:
         try:
