@@ -540,20 +540,13 @@ class MDSimulation:
         self.gc = None
         if config.ensemble_type == "muVT":
             from ls1_mardyn_tpu.ensemble.grand_canonical import (
-                ChemicalPotential,
                 GrandCanonicalEnsemble,
+                _build_chemical_potentials,
             )
 
-            cps = []
-            for spec_ in config.chemical_potentials:
-                p_ = spec_.params
-                cps.append(
-                    ChemicalPotential(
-                        mu=float(p_.get("mu", 0.0)),
-                        component=int(p_.get("cid", 1)) - 1,
-                        interval=int(float(p_.get("interval", 100))),
-                    )
-                )
+            cps = _build_chemical_potentials(
+                config.chemical_potentials, np.asarray(self.box)
+            )
             self.gc = GrandCanonicalEnsemble(
                 cps, config.temperature, self.box
             )

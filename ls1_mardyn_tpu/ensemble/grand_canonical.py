@@ -260,3 +260,44 @@ class GrandCanonicalEnsemble:
             body, (mol, jnp.int32(0), jnp.int32(0), jnp.int32(0)), keys
         )
         return mol, jnp.int32(nd + ni), a_del, a_ins
+
+def _build_chemical_potentials(specs, box):
+    """XML <chemicalpotential> blocks -> ChemicalPotential list with
+    the reference's full semantics: per-component mu, cycle interval,
+    trial-instance counts (ChemicalPotential.h:23,101 _instances) and
+    an optional restricted control volume (setControlVolume role,
+    ChemicalPotential.cpp; nested <control><lower>/<upper> x/y/z)."""
+    import numpy as _np
+
+    from ls1_mardyn_tpu.ensemble.grand_canonical import ChemicalPotential
+
+    cps = []
+    for spec_ in specs:
+        p_ = spec_.params
+        inst = int(float(p_.get("instances", 1)))
+        lo = hi = None
+        ctl = p_.get("control")
+        if isinstance(ctl, dict):
+            low, up = ctl.get("lower"), ctl.get("upper")
+            if isinstance(low, dict):
+                lo = _np.array([float(low.get(a, 0.0)) for a in "xyz"])
+            if isinstance(up, dict):
+                hi = _np.array(
+                    [float(up.get(a, b)) for a, b in zip("xyz", box)]
+                )
+        cps.append(
+            ChemicalPotential(
+                mu=float(p_.get("mu", 0.0)),
+                component=int(p_.get("cid", p_.get("componentid", 1))) - 1,
+                interval=int(float(p_.get("interval", 100))),
+                insertions_per_interval=int(
+                    float(p_.get("insertions", inst))
+                ),
+                deletions_per_interval=int(
+                    float(p_.get("deletions", inst))
+                ),
+                control_lower=lo,
+                control_upper=hi,
+            )
+        )
+    return cps

@@ -201,20 +201,13 @@ class ParallelMDSimulation:
                     "device count or enlarge the box)"
                 )
             from ls1_mardyn_tpu.ensemble.grand_canonical import (
-                ChemicalPotential,
+                _build_chemical_potentials,
             )
             from ls1_mardyn_tpu.parallel.gcmc import SlabGrandCanonical
 
-            cps = []
-            for spec_ in config.chemical_potentials:
-                p_ = spec_.params
-                cps.append(
-                    ChemicalPotential(
-                        mu=float(p_.get("mu", 0.0)),
-                        component=int(p_.get("cid", 1)) - 1,
-                        interval=int(float(p_.get("interval", 100))),
-                    )
-                )
+            cps = _build_chemical_potentials(
+                config.chemical_potentials, np.asarray(self.box)
+            )
             self.gc = SlabGrandCanonical(
                 self.sim, cps, config.temperature or base.engine.config.target_temperature
             )

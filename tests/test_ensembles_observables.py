@@ -182,3 +182,48 @@ def test_muvt_driver_reserves_insertion_slots(tmp_path, monkeypatch):
     assert np.isfinite(float(gv.upot))
     # generous mu drives insertions: N must have been able to grow
     assert int(float(gv.n)) >= n
+
+
+def test_chemical_potential_xml_full_semantics(tmp_path):
+    """<chemicalpotential> carries the reference's full parameter set:
+    trial-instance counts (ChemicalPotential.h:23,101 _instances) and a
+    restricted control volume (setControlVolume); insertions must land
+    inside it and deletions must only pick molecules inside it."""
+    import xml.etree.ElementTree as ET
+
+    from ls1_mardyn_tpu.ensemble.grand_canonical import (
+        _build_chemical_potentials,
+    )
+    from ls1_mardyn_tpu.io.xml_config import PluginSpec, _params_dict
+
+    el = ET.fromstring(
+        """<chemicalpotential><mu>1.0</mu><cid>1</cid>
+        <interval>2</interval><instances>3</instances>
+        <control><lower><x>0</x><y>0</y><z>0</z></lower>
+        <upper><x>4</x><y>8</y><z>8</z></upper></control>
+        </chemicalpotential>"""
+    )
+    spec = PluginSpec("ChemicalPotential", _params_dict(el))
+    (cp,) = _build_chemical_potentials([spec], np.array([8.0, 8.0, 8.0]))
+    assert cp.mu == 1.0 and cp.component == 0 and cp.interval == 2
+    assert cp.insertions_per_interval == 3
+    assert cp.deletions_per_interval == 3
+    np.testing.assert_allclose(cp.control_lower, [0, 0, 0])
+    np.testing.assert_allclose(cp.control_upper, [4, 8, 8])
+
+    mol, pp, table, box, T = _fluid(n=100, rho=0.2)
+    cp2 = ChemicalPotential(
+        mu=8.0, component=0, interval=1,
+        insertions_per_interval=6, deletions_per_interval=0,
+        control_lower=np.zeros(3),
+        control_upper=np.array([0.25, 1.0, 1.0]) * np.asarray(box),
+    )
+    gc = GrandCanonicalEnsemble([cp2], T, np.asarray(box), seed=11)
+    m = mol
+    pre = np.asarray(mol.valid).copy()
+    for s in range(1, 8):
+        m = gc.step(m, pp, s)
+    assert gc.accepted_ins > 0
+    new = np.asarray(m.valid) & ~pre
+    # every inserted molecule is inside the control volume
+    assert np.all(np.asarray(m.r)[new, 0] <= 0.25 * float(box[0]) + 1e-9)
