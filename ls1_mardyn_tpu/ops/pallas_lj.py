@@ -1646,6 +1646,7 @@ def _lj_cwn3l_kernel(
     gsub: int,
     prefix: int,
     skip_tail: bool,
+    pack: bool,
     ablate: str,
     Pw: int,
     out_dtype,
@@ -1708,12 +1709,21 @@ def _lj_cwn3l_kernel(
         i_ref, j0_ref, jp_ref, occ_ref = refs[:4]
         f_ref, up_ref = refs[4:6]
         oi_ref, ft_ref, sown_ref, sup_ref = refs[6:]
+        spk_ref = None
+    elif pack:
+        i_ref, j0_ref, jp_ref = refs[:3]
+        f_ref, up_ref = refs[3:5]
+        oi_ref, spk_ref = refs[5:]
+        occ_ref = None
+        ft_ref = None
+        sown_ref = sup_ref = None
     else:
         i_ref, j0_ref, jp_ref = refs[:3]
         f_ref, up_ref = refs[3:5]
         oi_ref, sown_ref, sup_ref = refs[5:]
         occ_ref = None
         ft_ref = None
+        spk_ref = None
     TAIL = 8
     tail_n = (cap - prefix) // TAIL
     _bx, by, bz = box
@@ -1744,9 +1754,79 @@ def _lj_cwn3l_kernel(
     # offsets evaluated: index 0 is the center (forward-x) row
     offs = [(0, 0), (0, 1), (1, -1), (1, 0), (1, 1)]
 
+    # packed-window mode: the 5 row windows hold only 14 in-cutoff
+    # cells (rows 1-4 never reach their 4th window cell x+2 because the
+    # cell edge >= rc, and the center row only needs {x fwd-half, x+1}).
+    # Re-pack those 14 cells into 4 fully dense 128-lane chunks (2 pad
+    # cells), so the pair loop runs 4x128 aligned lanes per i slot
+    # instead of 5x128 -- a 20% structural cut with every inner-loop op
+    # still 128-aligned (the only pruning class that has beaten the
+    # dense kernel in this tree's A/B history; cf. the packed-pencil
+    # and occupancy-skip dead ends above).
+    if pack:
+        assert cap == 32 and gw == 128 and txc == 128 and not skip_tail
+        PKW = 4 * gw
+        n_tiles_pk = nx // tx
+        # chunk pieces: (row index k, first window cell, n cells);
+        # None = 2-cell pad block (x coordinate BIGPAD -> dr2 >> rc2)
+        CHD = [
+            [(0, 1, 2), (1, 0, 2)],
+            [(1, 2, 1), (2, 0, 3)],
+            [(3, 0, 3), (4, 0, 1)],
+            [(4, 1, 2), None],
+        ]
+        BIGPAD = 1e6
+        # per-lane (wcell, dy, dz) offset values per chunk, as python
+        # float lists per cap-block (pallas forbids captured constant
+        # arrays, so the vectors are built from the lane iota below)
+        xv = [[0.0] * 4 for _ in range(4)]
+        yv = [[0.0] * 4 for _ in range(4)]
+        zv = [[0.0] * 4 for _ in range(4)]
+        for ci, pieces in enumerate(CHD):
+            pos = 0
+            for p in pieces:
+                if p is None:
+                    pos += 2
+                    continue
+                k, clo, ncl = p
+                dz_k, dy_k = offs[k]
+                for b in range(ncl):
+                    xv[ci][pos] = (1 - (clo + b)) * clx
+                    yv[ci][pos] = dy_k * cly
+                    zv[ci][pos] = dz_k * clz
+                    pos += 1
+
+        def _mkvec(vals):
+            v = jnp.zeros((1, gw), out_dtype)
+            for b, val in enumerate(vals):
+                if val:
+                    v = jnp.where(
+                        wcell == b, jnp.asarray(val, out_dtype), v
+                    )
+            return v
+
+        xoffc = [_mkvec(xv[ci]) for ci in range(4)]
+        yoffc = [_mkvec(yv[ci]) for ci in range(4)]
+        zoffc = [_mkvec(zv[ci]) for ci in range(4)]
+        pad_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (NPLANE, 2 * cap), 0
+        )
+        pad_blk = jnp.where(
+            pad_iota == 0, jnp.asarray(BIGPAD, out_dtype),
+            jnp.asarray(0.0, out_dtype),
+        )
+        # chunk 0's first cap lanes are the i cell itself (j slot
+        # strictly greater under N3L); the rest of the chunk is plain
+        fwd_pk = (wcell >= 1) | (lgw % cap > sgw)
+
     if "nojf" not in ablate:
-        sown_ref[...] = jnp.zeros((tx, ny, NPLANE, Pw), out_dtype)
-        sup_ref[...] = jnp.zeros((tx, ny, NPLANE, Pw), out_dtype)
+        if pack:
+            spk_ref[...] = jnp.zeros(
+                (tx, ny, NPLANE, n_tiles_pk * PKW), out_dtype
+            )
+        else:
+            sown_ref[...] = jnp.zeros((tx, ny, NPLANE, Pw), out_dtype)
+            sup_ref[...] = jnp.zeros((tx, ny, NPLANE, Pw), out_dtype)
     oi_ref[...] = jnp.zeros((ny, NPLANE, nx * cap), out_dtype)
 
     def yloop(y, _):
@@ -1777,21 +1857,44 @@ def _lj_cwn3l_kernel(
                 # y/z row shifts into the j coordinates here (1 op per
                 # j-lane per row, amortized over the cap i-sublanes --
                 # saves one [csub, gw] op per pair block)
-                rows = []
-                for k, (dz, dy) in enumerate(offs):
-                    jref = j0_ref if dz == 0 else jp_ref
-                    yj_row = (y + dy) % ny
-                    if "staty" in ablate:
-                        # ablation: static row index (PHYSICS-WRONG);
-                        # attributes the dynamic-index load cost
-                        yw = k
-                    else:
-                        yw = yj_row
-                    Hw = jref[g, 0, yw, :, pl.ds(off, gw)]  # [4, gw]
-                    xjr = Hw[0:1] - xoff
-                    yjr = Hw[1:2] + jnp.asarray(dy * cly, out_dtype)
-                    zjr = Hw[2:3] + jnp.asarray(dz * clz, out_dtype)
-                    rows.append((k, dz, dy, yw, Hw, xjr, yjr, zjr))
+                if pack:
+                    raw = []
+                    for k, (dz, dy) in enumerate(offs):
+                        jref = j0_ref if dz == 0 else jp_ref
+                        yw = (y + dy) % ny
+                        raw.append(jref[g, 0, yw, :, pl.ds(off, gw)])
+                    rows = []
+                    for ci, pieces in enumerate(CHD):
+                        parts = []
+                        for p in pieces:
+                            if p is None:
+                                parts.append(pad_blk)
+                            else:
+                                k, clo, ncl = p
+                                parts.append(
+                                    raw[k][:, clo * cap:(clo + ncl) * cap]
+                                )
+                        Hc = jnp.concatenate(parts, axis=1)  # [4, gw]
+                        xjr = Hc[0:1] - xoffc[ci]
+                        yjr = Hc[1:2] + yoffc[ci]
+                        zjr = Hc[2:3] + zoffc[ci]
+                        rows.append((ci, 0, 0, 0, Hc, xjr, yjr, zjr))
+                else:
+                    rows = []
+                    for k, (dz, dy) in enumerate(offs):
+                        jref = j0_ref if dz == 0 else jp_ref
+                        yj_row = (y + dy) % ny
+                        if "staty" in ablate:
+                            # ablation: static row index (PHYSICS-WRONG);
+                            # attributes the dynamic-index load cost
+                            yw = k
+                        else:
+                            yw = yj_row
+                        Hw = jref[g, 0, yw, :, pl.ds(off, gw)]  # [4, gw]
+                        xjr = Hw[0:1] - xoff
+                        yjr = Hw[1:2] + jnp.asarray(dy * cly, out_dtype)
+                        zjr = Hw[2:3] + jnp.asarray(dz * clz, out_dtype)
+                        rows.append((k, dz, dy, yw, Hw, xjr, yjr, zjr))
 
                 def slab(a, csub, macro):
                     """Pair block for this group's i slots [a, a+csub)
@@ -1803,7 +1906,7 @@ def _lj_cwn3l_kernel(
                     zgs = zi[s0 + a : s0 + a + csub]
                     if not sentinel:
                         wgs = wi[s0 + a : s0 + a + csub]
-                    fwd_s = fwd_mask[a : a + csub]
+                    fwd_s = (fwd_pk if pack else fwd_mask)[a : a + csub]
                     ax = jnp.zeros((csub, gw), out_dtype)
                     ay = jnp.zeros((csub, gw), out_dtype)
                     az = jnp.zeros((csub, gw), out_dtype)
@@ -1875,9 +1978,16 @@ def _lj_cwn3l_kernel(
                                 ],
                                 axis=0,
                             )  # [4, gw]
-                            sref = sown_ref if dz == 0 else sup_ref
-                            cur = sref[g, yw, :, pl.ds(off, gw)]
-                            sref[g, yw, :, pl.ds(off, gw)] = cur + jf
+                            if pack:
+                                opk = pl.multiple_of(
+                                    t * PKW + k * gw, gw
+                                )
+                                cur = spk_ref[g, y, :, pl.ds(opk, gw)]
+                                spk_ref[g, y, :, pl.ds(opk, gw)] = cur + jf
+                            else:
+                                sref = sown_ref if dz == 0 else sup_ref
+                                cur = sref[g, yw, :, pl.ds(off, gw)]
+                                sref[g, yw, :, pl.ds(off, gw)] = cur + jf
                     fxg = jnp.sum(ax, axis=1, keepdims=True)
                     fyg = jnp.sum(ay, axis=1, keepdims=True)
                     fzg = jnp.sum(az, axis=1, keepdims=True)
@@ -1978,6 +2088,43 @@ def _lj_cwn3l_kernel(
     if "nojf" in ablate:
         f_ref[0] = oi_ref[...]
         up_ref[0] = jnp.zeros((ny, NPLANE, nx * cap), out_dtype)
+    elif pack:
+        # unfold the packed j-side scratch: each row's packed lanes are
+        # CONTIGUOUS (the chunk order is row-major), so per (group, row)
+        # pad each tile's segment to txc lanes, flatten, and
+        # circular-roll to the absolute lane origin -- the roll's
+        # wraparound IS the periodic x halo -- then roll y by dy and
+        # accumulate into the own-z / z+1 output planes.  Static ops,
+        # once per program (~2-3% of the pair-loop work).
+        segs = [
+            (0, 0, 2 * cap, 0, 0),
+            (1, 2 * cap, 3 * cap, 0, 1),
+            (2, 5 * cap, 3 * cap, 1, -1),
+            (3, 8 * cap, 3 * cap, 1, 0),
+            (4, 11 * cap, 3 * cap, 1, 1),
+        ]
+        own = jnp.zeros((ny, NPLANE, nx * cap), out_dtype)
+        upa = jnp.zeros((ny, NPLANE, nx * cap), out_dtype)
+        for g in range(tx):
+            S4 = spk_ref[g].reshape(ny, NPLANE, n_tiles_pk, PKW)
+            for k, lo, w, dzr, dyr in segs:
+                seg = S4[:, :, :, lo:lo + w]
+                blk = jnp.concatenate(
+                    [seg,
+                     jnp.zeros((ny, NPLANE, n_tiles_pk, txc - w), out_dtype)],
+                    axis=-1)
+                flat = blk.reshape(ny, NPLANE, n_tiles_pk * txc)
+                o = (g + (0 if k == 0 else -1)) * cap
+                if o:
+                    flat = jnp.roll(flat, o, axis=-1)
+                if dyr:
+                    flat = jnp.roll(flat, dyr, axis=0)
+                if dzr == 0:
+                    own = own + flat
+                else:
+                    upa = upa + flat
+        f_ref[0] = oi_ref[...] + own
+        up_ref[0] = upa
     else:
         f_ref[0] = oi_ref[...] + fold(sown_ref)
         up_ref[0] = fold(sup_ref)
@@ -1988,7 +2135,7 @@ def _lj_cwn3l_kernel(
     static_argnames=(
         "nx", "ny", "nz", "cap", "tx", "box", "eps24", "sig2", "shift6",
         "rc2", "interpret", "compute_macro", "sentinel", "fast_recip",
-        "newton", "gsub", "prefix", "skip_tail", "ablate",
+        "newton", "gsub", "prefix", "skip_tail", "pack", "ablate",
     ),
 )
 def lj_cell_forces_pallas_cwn3l(
@@ -2014,6 +2161,7 @@ def lj_cell_forces_pallas_cwn3l(
     gsub: int = 1,
     prefix: int = 0,
     skip_tail: bool = False,
+    pack: bool = False,
     ablate: str = "",
 ):
     """Newton-3rd-law cell-window variant (see _lj_cwn3l_kernel).
@@ -2042,6 +2190,11 @@ def lj_cell_forces_pallas_cwn3l(
         assert not compute_macro, "skip_tail requires compute_macro=False"
         if prefix == cap:
             skip_tail = False  # nothing to skip
+    if pack:
+        assert cap == 32 and tx * cap == 128, (
+            "pack mode needs cap=32 groups on 128-lane tiles", cap, tx)
+        assert not skip_tail, "pack and skip_tail are exclusive"
+        assert ablate in ("", "nojf"), ablate
     out_dtype = r_i.dtype
 
     Pw = (nx + max(0, 4 - tx)) * cap
@@ -2090,6 +2243,7 @@ def lj_cell_forces_pallas_cwn3l(
         gsub=gsub,
         prefix=prefix,
         skip_tail=skip_tail,
+        pack=pack,
         ablate=ablate,
         Pw=Pw,
         out_dtype=out_dtype,
@@ -2108,10 +2262,16 @@ def lj_cell_forces_pallas_cwn3l(
         scratch_shapes.append(
             pltpu.VMEM((tx * (cap - prefix), 128), out_dtype)
         )
-    scratch_shapes += [
-        pltpu.VMEM((tx, ny, NPLANE, Pw), out_dtype),
-        pltpu.VMEM((tx, ny, NPLANE, Pw), out_dtype),
-    ]
+    if pack:
+        # packed j-side scratch: 4 chunks of 4*cap lanes per i cell
+        scratch_shapes += [
+            pltpu.VMEM((tx, ny, NPLANE, (nx // tx) * 16 * cap), out_dtype),
+        ]
+    else:
+        scratch_shapes += [
+            pltpu.VMEM((tx, ny, NPLANE, Pw), out_dtype),
+            pltpu.VMEM((tx, ny, NPLANE, Pw), out_dtype),
+        ]
     out, up = pl.pallas_call(
         kernel,
         grid=(nz,),

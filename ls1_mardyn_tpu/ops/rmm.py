@@ -154,6 +154,14 @@ class RMMSimulation:
         # group-block sublane split against VPU register spills (see
         # _lj_cwn3l_kernel gsub)
         self.cw_gsub = 1
+        # packed-window mode: re-pack the 14 in-cutoff window cells of
+        # the 5 rows into 4 dense 128-lane chunks (a 20% structural
+        # pair-lane cut, every inner-loop op 128-aligned; see
+        # _lj_cwn3l_kernel pack).  Eligible at the production group
+        # geometry only (cap=32, 128-lane group rows).
+        self.cw_pack = (
+            self.cwn3l and spec.cap == 32 and self.tx * spec.cap == 128
+        )
         # occupancy skipping: cells are front-packed, so i slots past
         # the per-cell count are empty -- the kernel processes a dense
         # [cw_prefix, gw] block plus pl.when-guarded 8-sublane tail
@@ -239,6 +247,7 @@ class RMMSimulation:
                 )
                 extra["prefix"] = self.cw_prefix if skip else 0
                 extra["skip_tail"] = skip
+                extra["pack"] = self.cw_pack and not skip
                 if skip:
                     # per-cell occupancy from the validity plane (one
                     # fused reduce; validity only changes at rebin, but

@@ -238,6 +238,54 @@ def test_pallas_lj_cwn3l_matches_cw(sentinel, gsub):
     np.testing.assert_allclose(float(u6_b), float(u6_a), rtol=1e-11)
     np.testing.assert_allclose(float(vir_b), float(vir_a), rtol=1e-11)
 
+@pytest.mark.parametrize("sentinel,gsub", [(False, 1), (True, 2)])
+def test_pallas_lj_cwn3l_pack_matches_dense(sentinel, gsub):
+    """Packed-window mode (14 in-cutoff window cells re-packed into 4
+    dense 128-lane chunks) must reproduce the dense 5-row cwn3l kernel:
+    the dropped x+2 cells and the center row's backward/x+2 lanes are
+    all outside the cutoff, and the pad block's BIGPAD x coordinate
+    keeps its lanes masked."""
+    from ls1_mardyn_tpu.ops.pallas_lj import (
+        SENTINEL_SCALE,
+        lj_cell_forces_pallas_cwn3l,
+    )
+
+    nd, cap, tx = 4, 32, 4
+    nx = ny = nz = nd
+    cl = 2.8
+    box = (nd * cl, nd * cl, nd * cl)
+    rng = np.random.default_rng(17)
+    W = nx * cap
+    r = rng.uniform(0, cl, size=(nz, ny, 3, W)).astype(np.float64)
+    slot = np.arange(W) % cap
+    invalid = slot >= 20
+    if sentinel:
+        ysent = SENTINEL_SCALE * (1.0 + slot.astype(np.float64))
+        r[:, :, 1, :] = np.where(invalid[None, None], ysent, r[:, :, 1, :])
+        r[:, :, 0, :] = np.where(invalid[None, None], 0.0, r[:, :, 0, :])
+        r[:, :, 2, :] = np.where(invalid[None, None], 0.0, r[:, :, 2, :])
+    w = np.where(invalid, 0.0, 1.0)
+    r_i = jnp.asarray(
+        np.concatenate([r, np.broadcast_to(w, (nz, ny, W))[:, :, None, :]], axis=2)
+    )
+    left = r_i[:, :, :, (nx - 1) * cap:]
+    r_j = jnp.concatenate([left, r_i, r_i[:, :, :, : 3 * cap]], axis=3)
+    kw = dict(nx=nx, ny=ny, nz=nz, cap=cap, tx=tx, box=box,
+              eps24=24.0, sig2=1.0, shift6=0.1, rc2=2.5 ** 2,
+              interpret=True, compute_macro=True,
+              sentinel=sentinel, fast_recip=False)
+    out_a, u6_a, vir_a = lj_cell_forces_pallas_cwn3l(r_i, r_j, gsub=gsub, **kw)
+    out_b, u6_b, vir_b = lj_cell_forces_pallas_cwn3l(
+        r_i, r_j, gsub=gsub, pack=True, **kw
+    )
+    fa = np.asarray(out_a)[:, :, :3]
+    fb = np.asarray(out_b)[:, :, :3]
+    scale = np.abs(fa).max()
+    np.testing.assert_allclose(fb / scale, fa / scale, atol=1e-12)
+    np.testing.assert_allclose(float(u6_b), float(u6_a), rtol=1e-11)
+    np.testing.assert_allclose(float(vir_b), float(vir_a), rtol=1e-11)
+
+
 @pytest.mark.parametrize("sentinel,prefix", [(True, 16), (False, 24), (True, 8)])
 def test_pallas_lj_cwn3l_skip_tail(sentinel, prefix):
     """Occupancy skipping (dense prefix + pl.when-guarded tail slabs on
