@@ -532,10 +532,76 @@ class MDSimulation:
                     M = Mi if M is None else M + Mi
                 return u, F, M
 
-        self.engine = SingleChipSimulation(
-            self.mol, self.pp, self.box, sim_cfg, force_fn=force_fn,
-            extra_force_fn=extra,
+        # -- RMM fast path (the VCP1CLJRMM + LeapfrogRMM pipeline,
+        # /root/reference/src/Simulation.cpp:819-854): single-component
+        # 1CLJ scenes with only observer plugins run on the dense
+        # cell-layout engine (verlet-skin rebin cadence, cwn3l Pallas
+        # kernels) so the CLI hits benchmark speed -- PallasLJPath
+        # re-bins the whole system with a global sort EVERY step.
+        self.engine = None
+        rmm_scene = (
+            self.table.K == 1
+            and len(self.table.components[0].ljcenters) == 1
+            and not self.table.has_electrostatics()
+            and not self._z_edges
         )
+        rmm_ok = (
+            rmm_scene
+            # auto upgrades exactly the scenes the kernel path would
+            # have taken (the N^2-oracle scenes are too small for the
+            # dense layout to pay off); force_mode="rmm" forces it
+            and (
+                force_mode == "rmm"
+                or (force_mode == "auto" and isinstance(force_fn, PallasLJPath))
+            )
+            and extra is None
+            and config.ensemble_type != "muVT"
+            and sim_cfg.component_thermostat is None
+            and not sim_cfg.temp_control_regions
+            and n > 0
+            and all(
+                type(p).__name__ in self._RMM_SAFE_PLUGINS
+                or getattr(p, "name", "") in self._RMM_SAFE_PLUGINS
+                for p in self._plugins
+            )
+        )
+        if rmm_ok:
+            import jax as _jax
+
+            from ls1_mardyn_tpu.rmm_engine import RMMEngine, pick_rmm_grid
+
+            interpret = _jax.default_backend() != "tpu"
+            rc = config.lj_cutoff
+            dims_r, cap_r = pick_rmm_grid(data.r, self.box, rc, cap=32)
+            if dims_r is None:
+                rmm_ok = False
+        if rmm_ok:
+            spec_r = CellGridSpec(
+                dims=dims_r, box=tuple(float(b) for b in self.box),
+                cap=cap_r,
+            )
+            skin = float(min(spec_r.cell_len)) - rc
+            # drift bound per step: ~4 thermal sigmas of the fastest
+            # component (measured from the start velocities, floored by
+            # the configured target temperature)
+            v = np.asarray(data.v, float)
+            vq = float(np.quantile(np.linalg.norm(v, axis=1), 0.9999)) \
+                if len(v) else 0.0
+            drift = max(vq, 1e-9) * config.timestep
+            rebin_every = int(max(1, min(16, skin / (2 * drift))))
+            self.engine = RMMEngine(
+                self.mol, self.pp, self.table, self.box, sim_cfg,
+                spec_r, rebin_every=rebin_every, interpret=interpret,
+            )
+            global_log.info(
+                "engine: RMM dense fast path, grid %s cap %d "
+                "rebin_every %d", dims_r, cap_r, rebin_every,
+            )
+        if self.engine is None:
+            self.engine = SingleChipSimulation(
+                self.mol, self.pp, self.box, sim_cfg, force_fn=force_fn,
+                extra_force_fn=extra,
+            )
         # muVT: grand-canonical moves in the afterForces slot
         self.gc = None
         if config.ensemble_type == "muVT":
@@ -580,6 +646,20 @@ class MDSimulation:
         "EnergyLogWriter", "MaxWriter", "SysMonOutput", "TimerWriter",
         "FlopRateWriter", "TestPlugin", "ExamplePlugin",
         "SteereoControl", "MaxCheck",
+    }
+
+    # plugins compatible with the RMM dense engine: observers that read
+    # state via sim.molecules()/engine.mol at their own write cadence
+    # (the property gathers the dense planes on demand) and mutate it
+    # at most rarely (the mol setter re-bins).  Per-step mutators
+    # (NEMD drivers) and per-molecule-virial consumers (GammaWriter)
+    # keep the general engine.
+    _RMM_SAFE_PLUGINS = {
+        "ResultWriter", "CheckpointWriter", "XyzWriter",
+        "EnergyLogWriter", "MaxWriter", "SysMonOutput", "TimerWriter",
+        "TestPlugin", "ExamplePlugin", "SteereoControl",
+        "MmpldWriter", "MmspdWriter", "MmspdBinWriter", "PovWriter",
+        "VISWriter", "VTKMoleculeWriter", "InMemoryCheckpointing",
     }
 
     @classmethod
@@ -836,6 +916,9 @@ class MDSimulation:
         import jax
 
         eng = self.engine
+        if hasattr(eng, "retarget"):
+            eng.retarget(float(t))
+            return
         eng.config = _dc.replace(
             eng.config, target_temperature=float(t), thermostat=True
         )
@@ -869,7 +952,7 @@ class MDSimulation:
         steps = steps if steps is not None else self.config.steps
         eng = self.engine
         profiler = _TraceCapture(profile_dir, profile_steps, steps)
-        if eng.forces is None:
+        if not getattr(eng, "started", eng.forces is not None):
             with self.timers["SIMULATION_FORCE_CALCULATION"]:
                 eng.prepare_start()
         t_start = _time.time()
@@ -886,20 +969,32 @@ class MDSimulation:
         # check -- a transient overflow between checks must not vanish
         # (it zeroes forces of the overflowed molecules for that step)
         ovf_window = []
+        # macro (Upot/virial) cadence: the RMM engine skips the
+        # energy/virial kernel passes (~20%) on steps nobody reads --
+        # macro is needed on print/watchdog/last steps and whenever a
+        # plugin's write cadence fires (the general engine computes it
+        # unconditionally and ignores the hint)
+        plugin_freqs = sorted(
+            {max(1, int(getattr(p, "write_frequency", 1)))
+             for p in self._plugins}
+        )
         for k in range(1, steps + 1):
             self.step += 1
             for p in self._plugins:
                 p.before_event_new_timestep(self, self.step)
                 p.before_forces(self, self.step)
-            eng._step_count += 1
-            eng.mol, eng.forces, eng.macro, gv, overflow = eng._step_jit(
-                eng.mol, eng.forces, jnp.asarray(eng._step_count, jnp.int32)
+            need_macro = (
+                k == steps
+                or (print_every and self.step % print_every == 0)
+                or self.step % check_every == 0
+                or any(self.step % f == 0 for f in plugin_freqs)
             )
+            gv, overflow = eng.advance(need_macro)
             ovf_window.append(overflow)
             self.last_globals = gv
             profiler.tick(k, lambda: float(gv.upot))
             self.time += self.config.timestep
-            if self.step > self.config.equilibration_steps:
+            if self.step > self.config.equilibration_steps and eng.macro_fresh:
                 self._cv_win.append(gv.upot)
             if self.gc is not None:
                 eng.mol = self.gc.step(eng.mol, self.pp, self.step)

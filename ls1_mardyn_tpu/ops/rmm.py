@@ -49,6 +49,13 @@ from ls1_mardyn_tpu.state import MoleculeState
 NP_RMM = 8  # planes: x, y, z, valid, vx, vy, vz, mid
 
 
+class CellCapacityError(RuntimeError):
+    """Cell occupancy exceeds the grid capacity.  Distinct from plain
+    RuntimeError so capacity-escalation retry loops don't silently
+    swallow unrelated failures (e.g. a Mosaic compile crash surfacing
+    as XlaRuntimeError, which also subclasses RuntimeError)."""
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class RMMState:
@@ -158,10 +165,24 @@ class RMMSimulation:
         # the 5 rows into 4 dense 128-lane chunks (a 20% structural
         # pair-lane cut, every inner-loop op 128-aligned; see
         # _lj_cwn3l_kernel pack).  Eligible at the production group
-        # geometry only (cap=32, 128-lane group rows).
-        self.cw_pack = (
-            self.cwn3l and spec.cap == 32 and self.tx * spec.cap == 128
-        )
+        # geometry only (cap=32, 128-lane group rows).  NB the packed
+        # j-side scratch [tx, ny, 4, (nx/tx)*16*cap] is ~2x the dense
+        # sown+sup footprint (29.5 vs 14.7 MB f32 at the nd=60 bench
+        # grid), so pack is additionally gated on an estimated VMEM
+        # budget: grids that compiled dense near the ceiling must not
+        # fail Mosaic allocation when pack doubles the scratch.
+        nxd_, nyd_, nzd_ = spec.dims
+        cap_ = spec.cap
+        # OFF by default: pack never compiled at production geometry --
+        # the Mosaic compile of the packed kernel crashes the TPU
+        # compile helper at (56-60)^3-class grids (measured 2026-08-19,
+        # remote_compile HTTP 500 after ~130-330 s; the packed j-side
+        # scratch is ~2x the dense sown+sup footprint, 29.5 vs 14.7 MB
+        # at nd=60, and the 4-chunk unfold multiplies program size).
+        # Correctness is CI-covered at small grids
+        # (tests/test_pallas_lj.py pack cases incl. multi-tile); opt in
+        # via `sim.cw_pack = True` + tools/ab_pack.py where it compiles.
+        self.cw_pack = False
         # occupancy skipping: cells are front-packed, so i slots past
         # the per-cell count are empty -- the kernel processes a dense
         # [cw_prefix, gw] block plus pl.when-guarded 8-sublane tail
@@ -721,7 +742,7 @@ class RMMSimulation:
         g = jnp.where(ok[:, None], packed[safe], self._empty_fill(NP_RMM, dtype))
         planes = g.reshape(nz, ny, nx * cap, NP_RMM).transpose(0, 1, 3, 2)
         if bool(bins.overflow):
-            raise RuntimeError("cell capacity exceeded at init")
+            raise CellCapacityError("cell capacity exceeded at init")
         # pick the occupancy-skip dense prefix from the measured
         # occupancy histogram: cost(P) ~ P/8 dense slabs + 1.3 slab
         # equivalents per pl.when tail activation (the 1.3 covers the

@@ -227,6 +227,25 @@ class SingleChipSimulation:
         Simulation.cpp:764-918)."""
         self.mol, self.forces, self.macro, _overflow = self._init_jit(self.mol)
 
+    @property
+    def started(self) -> bool:
+        return self.forces is not None
+
+    # macro (Upot/virial) is computed unconditionally by the general
+    # step; the flag exists for engine-surface parity with RMMEngine
+    macro_fresh = True
+
+    def advance(self, need_macro: bool = True):
+        """One leapfrog step; returns (GlobalValues, overflow device
+        scalar).  The engine-protocol entry the driver loop calls --
+        RMMEngine implements the same signature (need_macro gates its
+        Upot/virial kernel passes; ignored here)."""
+        self._step_count += 1
+        self.mol, self.forces, self.macro, gv, overflow = self._step_jit(
+            self.mol, self.forces, jnp.asarray(self._step_count, jnp.int32)
+        )
+        return gv, overflow
+
     def run(self, steps: int, callback=None, check_overflow_every: int = 0):
         """Advance `steps` timesteps. The device round-trips only when a
         callback or overflow check forces a readback."""

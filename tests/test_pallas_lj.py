@@ -238,8 +238,14 @@ def test_pallas_lj_cwn3l_matches_cw(sentinel, gsub):
     np.testing.assert_allclose(float(u6_b), float(u6_a), rtol=1e-11)
     np.testing.assert_allclose(float(vir_b), float(vir_a), rtol=1e-11)
 
-@pytest.mark.parametrize("sentinel,gsub", [(False, 1), (True, 2)])
-def test_pallas_lj_cwn3l_pack_matches_dense(sentinel, gsub):
+@pytest.mark.parametrize(
+    "sentinel,gsub,nd",
+    # nd=8 exercises the multi-tile (n_tiles_pk > 1) scratch indexing
+    # (opk = t*PKW + k*gw) and the per-tile pad/flatten/roll unfold,
+    # which production geometries (nx ~ 60) rely on
+    [(False, 1, 4), (True, 2, 4), (False, 1, 8)],
+)
+def test_pallas_lj_cwn3l_pack_matches_dense(sentinel, gsub, nd):
     """Packed-window mode (14 in-cutoff window cells re-packed into 4
     dense 128-lane chunks) must reproduce the dense 5-row cwn3l kernel:
     the dropped x+2 cells and the center row's backward/x+2 lanes are
@@ -250,7 +256,7 @@ def test_pallas_lj_cwn3l_pack_matches_dense(sentinel, gsub):
         lj_cell_forces_pallas_cwn3l,
     )
 
-    nd, cap, tx = 4, 32, 4
+    cap, tx = 32, 4
     nx = ny = nz = nd
     cl = 2.8
     box = (nd * cl, nd * cl, nd * cl)

@@ -90,6 +90,12 @@ def main():
         mups = n / (ts.min() / 1e3)
         print(f"{v:8s}  min {ts.min():8.2f} ms  med {np.median(ts):8.2f} ms"
               f"  -> {mups / 1e6:7.1f} Mupd/s")
+    # numerical gate: the compiled non-interpret pack path only ever
+    # runs here on real hardware, so a silent regression would
+    # otherwise ride along with healthy-looking timings
+    if rel > 1e-5:
+        print("WARNING: pack force mismatch vs dense: rel=%.3g > 1e-5" % rel)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
