@@ -258,7 +258,7 @@ class SlabSimulation:
                 self._device_step,
                 mesh=self.mesh,
                 in_specs=(P(AXIS), P(AXIS), P(), P()),
-                out_specs=(P(AXIS), P(AXIS), P(), P(), P(AXIS)),
+                out_specs=(P(AXIS), P(AXIS), P(), P(), P(), P(AXIS)),
                 check_vma=False,
             )
         )
@@ -280,7 +280,7 @@ class SlabSimulation:
                     functools.partial(self._device_step, use_cw=True),
                     mesh=self.mesh,
                     in_specs=(P(AXIS), P(AXIS), P(), P()),
-                    out_specs=(P(AXIS), P(AXIS), P(), P(), P(AXIS)),
+                    out_specs=(P(AXIS), P(AXIS), P(), P(), P(), P(AXIS)),
                     check_vma=False,
                 )
             )
@@ -298,22 +298,29 @@ class SlabSimulation:
 
     # compat wrappers (the 4-/5-tuple API predates load balancing)
     def make_aux(self, FM):
-        """(F, M) or aux-dict -> full aux with zeroed compensation."""
+        """(F, M[, Vi]) or aux-dict -> full aux with zeroed
+        compensation."""
         if isinstance(FM, dict):
+            if "Vi" not in FM:
+                FM = dict(FM, Vi=jnp.zeros_like(FM["F"]))
             return FM
-        F, M = FM
+        if len(FM) == 3:
+            F, M, Vi = FM
+        else:
+            F, M = FM
+            Vi = jnp.zeros_like(F)
         z = jnp.zeros_like(F)
-        return dict(F=F, M=M, rcomp=z, vcomp=z)
+        return dict(F=F, M=M, Vi=Vi, rcomp=z, vcomp=z)
 
     def _step_sharded(self, mol, FM, z_edges=None, step=0):
         if z_edges is None and self.cfg.cw_eligible:
-            mol, aux, gv, ovf, _n = self._step_sharded_cw(
+            mol, aux, gv, _macro, ovf, _n = self._step_sharded_cw(
                 mol, self.make_aux(FM), self._edges_default,
                 jnp.asarray(step, jnp.int32),
             )
             return mol, aux, gv, ovf
         e = self._edges_default if z_edges is None else z_edges
-        mol, aux, gv, ovf, _nloc = self._step_sharded_lb(
+        mol, aux, gv, _macro, ovf, _nloc = self._step_sharded_lb(
             mol, self.make_aux(FM), e, jnp.asarray(step, jnp.int32)
         )
         return mol, (aux["F"], aux["M"]), gv, ovf
@@ -779,7 +786,10 @@ class SlabSimulation:
                 F = F + F_x
                 M = M + M_x
                 uX = uX + u_x
-            return F, M, (u6, uX, zero, vir), bins.overflow
+            # the 1CLJ cell-window kernel tracks only the scalar virial
+            # (per-axis accumulation would add 3 FMA/pair-lane); plugins
+            # that need Vi are warned by the driver facade
+            return F, M, jnp.zeros_like(F), (u6, uX, zero, vir), bins.overflow
         r_i, r_j, bins = self._local_views(mol, z_edges)
         if cfg.ms_meta is None:
             f, u6, vir = lj_cell_forces_pallas(
@@ -809,7 +819,7 @@ class SlabSimulation:
                 F = F + F_x
                 M = M + M_x
                 uX = uX + u_x
-            return F, M, (u6, uX, zero, vir), bins.overflow
+            return F, M, jnp.zeros_like(F), (u6, uX, zero, vir), bins.overflow
         from ls1_mardyn_tpu.ops.pallas_multisite import (
             multisite_cell_forces_pallas,
         )
@@ -835,6 +845,11 @@ class SlabSimulation:
         got = jnp.where(mol.valid[:, None], flat[src], 0.0)
         vir = jnp.sum(out[:, :, 6:9, :])
         F, M = got[:, 0:3], got[:, 3:6]
+        # per-molecule per-axis virial (FullMolecule::Vi): the kernel
+        # already accumulates it in planes 6:9; gathering it out makes
+        # GammaWriter/pressure-profile plugins exact under --parallel
+        # (src/io/GammaWriter.cpp reads _Vi per molecule)
+        Vi = got[:, 6:9]
         if self._pme is not None:
             u_ew, F_ew, M_ew = self._pme(
                 mol,
@@ -866,18 +881,18 @@ class SlabSimulation:
             F = F + F_x
             M = M + M_x
             uX = uX + u_x
-        return F, M, (u6, uX, my_rf, vir), bins.overflow
+        return F, M, Vi, (u6, uX, my_rf, vir), bins.overflow
 
     def _device_forces_entry(
         self, mol: MoleculeState, z_edges: jnp.ndarray, use_cw=False
     ):
-        F, M, (u6, uX, my_rf, vir), _ovf = self._device_forces(
+        F, M, Vi, (u6, uX, my_rf, vir), _ovf = self._device_forces(
             mol, z_edges, use_cw=use_cw
         )
         u6g, uXg, rfg, virg = jax.lax.psum(
             jnp.stack([u6, uX, my_rf, vir]), AXIS
         )
-        return (F, M), u6g, uXg, rfg, virg
+        return (F, M, Vi), u6g, uXg, rfg, virg
 
     def _device_step(
         self, mol: MoleculeState, aux,
@@ -913,7 +928,7 @@ class SlabSimulation:
         mol, mig_overflow, rcomp, vcomp = self._migrate(
             mol, dev_bounds, rcomp, vcomp
         )
-        F, M, (u6, uX, my_rf, vir), bin_overflow = self._device_forces(
+        F, M, Vi, (u6, uX, my_rf, vir), bin_overflow = self._device_forces(
             mol, z_edges, use_cw=use_cw
         )
         forces = Forces(F=F, M=M, Vi=zeros3)
@@ -934,14 +949,16 @@ class SlabSimulation:
             packed, AXIS
         )
 
-        macro = Macroscopic(
+        # replicated global macro -- returned to the driver so
+        # engine.macro has single-chip parity under --parallel
+        macro_g = Macroscopic(
             upot6lj=u6g,
             upot_xpoles=uXg + cfg.upot_corr,
             virial=virg + cfg.virial_corr,
             my_rf=rfg,
         )
         gv = calculate_global_values(
-            macro,
+            macro_g,
             summv2,
             sumiw2,
             ng,
@@ -971,5 +988,5 @@ class SlabSimulation:
         # per-device molecule count rides out sharded ([P] globally):
         # the driver's load balancer reads it with the other globals
         # (the MeasureLoad signal, src/parallel/LoadCalc.h:227)
-        aux_out = dict(F=F, M=M, rcomp=rcomp, vcomp=vcomp)
-        return mol, aux_out, gv, overflow, nloc.reshape(1)
+        aux_out = dict(F=F, M=M, Vi=Vi, rcomp=rcomp, vcomp=vcomp)
+        return mol, aux_out, gv, macro_g, overflow, nloc.reshape(1)

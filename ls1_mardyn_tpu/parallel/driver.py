@@ -110,7 +110,10 @@ class _GatheredEngine:
 
     @property
     def macro(self):
-        return None
+        """Global Macroscopic of the last step (psum-replicated in the
+        sharded step) -- single-chip parity for plugins that read
+        engine.macro; None only before the first step."""
+        return self._parent._macro
 
 
 class ParallelMDSimulation:
@@ -157,6 +160,7 @@ class ParallelMDSimulation:
         self.last_globals = None
         self.timers = base.timers
         self.engine = _GatheredEngine(self)
+        self._macro = None
         self._mol_cache = None
         self._mol_dirty = False
         self.run_abort = False
@@ -194,24 +198,25 @@ class ParallelMDSimulation:
         # (GrandCanonicalEnsemble.cpp:92-137); the sharded probe is a
         # psum of per-device partial energies
         if config.ensemble_type == "muVT":
-            if self.kind != "slab":
-                raise NotImplementedError(
-                    "muVT needs the slab decomposition; the 3-D mesh "
-                    "has no insertion-owner routing yet (reduce the "
-                    "device count or enlarge the box)"
-                )
             from ls1_mardyn_tpu.ensemble.grand_canonical import (
                 _build_chemical_potentials,
             )
-            from ls1_mardyn_tpu.parallel.gcmc import SlabGrandCanonical
+            from ls1_mardyn_tpu.parallel.gcmc import (
+                Mesh3DGrandCanonical,
+                SlabGrandCanonical,
+            )
 
             cps = _build_chemical_potentials(
                 config.chemical_potentials, np.asarray(self.box)
             )
-            self.gc = SlabGrandCanonical(
+            klass = (
+                SlabGrandCanonical if self.kind == "slab"
+                else Mesh3DGrandCanonical
+            )
+            self.gc = klass(
                 self.sim, cps, config.temperature or base.engine.config.target_temperature
             )
-            if self.z_edges is not None:
+            if self.kind == "slab" and self.z_edges is not None:
                 self.gc.owner_bounds = self.z_edges[:: self.sim.cfg.nz_local]
 
     # -- decomposition construction -----------------------------------------
@@ -360,15 +365,12 @@ class ParallelMDSimulation:
                 nyl=nd3[1] // grid3[1],
                 nzl=nd3[2] // grid3[2],
                 tx=tx3,
+                temp_control_regions=tuple(
+                    base.engine.config.temp_control_regions
+                ),
                 **{**common, "cap": cap3,
                    "n_local_cap": 2 * max(n, 1) // n_devices + 256},
             )
-            if config.temp_control:
-                global_log.warning(
-                    "TemperatureControl regions are not wired into the "
-                    "3-D mesh decomposition yet; falling back to the "
-                    "global thermostat"
-                )
             self.sim = Mesh3DSimulation(
                 mcfg, self.pp, extra_force_fns=self._site_force_fns
             )
@@ -510,16 +512,31 @@ class ParallelMDSimulation:
             return None
         from ls1_mardyn_tpu.state import Forces
 
+        Vi = None
         if isinstance(self._FM, dict):
             F, M = self._FM["F"], self._FM["M"]
+            Vi = self._FM.get("Vi")
+        elif len(self._FM) == 3:
+            F, M, Vi = self._FM
         else:
             F, M = self._FM
         F = np.asarray(F)
         M = np.asarray(M)
-        # per-molecule virials are not produced by the sharded kernels
-        # (global virial rides the fused psum); plugins needing Vi
-        # (GammaWriter) see zeros under --parallel
-        return Forces(F=F, M=M, Vi=np.zeros_like(F))
+        if Vi is None or (self.sim.cfg.ms_meta is None):
+            # the 1CLJ sharded kernels track only the scalar virial;
+            # warn loudly instead of letting GammaWriter/pressure
+            # profiles silently compute from zeros
+            # (src/io/GammaWriter.cpp reads per-molecule Vi)
+            if not getattr(self, "_warned_vi", False):
+                self._warned_vi = True
+                global_log.warning(
+                    "per-molecule virials are zero under the 1CLJ "
+                    "sharded kernels; GammaWriter/pressure-profile "
+                    "plugins will be WRONG under --parallel for this "
+                    "scene (multi-site scenes carry exact Vi)"
+                )
+            return Forces(F=F, M=M, Vi=np.zeros_like(F))
+        return Forces(F=F, M=M, Vi=np.asarray(Vi))
 
     def _flush_mol(self):
         """Re-distribute a plugin-modified global state.  Forces ride
@@ -534,18 +551,17 @@ class ParallelMDSimulation:
             kw["z_edges"] = self.z_edges
         if isinstance(self._FM, dict):
             a = self._FM
+            keys = [k for k in ("F", "M", "Vi", "rcomp", "vcomp") if k in a]
             self.mol_sharded, ex = self.sim.distribute(
                 self._mol_cache,
-                extras=tuple(
-                    np.asarray(a[k]) for k in ("F", "M", "rcomp", "vcomp")
-                ),
+                extras=tuple(np.asarray(a[k]) for k in keys),
                 **kw,
             )
-            self._FM = dict(zip(("F", "M", "rcomp", "vcomp"), ex))
+            self._FM = dict(zip(keys, ex))
         elif self._FM is not None:
-            F, M = self._FM
             self.mol_sharded, self._FM = self.sim.distribute(
-                self._mol_cache, extras=(np.asarray(F), np.asarray(M)), **kw
+                self._mol_cache,
+                extras=tuple(np.asarray(x) for x in self._FM), **kw
             )
         else:
             self.mol_sharded = self.sim.distribute(self._mol_cache, **kw)
@@ -633,18 +649,17 @@ class ParallelMDSimulation:
         self.z_edges = edges
         if isinstance(self._FM, dict):
             a = self._FM
+            keys = [k for k in ("F", "M", "Vi", "rcomp", "vcomp") if k in a]
             self.mol_sharded, ex = self.sim.distribute(
                 g,
-                extras=tuple(
-                    np.asarray(a[k]) for k in ("F", "M", "rcomp", "vcomp")
-                ),
+                extras=tuple(np.asarray(a[k]) for k in keys),
                 z_edges=edges,
             )
-            self._FM = dict(zip(("F", "M", "rcomp", "vcomp"), ex))
+            self._FM = dict(zip(keys, ex))
         elif self._FM is not None:
-            F, M = self._FM
             self.mol_sharded, self._FM = self.sim.distribute(
-                g, extras=(np.asarray(F), np.asarray(M)), z_edges=edges
+                g, extras=tuple(np.asarray(x) for x in self._FM),
+                z_edges=edges,
             )
         else:
             self.mol_sharded = self.sim.distribute(g, z_edges=edges)
@@ -762,16 +777,17 @@ class ParallelMDSimulation:
             if self._FM is None:
                 self._FM = self._recompute_forces()
             if slab:
-                (self.mol_sharded, self._FM, gv, overflow,
+                (self.mol_sharded, self._FM, gv, self._macro, overflow,
                  nloc) = self.sim._step_sharded_lb(
                     self.mol_sharded, self.sim.make_aux(self._FM),
                     self._edges_arg(),
                     jnp.asarray(self.step, jnp.int32),
                 )
             else:
-                (self.mol_sharded, self._FM, gv,
+                (self.mol_sharded, self._FM, gv, self._macro,
                  overflow) = self.sim._step_sharded(
-                    self.mol_sharded, self._FM
+                    self.mol_sharded, self._FM,
+                    jnp.asarray(self.step, jnp.int32),
                 )
             ovf_window.append(overflow)
             self._mol_cache = None

@@ -88,23 +88,31 @@ class SlabGrandCanonical:
 
     def rebind(self):
         """(Re)build the sharded probe against the current sim (called
-        after a capacity re-spec rebuilds the decomposition)."""
+        after a capacity re-spec rebuilds the decomposition).  Works
+        over ANY device mesh: the psum runs over all mesh axes and the
+        molecule arrays use the sim's own input sharding, so the slab
+        and 3-D mesh cases differ only in owner routing (see
+        Mesh3DGrandCanonical)."""
         pp = self.sim.pp
+        axes = tuple(self.sim.mesh.axis_names)
 
         def probe(mol, r, q, cid, excl_mid):
             e = _probe_energy_local(
                 mol, pp, jnp.asarray(self.box, mol.r.dtype), r, q, cid,
                 excl_mid,
             )
-            return jax.lax.psum(e, AXIS)
+            for a in axes:
+                e = jax.lax.psum(e, a)
+            return e
 
         from jax.sharding import PartitionSpec as P
 
+        in_spec = getattr(self.sim, "_in_spec", P(AXIS))
         self._probe = jax.jit(
             jax.shard_map(
                 probe,
                 mesh=self.sim.mesh,
-                in_specs=(P(AXIS), P(), P(), P(), P()),
+                in_specs=(in_spec, P(), P(), P(), P()),
                 out_specs=P(),
                 check_vma=False,
             )
@@ -123,6 +131,15 @@ class SlabGrandCanonical:
                 jnp.asarray(cid, jnp.int32),
                 jnp.asarray(excl_mid, jnp.int32),
             )
+        )
+
+    def _owner_of(self, r_new) -> int:
+        """Linear device index owning position r_new.  Slab: z interval
+        of owner_bounds (non-uniform under load balancing)."""
+        return min(
+            int(np.searchsorted(self.owner_bounds[1:-1], r_new[2],
+                                side="right")),
+            self.sim.cfg.n_devices - 1,
         )
 
     def step(self, mol: MoleculeState, step: int) -> MoleculeState:
@@ -176,13 +193,10 @@ class SlabGrandCanonical:
         self.attempted += 1
         if float(jax.random.uniform(self._next(), ())) >= acc:
             return mol
-        # owner slab must store the molecule (migration only handles
-        # +-1 slab hops); non-uniform boundaries under load balancing
-        owner = min(
-            int(np.searchsorted(self.owner_bounds[1:-1], r_new[2],
-                                side="right")),
-            cfg.n_devices - 1,
-        )
+        # the OWNER device must store the molecule (migration only
+        # handles +-1 hops); owner routing is the only decomposition-
+        # specific part of GCMC (see _owner_of)
+        owner = self._owner_of(r_new)
         seg = slice(owner * cfg.n_local_cap, (owner + 1) * cfg.n_local_cap)
         free = np.where(~valid[seg])[0]
         if len(free) == 0:
@@ -207,3 +221,19 @@ class SlabGrandCanonical:
             mid=mol.mid.at[idx].set(mid_new),
             valid=mol.valid.at[idx].set(True),
         )
+
+
+class Mesh3DGrandCanonical(SlabGrandCanonical):
+    """GCMC moves over a Mesh3DSimulation's sharded state.
+
+    Identical Metropolis machinery (the probe shard_map generalizes via
+    the base class's axis introspection); only the insertion-owner
+    routing differs: the owner is the 3-D mesh cell of the trial
+    position, linearized in the same x-major order Mesh3DSimulation
+    .distribute uses (the reference's decompositions are
+    interchangeable under one interface, DomainDecompBase.h:51)."""
+
+    def _owner_of(self, r_new) -> int:
+        cfg = self.sim.cfg
+        o = self.sim._owner3(np.asarray(r_new, float)[None, :])[0]
+        return int((o[0] * cfg.grid[1] + o[1]) * cfg.grid[2] + o[2])

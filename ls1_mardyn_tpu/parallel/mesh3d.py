@@ -89,6 +89,11 @@ class Mesh3DConfig:
     ewald_alpha: float = 0.0
     pme_grid: Tuple[int, ...] = ()
     pme_order: int = 4
+    # region thermostats (src/thermostats/TemperatureControl.{h,cpp});
+    # applied with a psum over all three mesh axes -- region bounds are
+    # GLOBAL coordinates, decomposition-independent
+    # (DomainDecompBase.h:51 interchangeability)
+    temp_control_regions: Tuple = ()
 
     @property
     def n_devices(self) -> int:
@@ -159,8 +164,8 @@ class Mesh3DSimulation:
             jax.shard_map(
                 self._device_step,
                 mesh=self.mesh,
-                in_specs=(flat, flat),
-                out_specs=(flat, flat, P(), P()),
+                in_specs=(flat, flat, P()),
+                out_specs=(flat, flat, P(), P(), P()),
                 check_vma=False,
             )
         )
@@ -514,7 +519,7 @@ class Mesh3DSimulation:
                 F = F + F_x
                 M = M + M_x
                 uX = uX + u_x
-            return F, M, (u6, uX, zero, vir), bins.overflow
+            return F, M, jnp.zeros_like(F), (u6, uX, zero, vir), bins.overflow
         from ls1_mardyn_tpu.ops.pallas_multisite import (
             multisite_cell_forces_pallas,
         )
@@ -541,6 +546,8 @@ class Mesh3DSimulation:
         got = jnp.where(mol.valid[:, None], flat[src], 0.0)
         vir = jnp.sum(out[:, :, 6:9, :])
         F, M = got[:, 0:3], got[:, 3:6]
+        # per-molecule per-axis virial (see SlabSimulation._device_forces)
+        Vi = got[:, 6:9]
         if self._pme is not None:
             u_ew, F_ew, M_ew = self._pme(
                 mol,
@@ -572,7 +579,7 @@ class Mesh3DSimulation:
             F = F + F_x
             M = M + M_x
             uX = uX + u_x
-        return F, M, (u6, uX, my_rf, vir), bins.overflow
+        return F, M, Vi, (u6, uX, my_rf, vir), bins.overflow
 
     def _psum_all(self, t):
         for a in AX:
@@ -580,23 +587,26 @@ class Mesh3DSimulation:
         return t
 
     def _device_forces_entry(self, mol: MoleculeState):
-        F, M, (u6, uX, my_rf, vir), _ovf = self._device_forces(mol)
+        F, M, Vi, (u6, uX, my_rf, vir), _ovf = self._device_forces(mol)
         packed = self._psum_all(jnp.stack([u6, uX, my_rf, vir]))
         ovf = self._psum_all(_ovf.astype(jnp.int32))
-        return (F, M), packed, ovf
+        return (F, M, Vi), packed, ovf
 
-    def _device_step(self, mol: MoleculeState, F_prev):
+    def _device_step(self, mol: MoleculeState, F_prev, step):
         cfg = self.cfg
         from ls1_mardyn_tpu.state import Forces
 
         dtype = mol.r.dtype
-        F_prev, M_prev = F_prev
+        if len(F_prev) == 3:
+            F_prev, M_prev, _Vi_prev = F_prev
+        else:
+            F_prev, M_prev = F_prev
         zeros3 = jnp.zeros_like(F_prev)
         forces_prev = Forces(F=F_prev, M=M_prev, Vi=zeros3)
         mol = upd_pre_force(mol, forces_prev, self.pp, cfg.dt)
         mol = dataclasses.replace(mol, r=wrap_positions(mol.r, cfg.box))
         mol, mig_overflow = self._migrate(mol)
-        F, M, (u6, uX, my_rf, vir), bin_overflow = self._device_forces(mol)
+        F, M, Vi, (u6, uX, my_rf, vir), bin_overflow = self._device_forces(mol)
         forces = Forces(F=F, M=M, Vi=zeros3)
         mol, mv2, iw2 = upd_post_force(mol, forces, self.pp, cfg.dt)
 
@@ -609,14 +619,14 @@ class Mesh3DSimulation:
         )
         u6g, uXg, rfg, virg, summv2, sumiw2, ng, rdofg = self._psum_all(packed)
 
-        macro = Macroscopic(
+        macro_g = Macroscopic(
             upot6lj=u6g,
             upot_xpoles=uXg + cfg.upot_corr,
             virial=virg + cfg.virial_corr,
             my_rf=rfg,
         )
         gv = calculate_global_values(
-            macro,
+            macro_g,
             summv2,
             sumiw2,
             ng,
@@ -627,27 +637,41 @@ class Mesh3DSimulation:
         )
         if cfg.thermostat and cfg.target_temperature > 0:
             mol = apply_velocity_scaling(mol, gv.beta_trans, gv.beta_rot)
+        if cfg.temp_control_regions:
+            from ls1_mardyn_tpu.ops.thermostat import (
+                apply_temperature_control,
+            )
+
+            mol = apply_temperature_control(
+                mol, self.pp, cfg.temp_control_regions, step,
+                psum=self._psum_all,
+            )
         overflow = (
             self._psum_all(
                 (mig_overflow | bin_overflow).astype(jnp.int32)
             )
             > 0
         )
-        return mol, (F, M), gv, overflow
+        return mol, (F, M, Vi), gv, macro_g, overflow
 
     # -- host API -----------------------------------------------------------
     def compute_forces(self, mol: MoleculeState):
-        (F, M), packed, ovf = self._force_sharded(mol)
+        (F, M, _Vi), packed, ovf = self._force_sharded(mol)
         return F, M, packed, ovf
 
-    def step(self, mol: MoleculeState, FM):
-        return self._step_sharded(mol, FM)
+    def step(self, mol: MoleculeState, FM, step: int = 0):
+        mol, FM, gv, _macro, ovf = self._step_sharded(
+            mol, FM, jnp.asarray(step, jnp.int32)
+        )
+        return mol, FM, gv, ovf
 
     def run(self, mol: MoleculeState, steps: int, check_overflow_every: int = 0):
-        (F, M), _, ovf = self._force_sharded(mol)
+        FM, _, ovf = self._force_sharded(mol)
         gv = None
         for i in range(steps):
-            mol, (F, M), gv, overflow = self._step_sharded(mol, (F, M))
+            mol, FM, gv, _macro, overflow = self._step_sharded(
+                mol, FM, jnp.asarray(i + 1, jnp.int32)
+            )
             if check_overflow_every and (i % check_overflow_every == 0):
                 if bool(np.asarray(overflow)):
                     raise RuntimeError(

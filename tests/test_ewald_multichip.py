@@ -88,7 +88,7 @@ def test_sharded_ewald_matches_single_chip():
     mesh = Mesh(np.array(jax.devices()[:P]), ("dd",))
     sim = SlabSimulation(cfg, pp, mesh=mesh)
     mol_sh = sim.distribute(mol)
-    (F_sh, M_sh), u6, uX, rf, vir = sim._force_sharded(mol_sh)
+    (F_sh, M_sh, _Vi), u6, uX, rf, vir = sim._force_sharded(mol_sh)
 
     mids_sh = np.asarray(mol_sh.mid)
     valid_sh = np.asarray(mol_sh.valid)
@@ -143,7 +143,7 @@ def test_sharded_pme_matches_single_chip():
     mesh = Mesh(np.array(jax.devices()[:P]), ("dd",))
     sim = SlabSimulation(cfg, pp, mesh=mesh)
     mol_sh = sim.distribute(mol)
-    (F_sh, M_sh), u6, uX, rf, vir = sim._force_sharded(mol_sh)
+    (F_sh, M_sh, _Vi), u6, uX, rf, vir = sim._force_sharded(mol_sh)
 
     mids_sh = np.asarray(mol_sh.mid)
     valid_sh = np.asarray(mol_sh.valid)

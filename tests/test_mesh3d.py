@@ -66,7 +66,7 @@ def test_mesh3d_forces_match_single_chip():
     f_ref, m_ref, _ = jax.jit(path.__call__)(mol)
 
     mol_sh = sim.distribute(mol)
-    (F_sh, M_sh), packed, ovf = sim._force_sharded(mol_sh)
+    (F_sh, M_sh, _Vi), packed, ovf = sim._force_sharded(mol_sh)
     assert int(np.asarray(ovf).max()) == 0
     u6, uX, rf, vir = np.asarray(packed)
 
@@ -146,7 +146,7 @@ def test_mesh3d_pme_matches_single_chip():
     mesh = Mesh(np.array(jax.devices()[:8]).reshape(GRID), AX)
     sim = Mesh3DSimulation(cfg, pp, mesh=mesh)
     mol_sh = sim.distribute(mol)
-    (F_sh, M_sh), packed, ovf = sim._force_sharded(mol_sh)
+    (F_sh, M_sh, _Vi), packed, ovf = sim._force_sharded(mol_sh)
     assert int(np.asarray(ovf).max()) == 0
     u6, uX, rf, vir = np.asarray(packed)
 

@@ -66,7 +66,7 @@ def test_sharded_forces_match_single_chip():
     f_ref, m_ref, _ = jax.jit(path.__call__)(mol)
 
     mol_sh = sim.distribute(mol)
-    (F_sh, M_sh), u6, uX, rf, vir = sim._force_sharded(mol_sh)
+    (F_sh, M_sh, _Vi), u6, uX, rf, vir = sim._force_sharded(mol_sh)
 
     # compare per molecule id
     mids_sh = np.asarray(mol_sh.mid)
@@ -186,7 +186,7 @@ def test_sharded_multisite_forces_match_single_chip():
     f_ref, m_ref, _ = jax.jit(path.__call__)(mol)
 
     mol_sh = sim.distribute(mol)
-    (F_sh, M_sh), u6, uX, rf, vir = sim._force_sharded(mol_sh)
+    (F_sh, M_sh, _Vi), u6, uX, rf, vir = sim._force_sharded(mol_sh)
 
     mids_sh = np.asarray(mol_sh.mid)
     valid_sh = np.asarray(mol_sh.valid)

@@ -48,8 +48,8 @@ def slab_pair():
 def test_cw_slab_forces_match_row(slab_pair):
     sim_row, sim_cw, mol = slab_pair
     ms = sim_row.distribute(mol)
-    (F_a, _), u6_a, _, _, vir_a = sim_row._force_sharded(ms)
-    (F_b, _), u6_b, _, _, vir_b = sim_cw._force_sharded(ms)
+    (F_a, _, _), u6_a, _, _, vir_a = sim_row._force_sharded(ms)
+    (F_b, _, _), u6_b, _, _, vir_b = sim_cw._force_sharded(ms)
     fa, fb = np.asarray(F_a), np.asarray(F_b)
     assert np.isfinite(fa).all() and np.isfinite(fb).all()
     scale = np.abs(fa).max()

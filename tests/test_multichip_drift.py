@@ -58,7 +58,7 @@ def _run(scene, n_dev):
     edges = sim._edges_default
     es = []
     for k in range(STEPS):
-        mol_sh, aux, gv, ovf, _nloc = sim._step_sharded_lb(
+        mol_sh, aux, gv, _macro, ovf, _nloc = sim._step_sharded_lb(
             mol_sh, aux, edges, jnp.asarray(k, jnp.int32)
         )
         if k % 20 == 0:
