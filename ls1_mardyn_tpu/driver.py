@@ -241,6 +241,7 @@ class MDSimulation:
         # (ASCIIReader.cpp ComponentThermostat/ThermostatTemperature tokens)
         comp_therm = None
         therm_temps = None
+        undirected = None
         if data.component_thermostats and data.thermostat_temps:
             K = len(data.components)
             tids = sorted(set(data.component_thermostats.values()))
@@ -252,6 +253,15 @@ class MDSimulation:
             therm_temps = tuple(
                 data.thermostat_temps.get(t, config.temperature) for t in tids
             )
+            # Undirected flags follow the same id remap
+            # (ASCIIReader.cpp:125-129 'Undirected'/'U')
+            if getattr(data, "undirected_thermostats", None):
+                undirected = tuple(
+                    t in data.undirected_thermostats for t in tids
+                )
+        elif getattr(data, "undirected_thermostats", None):
+            # global thermostat flagged Undirected
+            undirected = (True,)
         # TemperatureControl regions (region coords follow the engine
         # frame when an axis swap is active); they REPLACE the global
         # velocity-scaling thermostat (Simulation.cpp:1137-1140)
@@ -308,6 +318,7 @@ class MDSimulation:
             virial_corr=self.lrc.virial_corr,
             component_thermostat=comp_therm,
             thermostat_temps=therm_temps,
+            undirected_thermostats=undirected,
             z_edges=tuple(self._z_edges) if self._z_edges else None,
             temp_control_regions=tc_regions,
         )
@@ -557,6 +568,7 @@ class MDSimulation:
             and extra is None
             and config.ensemble_type != "muVT"
             and sim_cfg.component_thermostat is None
+            and not sim_cfg.undirected_thermostats
             and not sim_cfg.temp_control_regions
             and n > 0
             and all(

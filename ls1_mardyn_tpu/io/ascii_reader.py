@@ -53,6 +53,9 @@ class PhaseSpaceData:
     # optional per-thermostat config
     thermostat_temps: Optional[dict] = None
     component_thermostats: Optional[dict] = None
+    # thermostat ids flagged "Undirected" (ASCIIReader.cpp:125-129):
+    # subtract the directed (mean) velocity before kinetic sampling
+    undirected_thermostats: Optional[set] = None
 
 
 class _Tokens:
@@ -126,6 +129,7 @@ def read_inp(path: str) -> PhaseSpaceData:
     current_time = 0.0
     thermostat_temps: dict = {}
     component_thermostats: dict = {}
+    undirected: set = set()
     num_molecules = 0
     mol_format = "ICRVQD"
 
@@ -145,7 +149,8 @@ def read_inp(path: str) -> PhaseSpaceData:
             if tid >= 0:
                 component_thermostats[comp_id] = tid
         elif token in ("Undirected", "U"):
-            tk.next_i()
+            # Domain::enableUndirectedThermostat analogue
+            undirected.add(tk.next_i())
         elif token in ("Length", "L"):
             box = np.array([tk.next_f(), tk.next_f(), tk.next_f()])
         elif token in ("HeatCapacity", "cv", "I"):
@@ -290,6 +295,7 @@ def read_inp(path: str) -> PhaseSpaceData:
         L=L,
         thermostat_temps=thermostat_temps or None,
         component_thermostats=component_thermostats or None,
+        undirected_thermostats=undirected or None,
     )
 
 

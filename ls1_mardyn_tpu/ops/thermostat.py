@@ -186,6 +186,85 @@ def apply_temperature_control(
     return dataclasses.replace(mol, v=v, L=L)
 
 
+def thermostat_directed_velocity(
+    mol: MoleculeState,
+    thermostat_of_component: Optional[jnp.ndarray],
+    num_thermostats: int,
+    undirected: jnp.ndarray,  # [T] bool: thermostat is "Undirected"
+    psum=None,
+) -> jnp.ndarray:
+    """Per-thermostat mean (directed) velocity v_bar [T, 3] -- the
+    NUMBER mean over the thermostat's molecules, zero for thermostats
+    without the Undirected flag (Domain::
+    calculateThermostatDirectedVelocity, Domain.cpp:368-408: sum of
+    velocities / N, not mass-weighted).
+
+    Deviation noted: the reference amortizes the O(N) pass over a
+    100-step cadence (Simulation.h:327-331 _collectThermostat
+    DirectedVelocity); under XLA the segment sums fuse into the step
+    for free, so v_bar is recomputed every step (a strictly fresher
+    estimate of the same quantity)."""
+    dtype = mol.v.dtype
+    if thermostat_of_component is None:
+        tid = jnp.zeros_like(mol.cid)
+    else:
+        tid = thermostat_of_component[mol.cid]
+    valid_f = mol.valid.astype(dtype)
+    seg = lambda x: jax.ops.segment_sum(x, tid, num_segments=num_thermostats)
+    sv = seg(mol.v * valid_f[:, None])  # [T, 3]
+    n = seg(valid_f)  # [T]
+    if psum is not None:
+        sv = psum(sv)
+        n = psum(n)
+    vbar = sv / jnp.maximum(n, 1.0)[:, None]
+    return jnp.where(undirected[:, None], vbar, 0.0)
+
+
+def directed_kinetic_correction(
+    mol: MoleculeState,
+    pp: PairParams,
+    vbar: jnp.ndarray,  # [T, 3]
+    thermostat_of_component: Optional[jnp.ndarray],
+    num_thermostats: int,
+) -> jnp.ndarray:
+    """Per-thermostat correction c so that summv2_thermal = summv2 + c:
+    sum_i m(v_i - vbar)^2 = sum m v^2 - 2 vbar . sum(m v) + |vbar|^2
+    sum m (calculate_mv2_Iw2's directed overload,
+    FullMolecule.h; sampling the THERMAL kinetic energy only,
+    Domain.cpp:462-470)."""
+    dtype = mol.v.dtype
+    if thermostat_of_component is None:
+        tid = jnp.zeros_like(mol.cid)
+    else:
+        tid = thermostat_of_component[mol.cid]
+    valid_f = mol.valid.astype(dtype)
+    m = pp.mass[mol.cid] * valid_f
+    seg = lambda x: jax.ops.segment_sum(x, tid, num_segments=num_thermostats)
+    smv = seg(mol.v * m[:, None])  # [T, 3] sum m v
+    sm = seg(m)  # [T]
+    return (
+        -2.0 * jnp.sum(vbar * smv, axis=-1)
+        + jnp.sum(vbar * vbar, axis=-1) * sm
+    )
+
+
+def apply_velocity_scaling_componentwise_directed(
+    mol: MoleculeState,
+    thermostat_of_component: jnp.ndarray,
+    beta_trans: jnp.ndarray,
+    beta_rot: jnp.ndarray,
+    vbar: jnp.ndarray,  # [T, 3]
+) -> MoleculeState:
+    """v <- vbar + beta (v - vbar): scale only the thermal component,
+    preserving the directed flow (VelocityScalingThermostat.cpp:60-67
+    vsub/scale_v/vadd)."""
+    tid = thermostat_of_component[mol.cid]
+    vb = vbar[tid]
+    v = vb + (mol.v - vb) * beta_trans[tid][:, None]
+    L = mol.L * beta_rot[tid][:, None]
+    return dataclasses.replace(mol, v=v, L=L)
+
+
 def thermostat_kinetic_sums(
     mol: MoleculeState,
     pp: PairParams,

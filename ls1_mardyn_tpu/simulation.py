@@ -58,6 +58,13 @@ class SimConfig:
     # one global thermostat
     component_thermostat: Optional[Tuple[int, ...]] = None
     thermostat_temps: Optional[Tuple[float, ...]] = None
+    # "Undirected" thermostats (ASCIIReader.cpp:125-129 'Undirected'/'U'
+    # header token; Domain.h:441-444): per-thermostat flag -- subtract
+    # the thermostat's mean (directed) velocity before kinetic sampling
+    # and scale only the thermal component, so flows are not
+    # thermostatted as heat.  Aligned with thermostat_temps; a 1-tuple
+    # applies to the single global thermostat.
+    undirected_thermostats: Optional[Tuple[bool, ...]] = None
     # region thermostats (src/thermostats/TemperatureControl.{h,cpp})
     temp_control_regions: Tuple = ()
     # Ewald real-space screening for the built-in cell path
@@ -201,6 +208,20 @@ class SingleChipSimulation:
             s2, siw2, nt, rd = thermostat_kinetic_sums(
                 mol, self.pp, mv2, iw2, tmap, n_th
             )
+            vbar = None
+            if cfg.undirected_thermostats and any(
+                cfg.undirected_thermostats
+            ):
+                from ls1_mardyn_tpu.ops.thermostat import (
+                    directed_kinetic_correction,
+                    thermostat_directed_velocity,
+                )
+
+                und = jnp.asarray(cfg.undirected_thermostats, bool)
+                vbar = thermostat_directed_velocity(mol, tmap, n_th, und)
+                s2 = s2 + directed_kinetic_correction(
+                    mol, self.pp, vbar, tmap, n_th
+                )
             Ti = jnp.asarray(cfg.thermostat_temps, mol.r.dtype)
             bt = jnp.where(
                 (Ti > 0) & (s2 > 0),
@@ -212,9 +233,45 @@ class SingleChipSimulation:
                 jnp.power(rd * Ti / jnp.maximum(siw2, 1e-30), 0.4),
                 1.0,
             )
-            mol = apply_velocity_scaling_componentwise(mol, tmap, bt, br)
+            if vbar is not None:
+                from ls1_mardyn_tpu.ops.thermostat import (
+                    apply_velocity_scaling_componentwise_directed,
+                )
+
+                mol = apply_velocity_scaling_componentwise_directed(
+                    mol, tmap, bt, br, vbar
+                )
+            else:
+                mol = apply_velocity_scaling_componentwise(mol, tmap, bt, br)
         elif cfg.thermostat and cfg.target_temperature > 0:
-            mol = apply_velocity_scaling(mol, gv.beta_trans, gv.beta_rot)
+            if cfg.undirected_thermostats and cfg.undirected_thermostats[0]:
+                # undirected GLOBAL thermostat: thermal sampling AND
+                # thermal-only scaling (the reference samples thermal
+                # kinetic energy, Domain.cpp:462-470, but leaves global
+                # scaling directed -- 'Undirected global thermostat not
+                # implemented!', Simulation.cpp:1131; here both halves
+                # are consistent)
+                from ls1_mardyn_tpu.ops.thermostat import (
+                    apply_velocity_scaling_componentwise_directed,
+                    directed_kinetic_correction,
+                    thermostat_directed_velocity,
+                )
+
+                und = jnp.ones((1,), bool)
+                vbar = thermostat_directed_velocity(mol, None, 1, und)
+                s2c = summv2 + directed_kinetic_correction(
+                    mol, self.pp, vbar, None, 1
+                )[0]
+                gv = calculate_global_values(
+                    macro, s2c, sum_iw2, nmol, rdof, self.volume,
+                    cfg.target_temperature, nve=not cfg.thermostat,
+                )
+                mol = apply_velocity_scaling_componentwise_directed(
+                    mol, jnp.zeros((self.pp.mass.shape[0],), jnp.int32),
+                    gv.beta_trans[None], gv.beta_rot[None], vbar,
+                )
+            else:
+                mol = apply_velocity_scaling(mol, gv.beta_trans, gv.beta_rot)
         if cfg.temp_control_regions:
             mol = apply_temperature_control(
                 mol, self.pp, cfg.temp_control_regions, step
