@@ -19,9 +19,11 @@ detailed-balance-consistent sign and document the divergence.
 TPU shape discipline: the molecule array has fixed capacity with a
 validity mask, so insertion = activating a free slot, deletion =
 clearing the mask -- no reallocation, exactly the reserve-slot design
-SURVEY.md section 7 calls for.  The single-molecule energy probe is a
-jitted minimum-image O(N) row (the LinkedCells::getEnergy analogue);
-swap in a cell-based probe for N >> 1e5.
+SURVEY.md section 7 calls for.  Probes: small scenes use a jitted
+minimum-image O(N) row; above CELL_PROBE_MIN_N the cycle bins once
+into a cell table and each trial reads only the 27-cell neighborhood
+(cell_probe_energy -- the LinkedCells::getEnergy analogue; trial cost
+independent of N).
 """
 
 from __future__ import annotations
@@ -85,6 +87,60 @@ def single_molecule_energy(
     )
 
 
+_OFFS27 = np.array(
+    [(dx, dy, dz) for dz in (-1, 0, 1) for dy in (-1, 0, 1)
+     for dx in (-1, 0, 1)],
+    np.int32,
+)
+
+
+def cell_probe_energy(
+    mol: MoleculeState,
+    pp: PairParams,
+    box: jnp.ndarray,
+    slots: jnp.ndarray,  # [n_cells, cap] int32 molecule index, -1 empty
+    dims,  # static (nx, ny, nz)
+    r_probe: jnp.ndarray,
+    q_probe: jnp.ndarray,
+    cid_probe: jnp.ndarray,
+    exclude_idx: jnp.ndarray,
+):
+    """Probe energy against the 27-cell neighborhood of r_probe instead
+    of the full molecule array (LinkedCells::getEnergy,
+    /root/reference/src/particleContainer/LinkedCells.cpp: the
+    reference probe is cell-local too).  Requires cell edge >= cutoff.
+    Cost per trial is O(27*cap), independent of N."""
+    dtype = mol.r.dtype
+    nx, ny, nz = dims
+    dims_a = jnp.asarray((nx, ny, nz), jnp.int32)
+    cl = box / dims_a.astype(dtype)
+    c3 = jnp.clip(
+        jnp.floor(r_probe / cl).astype(jnp.int32), 0, dims_a - 1
+    )
+    nb = jnp.mod(c3[None, :] + jnp.asarray(_OFFS27), dims_a)  # [27, 3]
+    lin = (nb[:, 2] * ny + nb[:, 1]) * nx + nb[:, 0]
+    cand = slots[lin].reshape(-1)  # [27*cap]
+    safe = jnp.clip(cand, 0, mol.capacity - 1)
+    drm_raw = min_image(r_probe[None, :] - mol.r[safe], box)
+    com2 = jnp.sum(drm_raw * drm_raw, axis=-1)
+    ok = (cand >= 0) & mol.valid[safe] & (cand != exclude_idx)
+    mask_lj = ok & (com2 < pp.rc2_lj)
+    mask_el = ok & (com2 < pp.rc2)
+    fill = jnp.zeros((3,), dtype).at[0].set(3.0 * jnp.sqrt(pp.rc2) + 1.0)
+    drm = jnp.where((mask_lj | mask_el)[:, None], drm_raw, fill)
+    sites_all = site_offsets(pp, mol.q[safe], mol.cid[safe])
+    sites_p = site_offsets(pp, q_probe[None], cid_probe[None])
+    out = molecule_pair(
+        drm, sites_p, sites_all, cid_probe, mol.cid[safe], pp,
+        mask_lj, mask_el,
+    )
+    return (
+        jnp.sum(out["u6lj"]) / 6.0
+        + jnp.sum(out["uX"])
+        + jnp.sum(out["my_rf"])
+    )
+
+
 @dataclasses.dataclass
 class ChemicalPotential:
     """Per-component muVT control (ChemicalPotential.h)."""
@@ -118,6 +174,10 @@ class GrandCanonicalEnsemble:
     (~1e9 flops); a cell-based probe would only save dispatch-width,
     not wall time."""
 
+    # molecule capacities above this use the cell-table probe; below,
+    # the O(N) row is cheaper than building the table
+    CELL_PROBE_MIN_N = 16384
+
     def __init__(self, chem_pots, temperature: float, box, seed: int = 1234):
         self.chem_pots = list(chem_pots)
         self.T = float(temperature)
@@ -128,27 +188,67 @@ class GrandCanonicalEnsemble:
         self.accepted_ins = 0
         self.accepted_del = 0
         self._cycle_jit = {}
+        self._probe_caps = {}
 
     def _next(self):
         self.key, k = jax.random.split(self.key)
         return k
 
+    def _probe_geometry(self, mol, pp):
+        """Cell-probe eligibility + (dims, cap) for the probe table:
+        edge >= cutoff, >= 3 cells per axis (the 27-stencil would
+        double-count under periodic wrap otherwise), capacity from the
+        mean density with 2x headroom (doubled on measured overflow)."""
+        rc = float(np.sqrt(max(float(pp.rc2), float(pp.rc2_lj))))
+        dims = tuple(max(1, int(np.floor(b / rc))) for b in self.box)
+        if mol.capacity < self.CELL_PROBE_MIN_N or min(dims) < 3:
+            return None
+        edge_vol = float(np.prod(self.box / np.asarray(dims)))
+        rho = mol.capacity / self.volume  # upper bound on density
+        cap = int(2 ** np.ceil(np.log2(max(2.0 * rho * edge_vol, 8))))
+        return dims, cap
+
     def step(self, mol: MoleculeState, pp: PairParams, step: int) -> MoleculeState:
         for icp, cp in enumerate(self.chem_pots):
             if step % cp.interval:
                 continue
-            fn = self._cycle_jit.get(icp)
-            if fn is None:
-                fn = jax.jit(functools.partial(self._cycle, cp=cp))
-                self._cycle_jit[icp] = fn
-            mol, n_att, n_del, n_ins = fn(mol, pp, self._next())
+            if icp not in self._probe_caps:
+                self._probe_caps[icp] = self._probe_geometry(mol, pp)
+            key = self._next()
+            while True:
+                geom = self._probe_caps[icp]
+                ck = (icp, geom)
+                fn = self._cycle_jit.get(ck)
+                if fn is None:
+                    fn = jax.jit(
+                        functools.partial(self._cycle, cp=cp, probe=geom)
+                    )
+                    self._cycle_jit[ck] = fn
+                mol2, n_att, n_del, n_ins, ovf = fn(mol, pp, key)
+                if geom is None or not bool(ovf):
+                    mol = mol2
+                    break
+                # probe-table overflow: the cycle returned the input
+                # state untouched; double the table capacity and retry
+                self._probe_caps[icp] = (geom[0], 2 * geom[1])
             self.attempted += int(n_att)
             self.accepted_del += int(n_del)
             self.accepted_ins += int(n_ins)
         return mol
 
-    def _cycle(self, mol: MoleculeState, pp: PairParams, key, *, cp):
-        """One grand-canonical cycle, fully on device."""
+    def _cycle(self, mol: MoleculeState, pp: PairParams, key, *, cp,
+               probe=None):
+        """One grand-canonical cycle, fully on device.
+
+        probe=(dims, cap) selects the cell-table probe: molecules are
+        binned ONCE per cycle (O(N), amortized over all trials) and
+        each trial's energy reads only the 27-cell neighborhood
+        (cell_probe_energy) -- the trial cost is independent of N
+        (LinkedCells::getEnergy is cell-local in the reference too).
+        Deletions need no table maintenance (the table stores INDICES;
+        validity and positions are read live from the evolving mol),
+        and same-cycle insertions are corrected by a small delta list
+        of pair energies."""
         dtype = mol.r.dtype
         box = jnp.asarray(self.box, dtype)
         T = self.T
@@ -163,9 +263,59 @@ class GrandCanonicalEnsemble:
         )
         comp = jnp.asarray(cp.component, jnp.int32)
         n_cap = mol.capacity
-        idx_arange = jnp.arange(n_cap, dtype=jnp.int32)
+        nd = int(cp.deletions_per_interval)
+        ni = int(cp.insertions_per_interval)
 
-        def try_delete(mol, k):
+        table = None
+        table_ovf = jnp.zeros((), bool)
+        if probe is not None:
+            from ls1_mardyn_tpu.ops.cells import CellGridSpec, bin_particles
+
+            pdims, pcap = probe
+            pspec = CellGridSpec(
+                dims=pdims, box=tuple(float(b) for b in self.box), cap=pcap
+            )
+            bins = bin_particles(mol.r, mol.valid, pspec)
+            table = bins.slots
+            table_ovf = bins.overflow
+
+        def probe_e(mol, r_p, q_p, cid_p, excl, deltas):
+            if probe is None:
+                return single_molecule_energy(
+                    mol, pp, box, r_p, q_p, cid_p, excl
+                )
+            e = cell_probe_energy(
+                mol, pp, box, table, probe[0], r_p, q_p, cid_p, excl
+            )
+            if ni == 0:
+                return e
+            # same-cycle insertions are absent from the table: add
+            # their pair energies (validity read LIVE so an insertion
+            # deleted later in the cycle cancels itself)
+            d_r, d_q, d_idx = deltas
+            dsafe = jnp.clip(d_idx, 0, n_cap - 1)
+            drm_raw = min_image(r_p[None, :] - d_r, box)
+            com2 = jnp.sum(drm_raw * drm_raw, axis=-1)
+            okd = (d_idx >= 0) & mol.valid[dsafe] & (d_idx != excl)
+            mask_lj = okd & (com2 < pp.rc2_lj)
+            mask_el = okd & (com2 < pp.rc2)
+            fill = jnp.zeros((3,), dtype).at[0].set(
+                3.0 * jnp.sqrt(pp.rc2) + 1.0
+            )
+            drm = jnp.where((mask_lj | mask_el)[:, None], drm_raw, fill)
+            sites_d = site_offsets(pp, d_q, mol.cid[dsafe])
+            sites_p = site_offsets(pp, q_p[None], cid_p[None])
+            out = molecule_pair(
+                drm, sites_p, sites_d, cid_p, mol.cid[dsafe], pp,
+                mask_lj, mask_el,
+            )
+            return e + (
+                jnp.sum(out["u6lj"]) / 6.0
+                + jnp.sum(out["uX"])
+                + jnp.sum(out["my_rf"])
+            )
+
+        def try_delete(mol, deltas, k):
             k1, k2 = jax.random.split(k)
             in_cv = jnp.all((mol.r >= lo) & (mol.r < hi), axis=-1)
             cand = mol.valid & (mol.cid == comp) & in_cv
@@ -176,8 +326,8 @@ class GrandCanonicalEnsemble:
             )
             idx = jnp.searchsorted(cnt, pick).astype(jnp.int32)
             idx = jnp.clip(idx, 0, n_cap - 1)
-            e_mol = single_molecule_energy(
-                mol, pp, box, mol.r[idx], mol.q[idx], mol.cid[idx], idx
+            e_mol = probe_e(
+                mol, mol.r[idx], mol.q[idx], mol.cid[idx], idx, deltas
             )
             n = jnp.sum(mol.valid).astype(dtype)
             acc = jnp.minimum(
@@ -192,7 +342,7 @@ class GrandCanonicalEnsemble:
             )
             return dataclasses.replace(mol, valid=valid), do
 
-        def try_insert(mol, k):
+        def try_insert(mol, deltas, ins_i, k):
             k1, k2, k3, k4 = jax.random.split(k, 4)
             free = ~mol.valid
             has_free = jnp.any(free)
@@ -200,9 +350,9 @@ class GrandCanonicalEnsemble:
             r_new = jax.random.uniform(k1, (3,), dtype, lo, hi)
             qv = jax.random.normal(k2, (4,), dtype)
             q_new = qv / jnp.linalg.norm(qv)
-            du = single_molecule_energy(
-                mol, pp, box, r_new, q_new, comp,
-                jnp.asarray(-1, jnp.int32),
+            du = probe_e(
+                mol, r_new, q_new, comp, jnp.asarray(-1, jnp.int32),
+                deltas,
             )
             n = jnp.sum(mol.valid).astype(dtype)
             acc = jnp.minimum(
@@ -218,6 +368,13 @@ class GrandCanonicalEnsemble:
             def w(a, val):
                 return a.at[idx].set(jnp.where(do, val, a[idx]))
 
+            if deltas is not None:
+                d_r, d_q, d_idx = deltas
+                deltas = (
+                    d_r.at[ins_i].set(jnp.where(do, r_new, d_r[ins_i])),
+                    d_q.at[ins_i].set(jnp.where(do, q_new, d_q[ins_i])),
+                    d_idx.at[ins_i].set(jnp.where(do, idx, d_idx[ins_i])),
+                )
             return (
                 dataclasses.replace(
                     mol,
@@ -229,37 +386,59 @@ class GrandCanonicalEnsemble:
                     mid=w(mol.mid, mid_new),
                     valid=w(mol.valid, True),
                 ),
+                deltas,
                 do,
             )
 
-        nd = int(cp.deletions_per_interval)
-        ni = int(cp.insertions_per_interval)
         keys = jax.random.split(key, nd + ni)
+        deltas0 = None
+        if probe is not None and ni > 0:
+            deltas0 = (
+                jnp.zeros((ni, 3), dtype),
+                jnp.zeros((ni, 4), dtype),
+                jnp.full((ni,), -1, jnp.int32),
+            )
 
         def body(carry, kk):
-            mol, a_del, a_ins, i = carry
+            mol, deltas, a_del, a_ins, i = carry
             is_del = i < nd
 
-            def del_branch(m):
-                m2, do = try_delete(m, kk)
-                return m2, do, jnp.asarray(False)
+            def del_branch(args):
+                m, d = args
+                m2, do = try_delete(m, d, kk)
+                return m2, d, do, jnp.asarray(False)
 
-            def ins_branch(m):
-                m2, do = try_insert(m, kk)
-                return m2, jnp.asarray(False), do
+            def ins_branch(args):
+                m, d = args
+                m2, d2, do = try_insert(m, d, i - nd, kk)
+                return m2, d2, jnp.asarray(False), do
 
-            mol, dd, di = jax.lax.cond(is_del, del_branch, ins_branch, mol)
+            mol, deltas, dd, di = jax.lax.cond(
+                is_del, del_branch, ins_branch, (mol, deltas)
+            )
             return (
                 mol,
+                deltas,
                 a_del + dd.astype(jnp.int32),
                 a_ins + di.astype(jnp.int32),
                 i + 1,
             ), None
 
-        (mol, a_del, a_ins, _), _ = jax.lax.scan(
-            body, (mol, jnp.int32(0), jnp.int32(0), jnp.int32(0)), keys
+        (mol_out, _, a_del, a_ins, _), _ = jax.lax.scan(
+            body,
+            (mol, deltas0, jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+            keys,
         )
-        return mol, jnp.int32(nd + ni), a_del, a_ins
+        # probe-table overflow: results are untrustworthy -- return the
+        # INPUT state so the host can rebuild with a larger table and
+        # rerun the cycle
+        if probe is not None:
+            mol_out = jax.tree.map(
+                lambda a, b: jnp.where(table_ovf, a, b), mol, mol_out
+            )
+            a_del = jnp.where(table_ovf, 0, a_del)
+            a_ins = jnp.where(table_ovf, 0, a_ins)
+        return mol_out, jnp.int32(nd + ni), a_del, a_ins, table_ovf
 
 def _build_chemical_potentials(specs, box):
     """XML <chemicalpotential> blocks -> ChemicalPotential list with
