@@ -2113,12 +2113,29 @@ def _lj_cwn3l_kernel(
                     [seg,
                      jnp.zeros((ny, NPLANE, n_tiles_pk, txc - w), out_dtype)],
                     axis=-1)
-                flat = blk.reshape(ny, NPLANE, n_tiles_pk * txc)
+                # lane roll to the absolute origin, TILE-LOCALLY: a
+                # flat roll by o (|o| < txc) is an intra-tile shift
+                # with the carry lanes taken from the adjacent tile
+                # (periodic via the tile-axis roll).  Keeps every
+                # vector op at txc lanes -- the full-width
+                # (n_tiles*txc-lane) roll made Mosaic's superlinear
+                # compile blow up at production nx (the same width
+                # pathology the rebin kernel's x-tiling fixed); the
+                # tiled form compiles.
                 o = (g + (0 if k == 0 else -1)) * cap
-                if o:
-                    flat = jnp.roll(flat, o, axis=-1)
+                if o > 0:
+                    prev = jnp.roll(blk, 1, axis=2)
+                    blk = jnp.concatenate(
+                        [prev[..., txc - o:], blk[..., :txc - o]], axis=-1
+                    )
+                elif o < 0:
+                    nxt = jnp.roll(blk, -1, axis=2)
+                    blk = jnp.concatenate(
+                        [blk[..., -o:], nxt[..., :-o]], axis=-1
+                    )
                 if dyr:
-                    flat = jnp.roll(flat, dyr, axis=0)
+                    blk = jnp.roll(blk, dyr, axis=0)
+                flat = blk.reshape(ny, NPLANE, n_tiles_pk * txc)
                 if dzr == 0:
                     own = own + flat
                 else:
@@ -2282,8 +2299,13 @@ def lj_cell_forces_pallas_cwn3l(
             jax.ShapeDtypeStruct((nz, ny, NPLANE, nx * cap), out_dtype),
         ],
         scratch_shapes=scratch_shapes,
+        # pack mode's chunked j-side scratch is ~2x the dense sown+sup
+        # footprint; at nx=56-60 production grids the whole program
+        # needs ~109 MB scoped vmem (measured OOM at the 100 MB
+        # default, 2026-08-19) -- v5e has 128 MiB, so grant pack the
+        # headroom
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            vmem_limit_bytes=(120 if pack else 100) * 1024 * 1024
         ),
         interpret=interpret,
     )(*operands)
