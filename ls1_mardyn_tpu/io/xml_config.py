@@ -201,11 +201,16 @@ def _polar(theta_deg, phi_deg):
 def _params_dict(el: ET.Element) -> Dict[str, Any]:
     out = dict(el.attrib)
     for child in el:
-        val = (
-            _params_dict(child)
-            if len(child)
-            else (child.text.strip() if child.text is not None else "")
-        )
+        if len(child):
+            val = _params_dict(child)
+        else:
+            val = child.text.strip() if child.text is not None else ""
+            # leaf elements with a label attribute (e.g. SysMonOutput
+            # <expression label="...">rpn</expression>,
+            # examples/resilience-test/config.xml:65) keep both the
+            # attribute and the text
+            if "label" in child.attrib:
+                val = {**child.attrib, "#text": val}
         if child.tag in out:
             # repeated tags (e.g. several <objectgenerator> blocks)
             # accumulate into a list instead of overwriting

@@ -32,30 +32,54 @@ class TimerWriter(PluginBase):
 
 @PluginFactory.register("SysMonOutput")
 class SysMonOutput(PluginBase):
-    """procfs system monitor (SysMon/SysMonOutput): loadavg + memory,
-    logged at the write frequency.  The reference evaluates RPN
-    expressions over procfs values; we report the common ones
-    directly."""
+    """procfs system monitor (src/io/SysMonOutput.cpp + src/utils/
+    SysMon): evaluates configured RPN <expression> entries over
+    procfs/sysconf variables at the write frequency and logs each
+    expression's [min,max] + peak window like the reference's
+    InfoString.  Default expressions mirror the reference examples
+    (examples/resilience-test/config.xml:64-66)."""
+
+    def __init__(self, params=None):
+        super().__init__(params)
+        from ls1_mardyn_tpu.utils.sysmon import SysMon
+
+        self.sysmon = SysMon.get_sysmon()
+        exprs = self.params.get("expression")
+        if exprs is None:
+            exprs = [
+                "procloadavg:loadavg1",
+                {"label": "Free+BufferRAM [MB]", "#text":
+                 "sysinfo:freeram sysinfo:bufferram + "
+                 "sysinfo:mem_unit * float 1048576 /"},
+            ]
+        elif not isinstance(exprs, list):
+            exprs = [exprs]
+        for e in exprs:
+            if isinstance(e, dict):
+                self.sysmon.add_expression(
+                    e.get("#text", ""), label=e.get("label") or None
+                )
+            else:
+                self.sysmon.add_expression(str(e))
+
+    def _log(self, tag):
+        from ls1_mardyn_tpu.utils.logger import global_log
+
+        self.sysmon.update_expression_values()
+        global_log.info(
+            "%s", self.sysmon.info_string(f"System Monitor ({tag})\n")
+        )
+
+    def init(self, sim):
+        self._log("initial")
 
     def end_step(self, sim, step):
         if step % self.write_frequency:
             return
-        from ls1_mardyn_tpu.utils.logger import global_log
+        self._log(f"simulation step {step}")
 
-        try:
-            loadavg = open("/proc/loadavg").read().split()[:3]
-            meml = {}
-            for line in open("/proc/meminfo"):
-                k, v = line.split(":", 1)
-                meml[k] = v.strip()
-            global_log.info(
-                "SysMon: LoadAvg1=%s FreeRAM=%s AvailableRAM=%s",
-                loadavg[0],
-                meml.get("MemFree", "?"),
-                meml.get("MemAvailable", "?"),
-            )
-        except OSError:
-            pass
+    def finish(self, sim):
+        self._log("final")
 
 
 @PluginFactory.register("MaxCheck")
