@@ -962,6 +962,9 @@ class MDSimulation:
         profile_steps: Tuple[int, int] = (10, 15),
     ):
         steps = steps if steps is not None else self.config.steps
+        # published for plugins that extrapolate progress
+        # (estimateRemainingTimeCommand reads getNumTimesteps())
+        self.total_steps = steps
         eng = self.engine
         profiler = _TraceCapture(profile_dir, profile_steps, steps)
         if not getattr(eng, "started", eng.forces is not None):

