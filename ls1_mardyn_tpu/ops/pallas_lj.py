@@ -1760,9 +1760,21 @@ def _lj_cwn3l_kernel(
     # Re-pack those 14 cells into 4 fully dense 128-lane chunks (2 pad
     # cells), so the pair loop runs 4x128 aligned lanes per i slot
     # instead of 5x128 -- a 20% structural cut with every inner-loop op
-    # still 128-aligned (the only pruning class that has beaten the
-    # dense kernel in this tree's A/B history; cf. the packed-pencil
-    # and occupancy-skip dead ends above).
+    # still 128-aligned.
+    #
+    # MEASURED RESULT (tools/ab_pack.py, TPU v5e, 2026-08-19,
+    # equilibrated seed state, bench grid (56,60,60)): SLOWER than
+    # dense -- 77.2 ms pack vs 59.4 ms dense, parity rel 2.8e-7.  The
+    # chunks are assembled in-kernel from cap(=32)-lane slices of the
+    # hoisted rows; those sub-128-lane concatenates cost more than the
+    # 20% lane saving, the same alignment-tax verdict as the
+    # packed-pencil and occupancy-skip campaigns.  With this, every
+    # structural-pruning class (row-skip, slot-skip, repack, Verlet
+    # rows (tools/ab_verlet.py: gathers 1.8 GB/s -> 24x loss), MXU
+    # offload, static-row-index (ablate="staty": parity)) has been
+    # measured against the dense kernel and lost; dense 5x128 at the
+    # VPU issue roofline is the committed production bound (README
+    # "Performance").  Kept as a tested opt-in experiment.
     if pack:
         assert cap == 32 and gw == 128 and txc == 128 and not skip_tail
         PKW = 4 * gw

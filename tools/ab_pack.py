@@ -35,11 +35,30 @@ def main():
     L = (n / rho) ** (1.0 / 3.0)
     data = cubic_grid(n, [L, L, L], temperature, seed=7)
     cache = "/tmp/ls1_bench_equil_%d_%g.npz" % (n, rho)
+    seed_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "assets", "bench_seed_524288.npz",
+    )
     if os.path.exists(cache):
         z = np.load(cache)
         data.r = z["r"].astype(np.float64)
         data.v = z["v"].astype(np.float64)
         print("using equilibrated cache", cache)
+    elif os.path.exists(seed_path) and n % 524288 == 0 and round(
+        (n // 524288) ** (1 / 3)
+    ) ** 3 == n // 524288:
+        # committed equilibrated seed, tiled like bench._load_state
+        z = np.load(seed_path)
+        t = round((n // 524288) ** (1 / 3))
+        Ls = float(z["L"])
+        offs = np.array([(i, j, k) for i in range(t) for j in range(t)
+                         for k in range(t)], np.float64) * Ls
+        data.r = ((z["r"].astype(np.float64)[None] + offs[:, None])
+                  .reshape(-1, 3)) % (Ls * t)
+        data.v = np.tile(z["v"].astype(np.float64), (t ** 3, 1))
+        L = Ls * t
+        data.box = np.array([L, L, L])
+        print("using committed seed tiled %dx (L=%.2f)" % (t ** 3, L))
     else:
         print("NO equilibrated cache -- lattice start (occupancies differ!)")
     mol, pp, table, box = build_scene(data, cutoff=rc, dtype=jnp.float32)
