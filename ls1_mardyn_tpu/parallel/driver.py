@@ -440,6 +440,35 @@ class ParallelMDSimulation:
                 mol, z_edges=self.z_edges
             )
         else:
+            # mesh3d init-time z-layer balancing (device-granular
+            # KDDecomposition role; same 1.3x trigger as the slab)
+            Pz = self.sim.cfg.grid[2]
+            min_h = self.sim.cfg.nzl * rc
+            if n and Pz > 1 and Pz * min_h <= self.box[2]:
+                from ls1_mardyn_tpu.parallel.decomposition import (
+                    balanced_z_edges,
+                )
+
+                cu = np.bincount(
+                    np.clip(
+                        (rv[:, 2] / (self.box[2] / Pz)).astype(int),
+                        0, Pz - 1,
+                    ),
+                    minlength=Pz,
+                )
+                if cu.max() > 1.3 * cu.mean():
+                    import jax.numpy as _jnp
+
+                    zb = balanced_z_edges(
+                        rv[:, 2], Pz, float(self.box[2]), min_h
+                    )
+                    self.sim.zb_host = zb
+                    self.sim._zb_default = _jnp.asarray(zb)
+                    global_log.info(
+                        "load balance: mesh3d balanced z-layer bounds "
+                        "at init (uniform imbalance %.2f)",
+                        cu.max() / max(cu.mean(), 1e-12),
+                    )
             self.mol_sharded = self.sim.distribute(mol)
         self._FM = None
 
@@ -633,7 +662,12 @@ class ParallelMDSimulation:
         distribution (equal molecules per row, min height = cutoff) and
         redistribute.  The edges are a dynamic step argument, so this
         never recompiles (contrast: the reference rebuilds its KD tree
-        and migrates, KDDecomposition.h:21-55)."""
+        and migrates, KDDecomposition.h:21-55).
+
+        slab: per-ROW edges (nz_global rows, min height = cutoff).
+        mesh3d: per-Z-LAYER device bounds (Pz layers; min height =
+        nzl * cutoff so every cell row inside a layer keeps pitch >=
+        rc and the +-1-row halo stays valid)."""
         import jax.numpy as jnp
 
         from ls1_mardyn_tpu.parallel.decomposition import balanced_z_edges
@@ -643,8 +677,11 @@ class ParallelMDSimulation:
         g = self.sim.gather_global(self.mol_sharded)
         valid = np.asarray(g.valid)
         z = np.asarray(g.r)[valid, 2]
+        rc = max(self.config.cutoff, self.config.lj_cutoff)
+        if self.kind == "mesh3d":
+            return self._rebalance_mesh3d(g, z, rc)
         nzg = cfg.n_devices * cfg.nz_local
-        min_h = max(self.config.cutoff, self.config.lj_cutoff)
+        min_h = rc
         edges = balanced_z_edges(z, nzg, cfg.box[2], min_h)
         self.z_edges = edges
         if isinstance(self._FM, dict):
@@ -675,6 +712,56 @@ class ParallelMDSimulation:
         global_log.info(
             "load balance: non-uniform z rows adopted at step %d "
             "(per-device counts %s, imbalance %.3f)",
+            self.step, counts.tolist(),
+            counts.max() / max(counts.mean(), 1e-12),
+        )
+
+    def _rebalance_mesh3d(self, g, z, rc):
+        """mesh3d z-layer balancing: equal-count bounds at device
+        granularity; every layer keeps extent >= nzl*rc (cell pitch >=
+        rc).  The bounds are a dynamic step argument and the host
+        ownership table (sim.zb_host), so distribute/GC routing follow
+        automatically."""
+        import jax.numpy as jnp
+
+        from ls1_mardyn_tpu.parallel.decomposition import balanced_z_edges
+
+        cfg = self.sim.cfg
+        Pz = cfg.grid[2]
+        if Pz == 1:
+            return
+        min_h = cfg.nzl * rc
+        if Pz * min_h > cfg.box[2]:
+            global_log.warning(
+                "mesh3d load balance skipped: %d z layers x nzl=%d "
+                "rows x rc=%.3g exceed the box height %.3g",
+                Pz, cfg.nzl, rc, cfg.box[2],
+            )
+            return
+        zb = balanced_z_edges(z, Pz, cfg.box[2], min_h)
+        self.sim.zb_host = zb
+        self.sim._zb_default = jnp.asarray(zb)
+        if isinstance(self._FM, dict):
+            a = self._FM
+            keys = [k for k in ("F", "M", "Vi", "rcomp", "vcomp")
+                    if k in a]
+            self.mol_sharded, ex = self.sim.distribute(
+                g, extras=tuple(np.asarray(a[k]) for k in keys)
+            )
+            self._FM = dict(zip(keys, ex))
+        elif self._FM is not None:
+            self.mol_sharded, self._FM = self.sim.distribute(
+                g, extras=tuple(np.asarray(x) for x in self._FM)
+            )
+        else:
+            self.mol_sharded = self.sim.distribute(g)
+        self._mol_cache = None
+        lay = np.clip(np.searchsorted(zb[1:-1], z, side="right"), 0,
+                      Pz - 1)
+        counts = np.bincount(lay, minlength=Pz)
+        global_log.info(
+            "load balance: mesh3d z-layer bounds adopted at step %d "
+            "(per-layer counts %s, imbalance %.3f)",
             self.step, counts.tolist(),
             counts.max() / max(counts.mean(), 1e-12),
         )
@@ -785,9 +872,10 @@ class ParallelMDSimulation:
                 )
             else:
                 (self.mol_sharded, self._FM, gv, self._macro,
-                 overflow) = self.sim._step_sharded(
+                 overflow, nloc) = self.sim._step_sharded(
                     self.mol_sharded, self._FM,
                     jnp.asarray(self.step, jnp.int32),
+                    self.sim._zb_default,
                 )
             ovf_window.append(overflow)
             self._mol_cache = None
@@ -823,7 +911,7 @@ class ParallelMDSimulation:
                 ovf_window.clear()
                 if any_ovf:
                     self._respec()
-                elif slab and nloc is not None:
+                elif nloc is not None:
                     # measured per-device load -> rebalance when the
                     # imbalance factor drifts past the threshold
                     if self._lb_cooldown > 0:

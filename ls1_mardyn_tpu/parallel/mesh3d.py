@@ -160,23 +160,40 @@ class Mesh3DSimulation:
             self._ewald_k = (jnp.asarray(k), jnp.asarray(c))
         flat = P((AX[0], AX[1], AX[2]))
         self._in_spec = flat
+        # dynamic per-z-layer device bounds (the KDDecomposition role
+        # restricted to z splits at DEVICE granularity: each z layer of
+        # devices owns z in [zb[k], zb[k+1]), cells inside a layer stay
+        # uniform with pitch (zb[k+1]-zb[k])/nzl >= rc so the +-1-row
+        # halo remains valid; the kernel computes pair distances from
+        # absolute coordinates, so non-uniform pitch is physically
+        # exact).  zb is a replicated DYNAMIC step argument -- moving
+        # the edges never recompiles.
+        self.zb_host = np.linspace(
+            0.0, cfg.box[2], cfg.grid[2] + 1
+        ).astype(np.float32)
+        self._zb_default = jnp.asarray(self.zb_host)
         self._step_sharded = jax.jit(
             jax.shard_map(
                 self._device_step,
                 mesh=self.mesh,
-                in_specs=(flat, flat, P()),
-                out_specs=(flat, flat, P(), P(), P()),
+                in_specs=(flat, flat, P(), P()),
+                out_specs=(flat, flat, P(), P(), P(), flat),
                 check_vma=False,
             )
         )
-        self._force_sharded = jax.jit(
+        self._force_sharded_zb = jax.jit(
             jax.shard_map(
                 self._device_forces_entry,
                 mesh=self.mesh,
-                in_specs=(flat,),
+                in_specs=(flat, P()),
                 out_specs=(flat, P(), P()),
                 check_vma=False,
             )
+        )
+
+    def _force_sharded(self, mol, zb=None):
+        return self._force_sharded_zb(
+            mol, self._zb_default if zb is None else zb
         )
 
     # -- host-side scene distribution --------------------------------------
@@ -189,6 +206,11 @@ class Mesh3DSimulation:
                 for d in range(3)
             ],
             axis=1,
+        )
+        # z layer ownership follows the CURRENT dynamic bounds
+        o[:, 2] = np.clip(
+            np.searchsorted(self.zb_host[1:-1], r[:, 2], side="right"),
+            0, cfg.grid[2] - 1,
         )
         return o
 
@@ -310,9 +332,10 @@ class Mesh3DSimulation:
     def _coords(self):
         return tuple(jax.lax.axis_index(a) for a in AX)
 
-    def _migrate(self, mol: MoleculeState):
+    def _migrate(self, mol: MoleculeState, zb):
         """Three sequential dimension-wise leaving-molecule exchanges
-        (IndirectNeighbourCommunicationScheme: x, then y, then z)."""
+        (IndirectNeighbourCommunicationScheme: x, then y, then z).
+        z ownership follows the dynamic layer bounds zb."""
         cfg = self.cfg
         lb = cfg.local_box
         overflow = jnp.zeros((), jnp.bool_)
@@ -321,9 +344,19 @@ class Mesh3DSimulation:
             if Pn == 1:
                 continue
             me = jax.lax.axis_index(axname)
-            owner = jnp.clip(
-                jnp.floor(mol.r[:, d] / lb[d]).astype(jnp.int32), 0, Pn - 1
-            )
+            if d == 2:
+                owner = jnp.clip(
+                    jnp.searchsorted(
+                        zb[1:-1].astype(mol.r.dtype), mol.r[:, 2],
+                        side="right",
+                    ).astype(jnp.int32),
+                    0, Pn - 1,
+                )
+            else:
+                owner = jnp.clip(
+                    jnp.floor(mol.r[:, d] / lb[d]).astype(jnp.int32),
+                    0, Pn - 1,
+                )
             dd = jnp.mod(owner - me, Pn)
             go_up = mol.valid & (dd == 1)
             go_down = mol.valid & (dd == Pn - 1) & ~go_up
@@ -393,28 +426,44 @@ class Mesh3DSimulation:
             )
         return packed
 
-    def _local_views(self, mol: MoleculeState):
+    def _local_views(self, mol: MoleculeState, zb):
         """Bin into the local cell block; attach x halo lanes (ppermute
         along ddx), then y halo rows, then z halo rows.  Because y rows
         are exchanged after x lanes are attached (and z after y), the
         edge/corner halos arrive transitively -- the indirect scheme's
-        diagonal forwarding."""
+        diagonal forwarding.
+
+        z cells are DYNAMIC: this layer's extent [zb[cz], zb[cz+1])
+        divided into nzl uniform rows (pitch >= rc is enforced by the
+        min-height constraint on the balanced bounds)."""
         cfg = self.cfg
         spec = cfg.local_spec
         cx, cy, cz = self._coords()
         gx, gy, gz = cfg.grid
         dtype = mol.r.dtype
         lb = cfg.local_box
-        org = jnp.stack(
-            [
-                cx.astype(dtype) * lb[0],
-                cy.astype(dtype) * lb[1],
-                cz.astype(dtype) * lb[2],
-            ]
-        )
-        r_loc = mol.r - org[None, :]
-        bins = bin_particles(r_loc, mol.valid, spec)
         nxl, nyl, nzl, cap = cfg.nxl, cfg.nyl, cfg.nzl, cfg.cap
+        zbd = zb.astype(dtype)
+        z_lo = jax.lax.dynamic_index_in_dim(zbd, cz, keepdims=False)
+        z_hi = jax.lax.dynamic_index_in_dim(zbd, cz + 1, keepdims=False)
+        pitch_z = (z_hi - z_lo) / nzl
+        # x/y cells from the static spec; z from the dynamic bounds
+        from ls1_mardyn_tpu.ops.cells import bin_by_id
+
+        cxg = jnp.clip(
+            jnp.floor((mol.r[:, 0] - cx.astype(dtype) * lb[0])
+                      / (lb[0] / nxl)).astype(jnp.int32), 0, nxl - 1
+        )
+        cyg = jnp.clip(
+            jnp.floor((mol.r[:, 1] - cy.astype(dtype) * lb[1])
+                      / (lb[1] / nyl)).astype(jnp.int32), 0, nyl - 1
+        )
+        czg = jnp.clip(
+            jnp.floor((mol.r[:, 2] - z_lo) / pitch_z).astype(jnp.int32),
+            0, nzl - 1,
+        )
+        cell = (czg * nyl + cyg) * nxl + cxg
+        bins = bin_by_id(cell, mol.valid, spec)
         idx = bins.slots.reshape(nzl, nyl, nxl * cap)
         safe = jnp.clip(idx, 0, mol.capacity - 1)
         ok = (idx >= 0) & mol.valid[safe]
@@ -485,9 +534,9 @@ class Mesh3DSimulation:
         r_j = jnp.moveaxis(gj, -1, 2)
         return r_i, r_j, bins
 
-    def _device_forces(self, mol: MoleculeState):
+    def _device_forces(self, mol: MoleculeState, zb):
         cfg = self.cfg
-        r_i, r_j, bins = self._local_views(mol)
+        r_i, r_j, bins = self._local_views(mol, zb)
         dtype = mol.r.dtype
         zero = jnp.zeros((), dtype)
         if cfg.ms_meta is None:
@@ -586,13 +635,13 @@ class Mesh3DSimulation:
             t = jax.lax.psum(t, a)
         return t
 
-    def _device_forces_entry(self, mol: MoleculeState):
-        F, M, Vi, (u6, uX, my_rf, vir), _ovf = self._device_forces(mol)
+    def _device_forces_entry(self, mol: MoleculeState, zb):
+        F, M, Vi, (u6, uX, my_rf, vir), _ovf = self._device_forces(mol, zb)
         packed = self._psum_all(jnp.stack([u6, uX, my_rf, vir]))
         ovf = self._psum_all(_ovf.astype(jnp.int32))
         return (F, M, Vi), packed, ovf
 
-    def _device_step(self, mol: MoleculeState, F_prev, step):
+    def _device_step(self, mol: MoleculeState, F_prev, step, zb):
         cfg = self.cfg
         from ls1_mardyn_tpu.state import Forces
 
@@ -605,8 +654,8 @@ class Mesh3DSimulation:
         forces_prev = Forces(F=F_prev, M=M_prev, Vi=zeros3)
         mol = upd_pre_force(mol, forces_prev, self.pp, cfg.dt)
         mol = dataclasses.replace(mol, r=wrap_positions(mol.r, cfg.box))
-        mol, mig_overflow = self._migrate(mol)
-        F, M, Vi, (u6, uX, my_rf, vir), bin_overflow = self._device_forces(mol)
+        mol, mig_overflow = self._migrate(mol, zb)
+        F, M, Vi, (u6, uX, my_rf, vir), bin_overflow = self._device_forces(mol, zb)
         forces = Forces(F=F, M=M, Vi=zeros3)
         mol, mv2, iw2 = upd_post_force(mol, forces, self.pp, cfg.dt)
 
@@ -652,25 +701,31 @@ class Mesh3DSimulation:
             )
             > 0
         )
-        return mol, (F, M, Vi), gv, macro_g, overflow
+        # per-device molecule count: the measured load that drives
+        # z-layer rebalancing (LoadCalc role)
+        nloc_dev = jnp.sum(mol.valid).astype(jnp.int32).reshape(1)
+        return mol, (F, M, Vi), gv, macro_g, overflow, nloc_dev
 
     # -- host API -----------------------------------------------------------
-    def compute_forces(self, mol: MoleculeState):
-        (F, M, _Vi), packed, ovf = self._force_sharded(mol)
+    def compute_forces(self, mol: MoleculeState, zb=None):
+        (F, M, _Vi), packed, ovf = self._force_sharded(mol, zb)
         return F, M, packed, ovf
 
-    def step(self, mol: MoleculeState, FM, step: int = 0):
-        mol, FM, gv, _macro, ovf = self._step_sharded(
-            mol, FM, jnp.asarray(step, jnp.int32)
+    def step(self, mol: MoleculeState, FM, step: int = 0, zb=None):
+        mol, FM, gv, _macro, ovf, _nloc = self._step_sharded(
+            mol, FM, jnp.asarray(step, jnp.int32),
+            self._zb_default if zb is None else zb,
         )
         return mol, FM, gv, ovf
 
-    def run(self, mol: MoleculeState, steps: int, check_overflow_every: int = 0):
-        FM, _, ovf = self._force_sharded(mol)
+    def run(self, mol: MoleculeState, steps: int, check_overflow_every: int = 0,
+            zb=None):
+        zb = self._zb_default if zb is None else zb
+        FM, _, ovf = self._force_sharded(mol, zb)
         gv = None
         for i in range(steps):
-            mol, FM, gv, _macro, overflow = self._step_sharded(
-                mol, FM, jnp.asarray(i + 1, jnp.int32)
+            mol, FM, gv, _macro, overflow, _nloc = self._step_sharded(
+                mol, FM, jnp.asarray(i + 1, jnp.int32), zb
             )
             if check_overflow_every and (i % check_overflow_every == 0):
                 if bool(np.asarray(overflow)):
