@@ -69,10 +69,23 @@ class CavityEnsemble:
         return int(active.sum())
 
 
+# per-component element letter in the cavity .xyz output
+# (CavityWriter.cpp:223-227)
+_CAV_ELEMENT = {0: "C", 1: "N", 2: "O", 3: "F"}
+
+
 @PluginFactory.register("CavityWriter")
 class CavityWriter(PluginBase):
     """Writes active cavity positions per frame (CavityWriter.h:13-40):
-    xyz-like output of probe points classified as cavities."""
+    xyz-like output of probe points classified as cavities.
+
+    Reference refinements (CavityWriter.cpp:48-130, 176-229):
+    - ControlVolume restriction: the probe grid spans the configured
+      sub-volume instead of the whole domain;
+    - per-component ensembles (repeated <componentid> entries): one
+      CavityEnsemble and one output file per tracked component,
+      named  <prefix>-c<cid>-<zero-padded frame>.cav.xyz  with the
+      component's element letter (C/N/O/F/Ne)."""
 
     def __init__(self, params=None):
         super().__init__(params)
@@ -84,25 +97,59 @@ class CavityWriter(PluginBase):
         )
         self.radius = float(p.get("radius", 1.0))
         self.max_neighbours = int(float(p.get("maxNeighbours", 0)))
+        cv = p.get("ControlVolume", {})
+        self.control_volume = cv if isinstance(cv, dict) else {}
+        cids = p.get("componentid", [0])
+        if not isinstance(cids, list):
+            cids = [cids]
+        self.cids = [int(float(c)) for c in cids]
 
     def init(self, sim):
-        self.ensemble = CavityEnsemble(
-            sim.box,
-            grid=self.grid,
-            radius=self.radius,
-            max_neighbours=self.max_neighbours,
-        )
+        import numpy as _np
+
+        box = _np.asarray(sim.box, float)
+        cv = self.control_volume
+        lo = _np.array([float(cv.get(k, 0.0)) for k in ("x0", "y0", "z0")])
+        hi = _np.array([
+            float(cv.get(k, d))
+            for k, d in (("x1", box[0]), ("y1", box[1]), ("z1", box[2]))
+        ])
+        if (lo > hi).any() or (lo < 0).any() or (hi > box).any():
+            raise ValueError(
+                f"CavityWriter: bad ControlVolume {lo} .. {hi}"
+            )
+        self.ensembles = {}
+        for cid in self.cids:
+            ens = CavityEnsemble(
+                hi - lo,
+                grid=self.grid,
+                radius=self.radius,
+                max_neighbours=self.max_neighbours,
+            )
+            # shift the probe grid into the control volume
+            ens.probe_r = ens.probe_r + lo
+            self.ensembles[cid] = ens
+        self._frame = 0
 
     def end_step(self, sim, step):
         if step % self.write_frequency:
             return
-        active, counts = self.ensemble.cavity_step(sim.molecules())
-        pos = self.ensemble.probe_r[active]
-        with open(f"{self.output_prefix}-{step}.cav.xyz", "w") as f:
-            f.write(f"{len(pos)}\n")
-            f.write(
-                f"cavities step {step} (radius {self.radius}, "
-                f"maxNeighbours {self.max_neighbours})\n"
-            )
-            for p_ in pos:
-                f.write(f"C {p_[0]:.6g} {p_[1]:.6g} {p_[2]:.6g}\n")
+        self._frame += 1
+        mol = sim.molecules()
+        for cid, ens in self.ensembles.items():
+            active, counts = ens.cavity_step(mol)
+            pos = ens.probe_r[active]
+            elem = _CAV_ELEMENT.get(cid, "Ne")
+            name = (f"{self.output_prefix}-c{cid}-"
+                    f"{self._frame:04d}.cav.xyz")
+            with open(name, "w") as f:
+                f.write(f"{len(pos)}\n")
+                f.write(
+                    f"cavities step {step} component {cid} (radius "
+                    f"{self.radius}, maxNeighbours "
+                    f"{self.max_neighbours})\n"
+                )
+                for p_ in pos:
+                    f.write(
+                        f"{elem} {p_[0]:.6g}\t{p_[1]:.6g}\t{p_[2]:.6g}\n"
+                    )

