@@ -34,8 +34,16 @@ def _count_neighbours(probe_r, mol, box, r2):
 class CavityEnsemble:
     """Probe grid + activity decision (CavityEnsemble.cpp)."""
 
-    def __init__(self, box, grid=(10, 10, 10), radius=1.0, max_neighbours=0):
+    def __init__(self, box, grid=(10, 10, 10), radius=1.0, max_neighbours=0,
+                 wrap_box=None):
+        """box: extent the probe grid spans (the control volume).
+        wrap_box: the PERIODIC DOMAIN box for min-image neighbor
+        distances — defaults to box; must be the full domain when the
+        probe grid is restricted to a sub-volume."""
         self.box = np.asarray(box, float)
+        self.wrap_box = (
+            self.box if wrap_box is None else np.asarray(wrap_box, float)
+        )
         self.grid = tuple(int(g) for g in grid)
         self.radius = float(radius)
         self.max_neighbours = int(max_neighbours)
@@ -58,7 +66,7 @@ class CavityEnsemble:
             self._jit(
                 jnp.asarray(self.probe_r, mol.r.dtype),
                 mol,
-                self.box,
+                self.wrap_box,
                 self.radius**2,
             )
         )
@@ -120,11 +128,15 @@ class CavityWriter(PluginBase):
             )
         self.ensembles = {}
         for cid in self.cids:
+            # probe grid spans the control volume; min-image wrapping
+            # stays on the FULL domain box (a CV-sized wrap would
+            # alias far molecules into the neighbor count)
             ens = CavityEnsemble(
                 hi - lo,
                 grid=self.grid,
                 radius=self.radius,
                 max_neighbours=self.max_neighbours,
+                wrap_box=box,
             )
             # shift the probe grid into the control volume
             ens.probe_r = ens.probe_r + lo

@@ -104,12 +104,20 @@ def cell_probe_energy(
     q_probe: jnp.ndarray,
     cid_probe: jnp.ndarray,
     exclude_idx: jnp.ndarray,
+    freed=None,
 ):
     """Probe energy against the 27-cell neighborhood of r_probe instead
     of the full molecule array (LinkedCells::getEnergy,
     /root/reference/src/particleContainer/LinkedCells.cpp: the
     reference probe is cell-local too).  Requires cell edge >= cutoff.
-    Cost per trial is O(27*cap), independent of N."""
+    Cost per trial is O(27*cap), independent of N.
+
+    freed: optional [capacity] bool — slots whose table entry is STALE
+    because a same-cycle deletion freed them.  A freed slot's table
+    row must be masked even if the slot is live again: a same-cycle
+    insertion that reused it lives at a NEW position (possibly a
+    different cell) and is accounted by the caller's delta list;
+    reading the stale row as well would double-count the molecule."""
     dtype = mol.r.dtype
     nx, ny, nz = dims
     dims_a = jnp.asarray((nx, ny, nz), jnp.int32)
@@ -124,6 +132,8 @@ def cell_probe_energy(
     drm_raw = min_image(r_probe[None, :] - mol.r[safe], box)
     com2 = jnp.sum(drm_raw * drm_raw, axis=-1)
     ok = (cand >= 0) & mol.valid[safe] & (cand != exclude_idx)
+    if freed is not None:
+        ok = ok & ~freed[safe]
     mask_lj = ok & (com2 < pp.rc2_lj)
     mask_el = ok & (com2 < pp.rc2)
     fill = jnp.zeros((3,), dtype).at[0].set(3.0 * jnp.sqrt(pp.rc2) + 1.0)
@@ -279,13 +289,14 @@ class GrandCanonicalEnsemble:
             table = bins.slots
             table_ovf = bins.overflow
 
-        def probe_e(mol, r_p, q_p, cid_p, excl, deltas):
+        def probe_e(mol, r_p, q_p, cid_p, excl, deltas, freed=None):
             if probe is None:
                 return single_molecule_energy(
                     mol, pp, box, r_p, q_p, cid_p, excl
                 )
             e = cell_probe_energy(
-                mol, pp, box, table, probe[0], r_p, q_p, cid_p, excl
+                mol, pp, box, table, probe[0], r_p, q_p, cid_p, excl,
+                freed=freed,
             )
             if ni == 0:
                 return e
@@ -315,7 +326,7 @@ class GrandCanonicalEnsemble:
                 + jnp.sum(out["my_rf"])
             )
 
-        def try_delete(mol, deltas, k):
+        def try_delete(mol, deltas, freed, k):
             k1, k2 = jax.random.split(k)
             in_cv = jnp.all((mol.r >= lo) & (mol.r < hi), axis=-1)
             cand = mol.valid & (mol.cid == comp) & in_cv
@@ -327,7 +338,8 @@ class GrandCanonicalEnsemble:
             idx = jnp.searchsorted(cnt, pick).astype(jnp.int32)
             idx = jnp.clip(idx, 0, n_cap - 1)
             e_mol = probe_e(
-                mol, mol.r[idx], mol.q[idx], mol.cid[idx], idx, deltas
+                mol, mol.r[idx], mol.q[idx], mol.cid[idx], idx, deltas,
+                freed,
             )
             n = jnp.sum(mol.valid).astype(dtype)
             acc = jnp.minimum(
@@ -340,19 +352,34 @@ class GrandCanonicalEnsemble:
             valid = mol.valid.at[idx].set(
                 jnp.where(do, False, mol.valid[idx])
             )
-            return dataclasses.replace(mol, valid=valid), do
+            if freed is not None:
+                # the slot's table entry is stale from here on
+                freed = freed.at[idx].set(
+                    jnp.where(do, True, freed[idx])
+                )
+            return dataclasses.replace(mol, valid=valid), freed, do
 
-        def try_insert(mol, deltas, ins_i, k):
+        def try_insert(mol, deltas, freed, ins_i, k):
             k1, k2, k3, k4 = jax.random.split(k, 4)
             free = ~mol.valid
             has_free = jnp.any(free)
-            idx = jnp.argmax(free).astype(jnp.int32)  # first free slot
+            if freed is not None:
+                # prefer slots that were NOT freed this cycle: a
+                # reused freed slot's stale table row is masked (see
+                # cell_probe_energy freed), so this is a table-hit
+                # optimization, not a correctness condition
+                fresh = free & ~freed
+                idx = jnp.where(
+                    jnp.any(fresh), jnp.argmax(fresh), jnp.argmax(free)
+                ).astype(jnp.int32)
+            else:
+                idx = jnp.argmax(free).astype(jnp.int32)  # first free
             r_new = jax.random.uniform(k1, (3,), dtype, lo, hi)
             qv = jax.random.normal(k2, (4,), dtype)
             q_new = qv / jnp.linalg.norm(qv)
             du = probe_e(
                 mol, r_new, q_new, comp, jnp.asarray(-1, jnp.int32),
-                deltas,
+                deltas, freed,
             )
             n = jnp.sum(mol.valid).astype(dtype)
             acc = jnp.minimum(
@@ -399,34 +426,40 @@ class GrandCanonicalEnsemble:
                 jnp.full((ni,), -1, jnp.int32),
             )
 
+        freed0 = (
+            jnp.zeros((n_cap,), bool) if probe is not None else None
+        )
+
         def body(carry, kk):
-            mol, deltas, a_del, a_ins, i = carry
+            mol, deltas, freed, a_del, a_ins, i = carry
             is_del = i < nd
 
             def del_branch(args):
-                m, d = args
-                m2, do = try_delete(m, d, kk)
-                return m2, d, do, jnp.asarray(False)
+                m, d, fr = args
+                m2, fr2, do = try_delete(m, d, fr, kk)
+                return m2, d, fr2, do, jnp.asarray(False)
 
             def ins_branch(args):
-                m, d = args
-                m2, d2, do = try_insert(m, d, i - nd, kk)
-                return m2, d2, jnp.asarray(False), do
+                m, d, fr = args
+                m2, d2, do = try_insert(m, d, fr, i - nd, kk)
+                return m2, d2, fr, jnp.asarray(False), do
 
-            mol, deltas, dd, di = jax.lax.cond(
-                is_del, del_branch, ins_branch, (mol, deltas)
+            mol, deltas, freed, dd, di = jax.lax.cond(
+                is_del, del_branch, ins_branch, (mol, deltas, freed)
             )
             return (
                 mol,
                 deltas,
+                freed,
                 a_del + dd.astype(jnp.int32),
                 a_ins + di.astype(jnp.int32),
                 i + 1,
             ), None
 
-        (mol_out, _, a_del, a_ins, _), _ = jax.lax.scan(
+        (mol_out, _, _, a_del, a_ins, _), _ = jax.lax.scan(
             body,
-            (mol, deltas0, jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+            (mol, deltas0, freed0, jnp.int32(0), jnp.int32(0),
+             jnp.int32(0)),
             keys,
         )
         # probe-table overflow: results are untrustworthy -- return the

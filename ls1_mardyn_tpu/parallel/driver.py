@@ -337,8 +337,7 @@ class ParallelMDSimulation:
             pme_grid=pme_grid,
             pme_order=pme_order,
         )
-        force_slab = self.config.ensemble_type == "muVT"
-        if n_devices > dims[2] and not force_slab:
+        if n_devices > dims[2]:
             # more chips than z cell rows: slab granularity exhausted
             # -> 3-D Cartesian mesh (DomainDecomposition MPIGridDims)
             from ls1_mardyn_tpu.parallel.mesh3d import (
@@ -387,11 +386,6 @@ class ParallelMDSimulation:
                 "1CLJ" if is_1clj else "multi-site",
             )
         else:
-            if n_devices > dims[2]:
-                raise ValueError(
-                    f"muVT slab decomposition needs >= {n_devices} z "
-                    f"cell rows (box has {dims[2]})"
-                )
             rc = float(config.cutoff)
             cw_ok = (
                 is_1clj

@@ -92,6 +92,26 @@ def test_cavity_writer_control_volume_and_components(tmp_path):
         _e, x, y, z = ln.split()
         assert 1.0 <= float(x) <= 4.0
         assert 2.0 <= float(z) <= 5.0
+    # neighbor counts wrap by the DOMAIN box, not the CV extent: a
+    # probe and a molecule separated by more than the radius must not
+    # alias through a CV-sized wrap
+    import jax.numpy as jnp
+
+    from ls1_mardyn_tpu.ensemble.cavity import CavityEnsemble
+
+    L = float(sim.box[0])
+    ens = CavityEnsemble((3.0, 3.0, 3.0), grid=(2, 2, 2), radius=1.0,
+                         max_neighbours=0, wrap_box=(L, L, L))
+    ens.probe_r = ens.probe_r + 1.0  # CV = [1, 4]^3
+    mol = sim.molecules()
+    _act, counts = ens.cavity_step(mol)
+    # brute-force reference with the full box
+    r = np.asarray(mol.r)[np.asarray(mol.valid)]
+    for i, p in enumerate(ens.probe_r):
+        dr = p[None, :] - r
+        dr -= np.round(dr / L) * L
+        ref = int((np.sum(dr * dr, axis=1) < 1.0).sum())
+        assert ref == counts[i], (i, ref, counts[i])
 
 
 def _slab_sim_small():

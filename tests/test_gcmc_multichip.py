@@ -100,3 +100,40 @@ def test_gcmc_moves_with_md_steps():
     mol_sh, FM, gv, overflow = sim._step_sharded(mol_sh, FM)
     assert not bool(overflow)
     assert np.isfinite(float(gv.upot))
+
+
+def test_muvt_routes_to_mesh3d_when_slab_exhausted(tmp_path):
+    """muVT no longer forces the slab decomposition: with more devices
+    than z cell rows the driver picks the 3-D mesh and
+    Mesh3DGrandCanonical drives insertions (DomainDecompBase.h:51
+    interchangeability; previously this configuration raised)."""
+    import os
+
+    from ls1_mardyn_tpu.io.xml_config import PluginSpec, XMLConfig
+    from ls1_mardyn_tpu.parallel.driver import ParallelMDSimulation
+
+    os.chdir(tmp_path)
+    n, L = 120, 7.4  # 2 z cell rows at rc 2.5 << 8 devices
+    cfg = XMLConfig(
+        timestep=0.002, temperature=1.2,
+        box=np.array([L, L, L]), cutoff=2.5, lj_cutoff=2.5,
+        ensemble_type="muVT",
+        generator=PluginSpec("CubicGridGenerator",
+                             {"numMolecules": str(n)}),
+        chemical_potentials=[PluginSpec("ChemicalPotential", {
+            "mu": "0.5", "componentid": "1",
+            "instances": "4", "everyNTimesteps": "1",
+        })],
+    )
+    sim = ParallelMDSimulation(cfg, n_devices=P, dtype=jnp.float64)
+    assert sim.kind == "mesh3d"
+    assert sim.gc is not None
+    assert type(sim.gc).__name__ == "Mesh3DGrandCanonical"
+    gv = sim.run(steps=3, print_every=0)
+    assert np.isfinite(float(gv.upot))
+    # mu=0.5 at this density accepts at least some insertions over
+    # 3 steps x 4 instances; at minimum the counters exist and moved
+    # the state consistently (N conserved or grown)
+    assert sim.gc.accepted_ins >= 0 and sim.gc.accepted_del >= 0
+    g = sim.molecules()
+    assert int(np.asarray(g.valid).sum()) >= 120 - sim.gc.accepted_del
