@@ -28,3 +28,9 @@ from ls1_mardyn_tpu.plugins import steereo  # noqa: F401
 PluginFactory._registry.setdefault(
     "RegionSampling", PluginFactory._registry.get("SpatialProfile")
 )
+# Legacy "DomainProfiles" configs map onto the profile writer exactly
+# as the reference does (PluginFactory.cpp:181 forwards it to
+# DensityProfileWriter); the Adsorption example uses this name.
+PluginFactory._registry.setdefault(
+    "DomainProfiles", PluginFactory._registry.get("SpatialProfile")
+)
