@@ -501,7 +501,11 @@ def _build_chemical_potentials(specs, box):
             ChemicalPotential(
                 mu=float(p_.get("mu", 0.0)),
                 component=int(p_.get("cid", p_.get("componentid", 1))) - 1,
-                interval=int(float(p_.get("interval", 100))),
+                # "everyNTimesteps" is the spelling some legacy-style
+                # configs use for ChemicalPotential::setInterval
+                interval=int(float(
+                    p_.get("interval", p_.get("everyNTimesteps", 100))
+                )),
                 insertions_per_interval=int(
                     float(p_.get("insertions", inst))
                 ),

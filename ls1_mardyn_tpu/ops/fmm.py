@@ -1,0 +1,568 @@
+"""Fast Multipole Method: solid-harmonics uniform octree, TPU-native.
+
+The reference's bhfmm subsystem (/root/reference/src/bhfmm/, ~18.6k
+LoC) computes long-range Coulomb interactions with order-p solid-
+harmonics expansions over a uniform octree
+(FastMultipoleMethod.{h,cpp}, containers/UniformPseudoParticleContainer
+.{h,cpp}, expansions/SolidHarmonicsExpansion.{h,cpp}): P2M at the
+leaves, M2M up, M2L across interaction lists, L2L down, L2P + near-
+field P2P (cellProcessors/VectorizedChargeP2PCellProcessor).  The
+reference accelerates M2L with Wigner rotations or FFTs and distributes
+the tree over MPI.
+
+This rebuild keeps the same mathematical structure but maps it to the
+TPU execution model instead of translating the C++:
+
+  * expansions are dense coefficient VECTORS per cell, stored
+    realified ([Re; Im], length 2(p+1)^2), so every translation is a
+    real matrix multiply;
+  * M2M / M2L / L2L operators are precomputed per level on the host
+    (numpy complex128) and applied as batched einsums over all cells
+    of a level at once -- the MXU does the work that rotation/FFT
+    tricks do on CPUs, and there is no tree traversal control flow on
+    device;
+  * interaction lists on the uniform grid are the 8 child-parity
+    offset sets (<= 189 offsets each), applied with padded static
+    slices -- no gather;
+  * L2P forces come from jax.grad of the local-expansion potential
+    (exactly consistent with the evaluated energy);
+  * near field P2P is the 27-neighborhood dense window over the
+    cell-major slot table, like every other short-range kernel here.
+
+Conventions (verified to machine precision in tests/test_fmm.py):
+  R_n^m(r) = r^n P_n^m(cos t) e^{imp} / (n+m)!          (regular)
+  S_n^m(r) = (n-m)! P_n^m(cos t) e^{imp} / r^{n+1}      (irregular)
+  X_n^{-m} = (-1)^m conj(X_n^m);  no Condon-Shortley phase.
+  1/|r-a|            = sum_{n,m} R_n^m(a) conj(S_n^m(r)),  |r|>|a|
+  R_n^m(a+b)         = sum_{j<=n,k} R_j^k(a) R_{n-j}^{m-k}(b)
+  S_n^m(t+x)         = sum_{j,k} (-1)^j conj(R_j^k(x)) S_{n+j}^{m+k}(t)
+
+Scope: open (free-space) boundaries.  Periodic long-range
+electrostatics in this framework are served by Ewald / SPME
+(ops/ewald.py, ops/pme.py) -- the idiomatic TPU choice the survey
+sanctions; the FMM provides the reference's octree/solid-harmonics
+capability for non-periodic charge systems and as an independent
+cross-check of the other solvers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["FMMSolver", "direct_coulomb"]
+
+
+# ---------------------------------------------------------------------------
+# host-side solid harmonics (numpy, complex128)
+# ---------------------------------------------------------------------------
+
+
+def _sh_RS(v: np.ndarray, p: int) -> Tuple[Dict, Dict]:
+    """Regular/irregular solid harmonics of a single point, as dicts
+    keyed (n, m) for m = -n..n (Cartesian recursions; the S recursion
+    mirrors SolidHarmonicsExpansion.cpp's evaluateLOfR/evaluateMOfR
+    role)."""
+    x, y, z = (float(c) for c in v)
+    r2 = x * x + y * y + z * z
+    R: Dict = {(0, 0): 1.0 + 0j}
+    S: Dict = {(0, 0): 1.0 / np.sqrt(r2) + 0j}
+    xy = x + 1j * y
+    for n in range(1, p + 1):
+        R[(n, n)] = R[(n - 1, n - 1)] * xy / (2 * n)
+        S[(n, n)] = (2 * n - 1) * xy / r2 * S[(n - 1, n - 1)]
+    for m in range(0, p + 1):
+        for n in range(m + 1, p + 1):
+            Rm2 = R.get((n - 2, m), 0.0)
+            Sm2 = S.get((n - 2, m), 0.0)
+            R[(n, m)] = ((2 * n - 1) * z * R[(n - 1, m)] - r2 * Rm2) / (
+                (n + m) * (n - m)
+            )
+            S[(n, m)] = (
+                (2 * n - 1) * z * S[(n - 1, m)] - ((n - 1) ** 2 - m * m) * Sm2
+            ) / r2
+    for n in range(0, p + 1):
+        for m in range(1, n + 1):
+            R[(n, -m)] = (-1) ** m * np.conj(R[(n, m)])
+            S[(n, -m)] = (-1) ** m * np.conj(S[(n, m)])
+    return R, S
+
+
+def _idx(n: int, m: int) -> int:
+    return n * n + n + m
+
+
+def _m2m_matrix(t: np.ndarray, p: int) -> np.ndarray:
+    """M'_n^m = sum_{j<=n,k} R_{n-j}^{m-k}(-t) M_j^k  (shift multipole
+    center by t; SolidHarmonicsExpansion M2M)."""
+    nc = (p + 1) ** 2
+    R, _ = _sh_RS(-np.asarray(t, float), p)
+    T = np.zeros((nc, nc), complex)
+    for n in range(p + 1):
+        for m in range(-n, n + 1):
+            for j in range(n + 1):
+                for k in range(-j, j + 1):
+                    if abs(m - k) <= n - j:
+                        T[_idx(n, m), _idx(j, k)] = R[(n - j, m - k)]
+    return T
+
+
+def _m2l_matrix(t: np.ndarray, p: int) -> np.ndarray:
+    """L_j^k = (-1)^j sum_{n,m} conj(S_{n+j}^{m+k}(t)) M_n^m  (multipole
+    at c, local about c + t; SolidHarmonicsExpansion M2L)."""
+    nc = (p + 1) ** 2
+    _, S = _sh_RS(np.asarray(t, float), 2 * p)
+    T = np.zeros((nc, nc), complex)
+    for j in range(p + 1):
+        for k in range(-j, j + 1):
+            for n in range(p + 1):
+                for m in range(-n, n + 1):
+                    T[_idx(j, k), _idx(n, m)] = (-1) ** j * np.conj(
+                        S[(n + j, m + k)]
+                    )
+    return T
+
+
+def _l2l_matrix(u: np.ndarray, p: int) -> np.ndarray:
+    """L'_j'^k' = sum_{j>=j'} R_{j-j'}^{k-k'}(u) L_j^k  (shift local
+    center by u; SolidHarmonicsExpansion L2L)."""
+    nc = (p + 1) ** 2
+    R, _ = _sh_RS(np.asarray(u, float), p)
+    T = np.zeros((nc, nc), complex)
+    for jp in range(p + 1):
+        for kp in range(-jp, jp + 1):
+            for j in range(jp, p + 1):
+                for k in range(-j, j + 1):
+                    if abs(k - kp) <= j - jp:
+                        T[_idx(jp, kp), _idx(j, k)] = R[(j - jp, k - kp)]
+    return T
+
+
+def _realify(A: np.ndarray, dtype) -> np.ndarray:
+    """Complex [nc, nc] operator -> real [2nc, 2nc] acting on [Re; Im]
+    coefficient vectors (exact; keeps every translation a real matmul
+    the MXU can run)."""
+    Ar, Ai = A.real, A.imag
+    return np.asarray(
+        np.block([[Ar, -Ai], [Ai, Ar]]), dtype=np.dtype(dtype)
+    )
+
+
+# ---------------------------------------------------------------------------
+# device-side solid harmonics (jnp, traced; fully unrolled in (n, m))
+# ---------------------------------------------------------------------------
+
+
+def _rvec_real(dr, p: int):
+    """Realified regular-harmonics vector [2(p+1)^2] of displacement
+    dr [3] (jnp; differentiable -- L2P forces are jax.grad of the
+    potential through this)."""
+    x, y, z = dr[0], dr[1], dr[2]
+    r2 = x * x + y * y + z * z
+    R = {(0, 0): (jnp.ones_like(x), jnp.zeros_like(x))}
+    for n in range(1, p + 1):
+        pr, pi = R[(n - 1, n - 1)]
+        # * (x + iy) / (2n)
+        R[(n, n)] = (
+            (pr * x - pi * y) / (2 * n),
+            (pr * y + pi * x) / (2 * n),
+        )
+    for m in range(0, p + 1):
+        for n in range(m + 1, p + 1):
+            pr, pi = R[(n - 1, m)]
+            qr, qi = R.get((n - 2, m), (0.0, 0.0))
+            d = (n + m) * (n - m)
+            R[(n, m)] = (
+                ((2 * n - 1) * z * pr - r2 * qr) / d,
+                ((2 * n - 1) * z * pi - r2 * qi) / d,
+            )
+    re: List = []
+    im: List = []
+    for n in range(p + 1):
+        for m in range(-n, n + 1):
+            a = abs(m)
+            rr, ri = R[(n, a)]
+            if m < 0:
+                sgn = (-1) ** a
+                rr, ri = sgn * rr, -sgn * ri
+            re.append(rr)
+            im.append(ri)
+    return jnp.stack(re + im)
+
+
+# ---------------------------------------------------------------------------
+# uniform octree geometry
+# ---------------------------------------------------------------------------
+
+
+def _parity_offsets(par: Tuple[int, int, int]) -> List[Tuple[int, int, int]]:
+    """M2L interaction-list offsets for a leaf of child parity `par`:
+    children of the parent's 27-neighborhood minus the cell's own
+    27-neighborhood (UniformPseudoParticleContainer horizontal pass;
+    <= 189 offsets)."""
+    out = []
+    rngs = [range(-2 - pq, 4 - pq) for pq in par]
+    for ox in rngs[0]:
+        for oy in rngs[1]:
+            for oz in rngs[2]:
+                if max(abs(ox), abs(oy), abs(oz)) <= 1:
+                    continue
+                out.append((ox, oy, oz))
+    return out
+
+
+@dataclasses.dataclass
+class FMMSolver:
+    """Free-space Coulomb solver: energy, potential and forces of N
+    point charges by the solid-harmonics FMM.
+
+    box: cubic root-cell edge (particles must lie in [0, box)^3)
+    depth: octree depth D (leaf grid 2^D per axis, D >= 2)
+    order: expansion order p
+    cap: max charges per leaf cell (static shape)
+    """
+
+    box: float
+    depth: int = 3
+    order: int = 8
+    cap: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    def __post_init__(self):
+        if self.depth < 2:
+            raise ValueError("FMM octree needs depth >= 2")
+        p = self.order
+        self.nc = (p + 1) ** 2
+        self.n_leaf = 2**self.depth
+        self.leaf_edge = self.box / self.n_leaf
+        f = np.dtype(np.float64 if self.dtype == jnp.float64 else np.float32)
+        # M2M: child (parity px,py,pz) center -> parent center, per level
+        # (offset scales with the level's child edge; build per level)
+        self._m2m: List[np.ndarray] = []  # [level d: [8, 2nc, 2nc]]
+        self._l2l: List[np.ndarray] = []
+        for d in range(self.depth, 0, -1):
+            child_edge = self.box / 2**d
+            mats_up = []
+            mats_dn = []
+            for pz in (0, 1):
+                for py in (0, 1):
+                    for px in (0, 1):
+                        # child center relative to parent center
+                        off = (
+                            (np.array([px, py, pz]) - 0.5) * child_edge
+                        )
+                        # M2M shifts the expansion center child->parent
+                        # (t = parent - child = -off); L2L shifts the
+                        # local center parent->child (u = +off)
+                        mats_up.append(_m2m_matrix(-off, p))
+                        mats_dn.append(_l2l_matrix(off, p))
+            self._m2m.append(
+                np.stack([_realify(A, f) for A in mats_up])
+            )
+            self._l2l.append(
+                np.stack([_realify(A, f) for A in mats_dn])
+            )
+        # M2L offset operators per level (offset in units of that
+        # level's cell edge); parity lists index into a shared offset
+        # table
+        all_offs = sorted(
+            {
+                o
+                for pz in (0, 1)
+                for py in (0, 1)
+                for px in (0, 1)
+                for o in _parity_offsets((px, py, pz))
+            }
+        )
+        self._m2l_offsets = all_offs
+        self._par_lists = {}
+        for pz in (0, 1):
+            for py in (0, 1):
+                for px in (0, 1):
+                    self._par_lists[(px, py, pz)] = set(
+                        _parity_offsets((px, py, pz))
+                    )
+        self._m2l: List[np.ndarray] = []  # [level: [n_off, 2nc, 2nc]]
+        for d in range(2, self.depth + 1):
+            edge = self.box / 2**d
+            # source cell = target + o, so the translation vector is
+            # t = c_target - c_source = -o * edge
+            self._m2l.append(
+                np.stack(
+                    [
+                        _realify(_m2l_matrix(-np.array(o) * edge, p), f)
+                        for o in all_offs
+                    ]
+                )
+            )
+        self._jit_compute = jax.jit(self._compute)
+
+    # -- device pipeline ----------------------------------------------------
+
+    def _bin(self, r, q, valid):
+        """Leaf binning into a dense [n_cells, cap] slot table (the
+        same fixed-capacity cell-major layout as ops/cells.py, local
+        to the solver so it stays self-contained)."""
+        ncell = self.n_leaf
+        ci = jnp.clip(
+            jnp.floor(r / self.leaf_edge).astype(jnp.int32), 0, ncell - 1
+        )
+        cell = (ci[:, 0] * ncell + ci[:, 1]) * ncell + ci[:, 2]
+        cell = jnp.where(valid, cell, ncell**3)  # invalid -> overflow bin
+        order = jnp.argsort(cell)
+        cs = cell[order]
+        # slot = rank within equal cell ids
+        slot = jnp.arange(cs.shape[0]) - jnp.searchsorted(
+            cs, cs, side="left"
+        )
+        overflow = jnp.any((slot >= self.cap) & (cs < ncell**3))
+        dest = jnp.where(
+            (slot < self.cap) & (cs < ncell**3),
+            cs * self.cap + jnp.minimum(slot, self.cap - 1),
+            ncell**3 * self.cap,
+        )
+        slots = (
+            jnp.zeros((ncell**3 * self.cap + 1,), jnp.int32)
+            .at[dest]
+            .set(order.astype(jnp.int32) + 1)[:-1]
+            .reshape(ncell**3, self.cap)
+            - 1
+        )
+        return slots, overflow
+
+    def _compute(self, r, q, valid):
+        p = self.order
+        nc2 = 2 * self.nc
+        nl = self.n_leaf
+        dt = self.dtype
+        r = r.astype(dt)
+        q = jnp.where(valid, q, 0.0).astype(dt)
+        slots, overflow = self._bin(r, q, valid)
+        safe = jnp.maximum(slots, 0)
+        w = (slots >= 0).astype(dt)  # [cells, cap]
+        rc_ = r[safe]  # [cells, cap, 3]
+        qc = q[safe] * w
+
+        # leaf centers
+        ii = jnp.arange(nl)
+        cx, cy, cz = jnp.meshgrid(ii, ii, ii, indexing="ij")
+        centers = (
+            jnp.stack([cx, cy, cz], -1).reshape(-1, 3).astype(dt) + 0.5
+        ) * self.leaf_edge
+
+        # P2M: M_leaf[c] = sum_slots q * R(r - center)
+        rvec = jax.vmap(
+            jax.vmap(lambda dr: _rvec_real(dr, p), in_axes=0), in_axes=0
+        )
+        dr = rc_ - centers[:, None, :]
+        Mleaf = jnp.einsum("cs,csk->ck", qc, rvec(dr))  # [cells, 2nc]
+
+        # upward pass (M2M): leaves -> level 1
+        Ms = [Mleaf.reshape(nl, nl, nl, nc2)]
+        for li, d in enumerate(range(self.depth, 0, -1)):
+            T = jnp.asarray(self._m2m[li])  # [8, 2nc, 2nc]
+            child = Ms[-1]
+            npar = 2 ** (d - 1)
+            parent = jnp.zeros((npar, npar, npar, nc2), dt)
+            k = 0
+            for pz in (0, 1):
+                for py in (0, 1):
+                    for px in (0, 1):
+                        sub = child[px::2, py::2, pz::2]
+                        parent = parent + jnp.einsum(
+                            "xyzk,nk->xyzn", sub, T[k]
+                        )
+                        k += 1
+            Ms.append(parent)
+        # Ms[i] is the level (depth - i) multipole grid
+
+        # horizontal pass (M2L) at levels 2..depth, free-space (zero
+        # padded shifts).  Offsets are processed in chunks as one
+        # batched einsum each, with the per-offset child-parity
+        # eligibility folded in as a 0/1 weight grid -- a handful of
+        # large MXU contractions per level instead of 189 small ones.
+        CH = 27
+        offs = self._m2l_offsets
+        Ls = {}
+        for li, d in enumerate(range(2, self.depth + 1)):
+            M = Ms[self.depth - d]  # grid at level d
+            n = 2**d
+            T = jnp.asarray(self._m2l[li])  # [n_off, 2nc, 2nc]
+            Mp = jnp.pad(M, ((3, 3), (3, 3), (3, 3), (0, 0)))
+            L = jnp.zeros((n, n, n, nc2), dt)
+            for c0 in range(0, len(offs), CH):
+                chunk = offs[c0 : c0 + CH]
+                src = jnp.stack(
+                    [
+                        jax.lax.dynamic_slice(
+                            Mp,
+                            (3 + o[0], 3 + o[1], 3 + o[2], 0),
+                            (n, n, n, nc2),
+                        )
+                        for o in chunk
+                    ]
+                )
+                W = jnp.asarray(
+                    np.stack(
+                        [self._parity_weight(o, n) for o in chunk]
+                    ).astype(M.dtype)
+                )
+                L = L + jnp.einsum(
+                    "oxyzk,onk,oxyz->xyzn", src, T[c0 : c0 + CH], W
+                )
+            Ls[d] = L
+
+        # downward pass (L2L): level d -> d+1, add into Ls
+        for d in range(2, self.depth):
+            li = self.depth - (d + 1)  # index into self._l2l (built
+            # from depth down to 1: level d child matrices at index
+            # depth - d)
+            T = jnp.asarray(self._l2l[self.depth - (d + 1)])
+            parent = Ls[d]
+            child = Ls[d + 1]
+            k = 0
+            for pz in (0, 1):
+                for py in (0, 1):
+                    for px in (0, 1):
+                        add = jnp.einsum("xyzk,nk->xyzn", parent, T[k])
+                        child = child.at[px::2, py::2, pz::2].add(add)
+                        k += 1
+            Ls[d + 1] = child
+
+        Lleaf = Ls[self.depth].reshape(-1, nc2)
+
+        # L2P potential + forces (far field), via grad for exact
+        # consistency.  Phi = Re(sum_nm L_nm R_nm) = LRe.RRe - LIm.RIm
+        # on the realified vectors.
+        def phi_far(pos, Lc, center):
+            rv = _rvec_real(pos - center, p)
+            nch = self.nc
+            return jnp.sum(Lc[:nch] * rv[:nch]) - jnp.sum(
+                Lc[nch:] * rv[nch:]
+            )
+
+        cell_of = jnp.clip(
+            jnp.floor(r / self.leaf_edge).astype(jnp.int32), 0, nl - 1
+        )
+        cidx = (cell_of[:, 0] * nl + cell_of[:, 1]) * nl + cell_of[:, 2]
+        Li = Lleaf[cidx]
+        ci_ = centers[cidx]
+        phi = jax.vmap(phi_far)(r, Li, ci_)
+        g = jax.vmap(jax.grad(phi_far, argnums=0))(r, Li, ci_)
+        F_far = -q[:, None] * g
+
+        # near field P2P over the 27-neighborhood (free-space clamp)
+        nbr = self._neighbor_table()  # [cells, 27] cell ids or -1
+        nb_slots = jnp.where(
+            nbr[:, :, None] >= 0,
+            slots[jnp.maximum(nbr, 0)],
+            -1,
+        ).reshape(nl**3, -1)  # [cells, 27*cap]
+        safe_j = jnp.maximum(nb_slots, 0)
+        wj = (nb_slots >= 0).astype(dt)
+        rj = r[safe_j]  # [cells, 27cap, 3]
+        qj = q[safe_j] * wj
+
+        def cell_near(rc_c, qc_c, w_c, rj_c, qj_c, sl_c, nsl_c):
+            d = rc_c[:, None, :] - rj_c[None, :, :]
+            r2 = jnp.sum(d * d, -1)
+            same = sl_c[:, None] == nsl_c[None, :]
+            ok = (
+                (w_c[:, None] > 0)
+                & (qj_c[None, :] != 0.0)
+                & ~same
+                & (r2 > 0)
+            )
+            inv = jnp.where(ok, 1.0 / jnp.sqrt(jnp.where(ok, r2, 1.0)), 0.0)
+            phi_c = qj_c[None, :] * inv  # [cap, 27cap]
+            f = (
+                (qc_c[:, None] * phi_c / jnp.where(ok, r2, 1.0))[..., None]
+                * d
+            )
+            return jnp.sum(phi_c, 1), jnp.sum(f, 1)
+
+        phi_n_c, F_n_c = jax.vmap(cell_near)(
+            rc_, qc, w, rj, qj, slots, nb_slots
+        )
+        # scatter back per particle
+        phi_near = jnp.zeros_like(phi)
+        F_near = jnp.zeros_like(F_far)
+        flat_idx = jnp.maximum(slots.reshape(-1), 0)
+        wflat = (slots.reshape(-1) >= 0).astype(dt)
+        phi_near = phi_near.at[flat_idx].add(
+            phi_n_c.reshape(-1) * wflat
+        )
+        F_near = F_near.at[flat_idx].add(
+            F_n_c.reshape(-1, 3) * wflat[:, None]
+        )
+
+        phi_tot = phi + phi_near
+        F = F_far + F_near
+        U = 0.5 * jnp.sum(q * phi_tot)
+        return U, F, phi_tot, overflow
+
+    def _parity_weight(self, o, n: int) -> np.ndarray:
+        """0/1 grid [n,n,n]: which cells (by child parity) have offset
+        o in their interaction list."""
+        g = np.zeros((n, n, n), np.float64)
+        for (px, py, pz), s in self._par_lists.items():
+            if o in s:
+                g[px::2, py::2, pz::2] = 1.0
+        return g
+
+    def _neighbor_table(self):
+        nl = self.n_leaf
+        ii = np.arange(nl)
+        cx, cy, cz = np.meshgrid(ii, ii, ii, indexing="ij")
+        base = np.stack([cx, cy, cz], -1).reshape(-1, 3)
+        offs = np.array(
+            [
+                (ox, oy, oz)
+                for ox in (-1, 0, 1)
+                for oy in (-1, 0, 1)
+                for oz in (-1, 0, 1)
+            ]
+        )
+        nb = base[:, None, :] + offs[None, :, :]
+        ok = ((nb >= 0) & (nb < nl)).all(-1)
+        ids = (nb[..., 0] * nl + nb[..., 1]) * nl + nb[..., 2]
+        return jnp.asarray(np.where(ok, ids, -1).astype(np.int32))
+
+    # -- public -------------------------------------------------------------
+
+    def compute(self, r, q, valid=None):
+        """Energy U = 1/2 sum q_i phi_i, forces [N,3], potentials [N].
+        Raises on leaf-capacity overflow."""
+        r = jnp.asarray(r)
+        q = jnp.asarray(q)
+        if valid is None:
+            valid = jnp.ones((r.shape[0],), bool)
+        U, F, phi, overflow = self._jit_compute(r, q, valid)
+        if bool(overflow):
+            raise RuntimeError(
+                "FMM leaf cell capacity exceeded; raise cap or depth"
+            )
+        return U, F, phi
+
+
+def direct_coulomb(r, q):
+    """O(N^2) reference: potential, forces, energy (test oracle; the
+    role of LegacyCellProcessor for bhfmm scenes)."""
+    r = np.asarray(r, np.float64)
+    q = np.asarray(q, np.float64)
+    d = r[:, None, :] - r[None, :, :]
+    r2 = (d * d).sum(-1)
+    np.fill_diagonal(r2, 1.0)
+    inv = 1.0 / np.sqrt(r2)
+    np.fill_diagonal(inv, 0.0)
+    phi = (q[None, :] * inv).sum(1)
+    f = (q[:, None] * q[None, :] * inv / np.where(r2 > 0, r2, 1))[
+        ..., None
+    ] * d
+    F = f.sum(1)
+    U = 0.5 * float((q * phi).sum())
+    return phi, F, U

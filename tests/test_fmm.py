@@ -1,0 +1,176 @@
+"""FMM: solid-harmonics conventions, translation operators, and the
+full octree pipeline against direct summation.
+
+Mirrors the reference's test tiers for bhfmm
+(/root/reference/src/bhfmm/: SolidHarmonicsExpansionTest,
+WignerRotationTest exercise the expansion math; FMM validation configs
+compare against direct electrostatics): here the math identities are
+pinned to machine precision and the end-to-end solver is compared to
+the O(N^2) oracle.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ls1_mardyn_tpu.ops.fmm import (
+    FMMSolver,
+    _idx,
+    _l2l_matrix,
+    _m2l_matrix,
+    _m2m_matrix,
+    _sh_RS,
+    direct_coulomb,
+)
+
+
+def _rvec_np(v, p):
+    R, _ = _sh_RS(np.asarray(v, float), p)
+    out = np.zeros(((p + 1) ** 2,), complex)
+    for n in range(p + 1):
+        for m in range(-n, n + 1):
+            out[_idx(n, m)] = R[(n, m)]
+    return out
+
+
+def _svec_np(v, p):
+    _, S = _sh_RS(np.asarray(v, float), p)
+    out = np.zeros(((p + 1) ** 2,), complex)
+    for n in range(p + 1):
+        for m in range(-n, n + 1):
+            out[_idx(n, m)] = S[(n, m)]
+    return out
+
+
+def test_rs_identity():
+    """1/|r-a| = sum_{n,m} R_n^m(a) conj(S_n^m(r)) for |r| > |a|."""
+    rng = np.random.default_rng(1)
+    for _ in range(4):
+        a = rng.normal(size=3) * 0.25
+        r = rng.normal(size=3)
+        r = r / np.linalg.norm(r) * 2.0
+        p = 18
+        tot = np.sum(_rvec_np(a, p) * np.conj(_svec_np(r, p)))
+        direct = 1.0 / np.linalg.norm(r - a)
+        assert abs(tot - direct) / direct < 1e-12
+        assert abs(tot.imag) < 1e-14
+
+
+def test_r_addition_theorem():
+    """R_n^m(a+b) = sum_{j<=n,k} R_j^k(a) R_{n-j}^{m-k}(b) (exact)."""
+    rng = np.random.default_rng(2)
+    p = 6
+    a = rng.normal(size=3)
+    b = rng.normal(size=3)
+    Ra, _ = _sh_RS(a, p)
+    Rb, _ = _sh_RS(b, p)
+    Rab, _ = _sh_RS(a + b, p)
+    for n in range(p + 1):
+        for m in range(-n, n + 1):
+            tot = 0.0
+            for j in range(n + 1):
+                for k in range(-j, j + 1):
+                    if abs(m - k) <= n - j:
+                        tot += Ra[(j, k)] * Rb[(n - j, m - k)]
+            assert abs(tot - Rab[(n, m)]) < 1e-12
+
+
+def test_operator_chain_vs_direct():
+    """P2M -> M2M -> M2L -> L2L -> evaluate == direct potential of a
+    charge cluster at a well-separated point (the numpy operator
+    builders are the single source of truth for the device pipeline)."""
+    rng = np.random.default_rng(4)
+    p = 10
+    na = 20
+    a = rng.uniform(-0.5, 0.5, (na, 3))
+    q = rng.normal(size=na)
+    M = sum(q[i] * _rvec_np(a[i], p) for i in range(na))
+    # M2M: shift center by t1
+    t1 = np.array([0.6, 0.2, -0.4])
+    M1 = _m2m_matrix(t1, p) @ M
+    M1_direct = sum(q[i] * _rvec_np(a[i] - t1, p) for i in range(na))
+    assert np.abs(M1 - M1_direct).max() < 1e-12 * np.abs(M1_direct).max()
+    # M2L across t, L2L by u, evaluate at x
+    t = np.array([5.0, -4.0, 3.0])
+    L = _m2l_matrix(t, p) @ M1
+    u = np.array([0.3, -0.2, 0.1])
+    L2 = _l2l_matrix(u, p) @ L
+    x = rng.uniform(-0.3, 0.3, 3)
+    phi = np.real(np.sum(L * _rvec_np(x, p)))
+    phi2 = np.real(np.sum(L2 * _rvec_np(x - u, p)))
+    pos = t1 + t + x
+    direct = sum(q[i] / np.linalg.norm(pos - a[i]) for i in range(na))
+    assert abs(phi - direct) / abs(direct) < 1e-8
+    assert abs(phi2 - direct) / abs(direct) < 1e-8
+
+
+def _cluster(n, box, seed, neutral=True):
+    rng = np.random.default_rng(seed)
+    r = rng.uniform(0, box, (n, 3))
+    q = rng.normal(size=n)
+    if neutral:
+        q -= q.mean()
+    return r, q
+
+
+def test_fmm_depth2_vs_direct():
+    """End-to-end free-space FMM (depth 2, order 6) vs O(N^2) direct:
+    energy, forces, potential (the VectorizedCellProcessorTest pattern
+    applied to the bhfmm role)."""
+    r, q = _cluster(300, 8.0, seed=7)
+    phi_d, F_d, U_d = direct_coulomb(r, q)
+    s = FMMSolver(box=8.0, depth=2, order=6, cap=64, dtype=jnp.float64)
+    U, F, phi = s.compute(r, q)
+    # U nearly cancels for a neutral random cluster; normalize the
+    # energy error by the non-cancelling scale 1/2 sum|q phi|
+    scale = 0.5 * np.abs(q * phi_d).sum()
+    assert abs(float(U) - U_d) / scale < 1e-4
+    assert np.abs(np.asarray(F) - F_d).max() / np.abs(F_d).max() < 2e-3
+    assert np.abs(np.asarray(phi) - phi_d).max() / np.abs(phi_d).max() < 1e-3
+
+
+def test_fmm_depth3_vs_direct():
+    """Depth 3 exercises the M2M upward stack and the L2L downward
+    pass (two M2L levels); non-neutral cluster."""
+    r, q = _cluster(600, 16.0, seed=9, neutral=False)
+    phi_d, F_d, U_d = direct_coulomb(r, q)
+    s = FMMSolver(box=16.0, depth=3, order=4, cap=32, dtype=jnp.float64)
+    U, F, phi = s.compute(r, q)
+    scale = 0.5 * np.abs(q * phi_d).sum()
+    assert abs(float(U) - U_d) / scale < 1e-3
+    assert np.abs(np.asarray(F) - F_d).max() / np.abs(F_d).max() < 2e-2
+
+
+def test_fmm_order_convergence():
+    """Error decreases with expansion order (the knob the reference
+    exposes as <orderOfExpansions>, FastMultipoleMethod.h)."""
+    r, q = _cluster(200, 8.0, seed=11)
+    _, F_d, U_d = direct_coulomb(r, q)
+    errs = []
+    for p in (2, 4, 6):
+        s = FMMSolver(box=8.0, depth=2, order=p, cap=64, dtype=jnp.float64)
+        U, F, _ = s.compute(r, q)
+        errs.append(np.abs(np.asarray(F) - F_d).max() / np.abs(F_d).max())
+    assert errs[1] < 0.5 * errs[0]
+    assert errs[2] < 0.5 * errs[1]
+
+
+def test_fmm_valid_mask_and_overflow():
+    """Invalid slots are excluded; leaf-capacity overflow raises."""
+    r, q = _cluster(64, 8.0, seed=13)
+    valid = np.ones(64, bool)
+    valid[50:] = False
+    s = FMMSolver(box=8.0, depth=2, order=4, cap=64, dtype=jnp.float64)
+    U, F, phi = s.compute(r, q, jnp.asarray(valid))
+    phi_d, F_d, U_d = direct_coulomb(r[:50], q[:50])
+    scale = 0.5 * np.abs(q[:50] * phi_d).sum()
+    assert abs(float(U) - U_d) / scale < 1e-3
+    # all 64 particles crammed into one leaf cell overflows cap=4
+    s2 = FMMSolver(box=8.0, depth=2, order=2, cap=4, dtype=jnp.float64)
+    r_cram = np.full((64, 3), 1.0) + np.random.default_rng(0).uniform(
+        0, 0.5, (64, 3)
+    )
+    with pytest.raises(RuntimeError, match="capacity"):
+        s2.compute(r_cram, q)

@@ -131,9 +131,7 @@ def test_muvt_routes_to_mesh3d_when_slab_exhausted(tmp_path):
     assert type(sim.gc).__name__ == "Mesh3DGrandCanonical"
     gv = sim.run(steps=3, print_every=0)
     assert np.isfinite(float(gv.upot))
-    # mu=0.5 at this density accepts at least some insertions over
-    # 3 steps x 4 instances; at minimum the counters exist and moved
-    # the state consistently (N conserved or grown)
-    assert sim.gc.accepted_ins >= 0 and sim.gc.accepted_del >= 0
+    # every step runs a cycle of 4 insertion + 4 deletion trials
+    assert sim.gc.attempted == 3 * 8
     g = sim.molecules()
     assert int(np.asarray(g.valid).sum()) >= 120 - sim.gc.accepted_del

@@ -1,0 +1,127 @@
+"""muVT at scale: the BASELINE.md scene-coverage tier "Evaporation/
+Adsorption muVT multi-chip at N >= 10M", driven through the PRODUCT
+surface (ParallelMDSimulation from an XMLConfig, the same path
+`--parallel` CLI runs take).
+
+Hardware reality: this machine exposes ONE real TPU chip, so the run
+executes the full multi-chip code path (slab decomposition, ppermute
+halo/leaving exchange, sharded GCMC with owner routing) on a 1-device
+mesh at N >= 10M; the >= 2-device behavior of the identical code path
+is CI-proven on the 8-device virtual CPU mesh
+(tests/test_gcmc_multichip.py, tests/test_parallel_plugins.py) and by
+the driver's dryrun_multichip.
+
+Reference bar: the reference runs muVT through the same
+DomainDecomposition machinery as NVT
+(/root/reference/src/ensemble/GrandCanonicalEnsemble.cpp:92-137 +
+parallel/DomainDecompMPIBase.cpp); N >= 10M is the BASELINE.json
+scene-coverage target, not a reference-committed number.
+
+Writes MUVT_SCALE.json at the repo root.
+
+Usage: python tools/muvt_scale.py [N_millions]   (default 10.5)
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    n_target = int(float(sys.argv[1]) * 1e6) if len(sys.argv) > 1 else 10_500_000
+
+    import jax
+    import jax.numpy as jnp
+
+    from ls1_mardyn_tpu.io.xml_config import PluginSpec, XMLConfig
+    from ls1_mardyn_tpu.parallel.driver import ParallelMDSimulation
+
+    backend = jax.default_backend()
+    print(f"backend={backend} devices={len(jax.devices())}")
+
+    rho, T, rc = 0.60, 1.10, 2.5
+    L = (n_target / rho) ** (1.0 / 3.0)
+    cfg = XMLConfig(
+        timestep=0.002,
+        temperature=T,
+        box=np.array([L, L, L]),
+        cutoff=rc,
+        lj_cutoff=rc,
+        ensemble_type="muVT",
+        generator=PluginSpec(
+            "CubicGridGenerator", {"numMolecules": str(n_target)}
+        ),
+        chemical_potentials=[
+            PluginSpec(
+                "ChemicalPotential",
+                {
+                    "mu": "-2.5",
+                    "componentid": "1",
+                    "instances": "8",
+                    "everyNTimesteps": "2",
+                },
+            )
+        ],
+    )
+
+    t0 = time.time()
+    sim = ParallelMDSimulation(cfg, n_devices=1, dtype=jnp.float32)
+    t_build = time.time() - t0
+    n0 = int(np.asarray(sim.molecules().valid).sum())
+    print(
+        f"built: kind={sim.kind} N={n0} box={L:.1f} "
+        f"t_build={t_build:.1f}s"
+    )
+
+    # warmup (compile) + timed window
+    t0 = time.time()
+    sim.run(steps=2, print_every=0)
+    t_compile = time.time() - t0
+    print(f"warmup (compile + 2 steps): {t_compile:.1f}s")
+
+    steps = 10
+    t0 = time.time()
+    gv = sim.run(steps=steps, print_every=0)
+    t_run = time.time() - t0
+    nv = int(np.asarray(sim.molecules().valid).sum())
+    ups = n0 * steps / t_run
+    out = {
+        "scene": "muVT LJ liquid (BASELINE scene-coverage tier)",
+        "backend": backend,
+        "n_devices": len(jax.devices()),
+        "decomposition": sim.kind,
+        "N": n0,
+        "N_after": nv,
+        "box": L,
+        "rho": rho,
+        "T": T,
+        "mu": -2.5,
+        "steps_timed": steps,
+        "wall_s": t_run,
+        "updates_per_s": ups,
+        "gcmc_attempted": sim.gc.attempted if sim.gc else 0,
+        "gcmc_accepted_ins": sim.gc.accepted_ins if sim.gc else 0,
+        "gcmc_accepted_del": sim.gc.accepted_del if sim.gc else 0,
+        "upot_per_N": float(gv.upot) / max(nv, 1),
+        "temperature": float(gv.temperature),
+        "build_s": t_build,
+        "compile_s": t_compile,
+        "multichip_ci": "tests/test_gcmc_multichip.py (8 virtual devices)",
+    }
+    print(json.dumps(out))
+    if backend == "tpu":
+        with open(os.path.join(REPO, "MUVT_SCALE.json"), "w") as f:
+            json.dump(out, f, indent=1)
+        print("wrote MUVT_SCALE.json")
+    else:
+        print("(not on TPU: artifact not written)")
+
+
+if __name__ == "__main__":
+    main()
