@@ -92,6 +92,28 @@ def _sh_RS(v: np.ndarray, p: int) -> Tuple[Dict, Dict]:
     return R, S
 
 
+def _sh_R(v: np.ndarray, p: int) -> Dict:
+    """Regular harmonics only (well-defined at v = 0, where the
+    irregular recursion divides by r^2 -- the lattice M2M aggregation
+    includes the zero-offset center block)."""
+    x, y, z = (float(c) for c in v)
+    r2 = x * x + y * y + z * z
+    R: Dict = {(0, 0): 1.0 + 0j}
+    xy = x + 1j * y
+    for n in range(1, p + 1):
+        R[(n, n)] = R[(n - 1, n - 1)] * xy / (2 * n)
+    for m in range(0, p + 1):
+        for n in range(m + 1, p + 1):
+            Rm2 = R.get((n - 2, m), 0.0)
+            R[(n, m)] = ((2 * n - 1) * z * R[(n - 1, m)] - r2 * Rm2) / (
+                (n + m) * (n - m)
+            )
+    for n in range(0, p + 1):
+        for m in range(1, n + 1):
+            R[(n, -m)] = (-1) ** m * np.conj(R[(n, m)])
+    return R
+
+
 def _idx(n: int, m: int) -> int:
     return n * n + n + m
 
@@ -100,7 +122,7 @@ def _m2m_matrix(t: np.ndarray, p: int) -> np.ndarray:
     """M'_n^m = sum_{j<=n,k} R_{n-j}^{m-k}(-t) M_j^k  (shift multipole
     center by t; SolidHarmonicsExpansion M2M)."""
     nc = (p + 1) ** 2
-    R, _ = _sh_RS(-np.asarray(t, float), p)
+    R = _sh_R(-np.asarray(t, float), p)
     T = np.zeros((nc, nc), complex)
     for n in range(p + 1):
         for m in range(-n, n + 1):
@@ -131,7 +153,7 @@ def _l2l_matrix(u: np.ndarray, p: int) -> np.ndarray:
     """L'_j'^k' = sum_{j>=j'} R_{j-j'}^{k-k'}(u) L_j^k  (shift local
     center by u; SolidHarmonicsExpansion L2L)."""
     nc = (p + 1) ** 2
-    R, _ = _sh_RS(np.asarray(u, float), p)
+    R = _sh_R(np.asarray(u, float), p)
     T = np.zeros((nc, nc), complex)
     for jp in range(p + 1):
         for kp in range(-jp, jp + 1):
@@ -217,13 +239,27 @@ def _parity_offsets(par: Tuple[int, int, int]) -> List[Tuple[int, int, int]]:
 
 @dataclasses.dataclass
 class FMMSolver:
-    """Free-space Coulomb solver: energy, potential and forces of N
-    point charges by the solid-harmonics FMM.
+    """Coulomb solver: energy, potential and forces of N point charges
+    by the solid-harmonics FMM; free-space or fully periodic.
 
     box: cubic root-cell edge (particles must lie in [0, box)^3)
     depth: octree depth D (leaf grid 2^D per axis, D >= 2)
     order: expansion order p
     cap: max charges per leaf cell (static shape)
+    periodic: periodic boundary conditions (the reference bhfmm's
+        _periodicBC mode).  In-box M2L runs periodic-wrapped at levels
+        1..D (each interaction-list offset is a distinct physical
+        image, so aliased rolls legitimately apply different
+        operators to the same data), near-field P2P uses min-image
+        deltas, and everything beyond the 27 nearest box images is a
+        precomputed lattice recursion: 3x-coarsening blocks
+        (M_{k+1} = sum of 27 shifted M2M copies) with a pre-summed
+        702-offset (9^3 - 3^3) M2L far operator per scale -- the
+        standard periodic-FMM doubling scheme, truncated at
+        `lattice_scales` (3^K boxes).  Requires a NEUTRAL system (the
+        monopole lattice sum diverges otherwise); cubic-shell
+        summation order, which matches tinfoil Ewald when the net box
+        dipole vanishes.
     """
 
     box: float
@@ -231,6 +267,8 @@ class FMMSolver:
     order: int = 8
     cap: int = 32
     dtype: jnp.dtype = jnp.float32
+    periodic: bool = False
+    lattice_scales: int = 10
 
     def __post_init__(self):
         if self.depth < 2:
@@ -287,7 +325,11 @@ class FMMSolver:
                         _parity_offsets((px, py, pz))
                     )
         self._m2l: List[np.ndarray] = []  # [level: [n_off, 2nc, 2nc]]
-        for d in range(2, self.depth + 1):
+        # periodic boxes also run M2L at level 1 (the root's periodic
+        # "neighborhood" is the 26 image boxes, so the level-1 list is
+        # non-empty there; in free space it is empty and skipped)
+        self._m2l_min_level = 1 if self.periodic else 2
+        for d in range(self._m2l_min_level, self.depth + 1):
             edge = self.box / 2**d
             # source cell = target + o, so the translation vector is
             # t = c_target - c_source = -o * edge
@@ -299,11 +341,34 @@ class FMMSolver:
                     ]
                 )
             )
+        if self.periodic:
+            # lattice recursion operators: at scale k the block edge is
+            # 3^k * box; A_k aggregates the 27 sub-blocks (all carry the
+            # same multipole by periodicity), T_k sums the 702 far
+            # offsets 2 <= |b|_inf <= 4 (the |v|_inf >= 2 image shells
+            # tile exactly across scales)
+            self._lat_m2m: List[np.ndarray] = []
+            self._lat_m2l: List[np.ndarray] = []
+            nc = self.nc
+            for k in range(self.lattice_scales):
+                s = self.box * 3.0**k
+                A = np.zeros((nc, nc), complex)
+                for o in np.ndindex(3, 3, 3):
+                    off = (np.array(o) - 1) * s
+                    A += _m2m_matrix(-off, p)
+                self._lat_m2m.append(_realify(A, f))
+                T = np.zeros((nc, nc), complex)
+                for b in np.ndindex(9, 9, 9):
+                    bb = np.array(b) - 4
+                    if np.abs(bb).max() <= 1:
+                        continue
+                    T += _m2l_matrix(-bb * s, p)
+                self._lat_m2l.append(_realify(T, f))
         self._jit_compute = jax.jit(self._compute)
 
     # -- device pipeline ----------------------------------------------------
 
-    def _bin(self, r, q, valid):
+    def _bin(self, r, valid):
         """Leaf binning into a dense [n_cells, cap] slot table (the
         same fixed-capacity cell-major layout as ops/cells.py, local
         to the solver so it stays self-contained)."""
@@ -340,8 +405,10 @@ class FMMSolver:
         nl = self.n_leaf
         dt = self.dtype
         r = r.astype(dt)
+        if self.periodic:
+            r = r % self.box
         q = jnp.where(valid, q, 0.0).astype(dt)
-        slots, overflow = self._bin(r, q, valid)
+        slots, overflow = self._bin(r, valid)
         safe = jnp.maximum(slots, 0)
         w = (slots >= 0).astype(dt)  # [cells, cap]
         rc_ = r[safe]  # [cells, cap, 3]
@@ -380,32 +447,42 @@ class FMMSolver:
             Ms.append(parent)
         # Ms[i] is the level (depth - i) multipole grid
 
-        # horizontal pass (M2L) at levels 2..depth, free-space (zero
-        # padded shifts).  Offsets are processed in chunks as one
-        # batched einsum each, with the per-offset child-parity
-        # eligibility folded in as a 0/1 weight grid -- a handful of
-        # large MXU contractions per level instead of 189 small ones.
+        # horizontal pass (M2L) at levels 2..depth (1..depth when
+        # periodic).  Free space shifts the zero-padded grid; periodic
+        # rolls it -- aliased rolls at small grids are distinct
+        # physical images and each applies its own operator.  Offsets
+        # are processed in chunks as one batched einsum each, with the
+        # per-offset child-parity eligibility folded in as a 0/1
+        # weight grid -- a handful of large MXU contractions per level
+        # instead of 189 small ones.
         CH = 27
         offs = self._m2l_offsets
         Ls = {}
-        for li, d in enumerate(range(2, self.depth + 1)):
+        for li, d in enumerate(
+            range(self._m2l_min_level, self.depth + 1)
+        ):
             M = Ms[self.depth - d]  # grid at level d
             n = 2**d
             T = jnp.asarray(self._m2l[li])  # [n_off, 2nc, 2nc]
-            Mp = jnp.pad(M, ((3, 3), (3, 3), (3, 3), (0, 0)))
+            if self.periodic:
+                def shift(o, M=M, n=n):
+                    return jnp.roll(
+                        M, (-o[0], -o[1], -o[2]), axis=(0, 1, 2)
+                    )
+            else:
+                Mp = jnp.pad(M, ((3, 3), (3, 3), (3, 3), (0, 0)))
+
+                def shift(o, Mp=Mp, n=n):
+                    return jax.lax.dynamic_slice(
+                        Mp,
+                        (3 + o[0], 3 + o[1], 3 + o[2], 0),
+                        (n, n, n, nc2),
+                    )
+
             L = jnp.zeros((n, n, n, nc2), dt)
             for c0 in range(0, len(offs), CH):
                 chunk = offs[c0 : c0 + CH]
-                src = jnp.stack(
-                    [
-                        jax.lax.dynamic_slice(
-                            Mp,
-                            (3 + o[0], 3 + o[1], 3 + o[2], 0),
-                            (n, n, n, nc2),
-                        )
-                        for o in chunk
-                    ]
-                )
+                src = jnp.stack([shift(o) for o in chunk])
                 W = jnp.asarray(
                     np.stack(
                         [self._parity_weight(o, n) for o in chunk]
@@ -416,11 +493,31 @@ class FMMSolver:
                 )
             Ls[d] = L
 
-        # downward pass (L2L): level d -> d+1, add into Ls
-        for d in range(2, self.depth):
-            li = self.depth - (d + 1)  # index into self._l2l (built
-            # from depth down to 1: level d child matrices at index
-            # depth - d)
+        if self.periodic:
+            # lattice far field: everything beyond the 27 box images.
+            # M_k = multipole of the 3^k-box block; L_root accumulates
+            # the pre-summed 702-offset far operator at every scale.
+            M_k = Ms[-1].reshape(nc2)
+            L_root = jnp.zeros((nc2,), dt)
+            for k in range(self.lattice_scales):
+                L_root = L_root + jnp.asarray(self._lat_m2l[k]) @ M_k
+                M_k = jnp.asarray(self._lat_m2m[k]) @ M_k
+            # L2L root -> level-1 children (child matrices for level 1
+            # sit at self._l2l[depth-1]), added into the level-1 locals
+            T0 = jnp.asarray(self._l2l[self.depth - 1])
+            child = Ls[1]
+            k = 0
+            for pz in (0, 1):
+                for py in (0, 1):
+                    for px in (0, 1):
+                        child = child.at[px, py, pz].add(T0[k] @ L_root)
+                        k += 1
+            Ls[1] = child
+
+        # downward pass (L2L): level d -> d+1, add into Ls.  self._l2l
+        # was built from depth down to 1, so child level d+1 matrices
+        # sit at index depth - (d+1).
+        for d in range(self._m2l_min_level, self.depth):
             T = jnp.asarray(self._l2l[self.depth - (d + 1)])
             parent = Ls[d]
             child = Ls[d + 1]
@@ -469,6 +566,8 @@ class FMMSolver:
 
         def cell_near(rc_c, qc_c, w_c, rj_c, qj_c, sl_c, nsl_c):
             d = rc_c[:, None, :] - rj_c[None, :, :]
+            if self.periodic:
+                d = d - self.box * jnp.round(d / self.box)
             r2 = jnp.sum(d * d, -1)
             same = sl_c[:, None] == nsl_c[None, :]
             ok = (
@@ -528,7 +627,11 @@ class FMMSolver:
             ]
         )
         nb = base[:, None, :] + offs[None, :, :]
-        ok = ((nb >= 0) & (nb < nl)).all(-1)
+        if self.periodic:
+            nb = nb % nl
+            ok = np.ones(nb.shape[:-1], bool)
+        else:
+            ok = ((nb >= 0) & (nb < nl)).all(-1)
         ids = (nb[..., 0] * nl + nb[..., 1]) * nl + nb[..., 2]
         return jnp.asarray(np.where(ok, ids, -1).astype(np.int32))
 

@@ -157,6 +157,73 @@ def test_fmm_order_convergence():
     assert errs[2] < 0.5 * errs[1]
 
 
+def test_fmm_periodic_madelung():
+    """Periodic FMM reproduces the NaCl Madelung constant -- the
+    in-box wrapped M2L levels plus the 3x-block lattice recursion sum
+    the infinite rock-salt lattice (the reference bhfmm's periodic
+    mode; cf. test_ewald.py::test_madelung_constant_nacl for the Ewald
+    twin of this test)."""
+    cells, d = 4, 1.0
+    idx = np.arange(cells)
+    g = np.stack(
+        np.meshgrid(idx, idx, idx, indexing="ij"), -1
+    ).reshape(-1, 3)
+    r = (g + 0.5) * d
+    q = np.where((g.sum(axis=1) % 2) == 0, 1.0, -1.0)
+    n = len(q)
+    s = FMMSolver(
+        box=cells * d, depth=2, order=6, cap=16, dtype=jnp.float64,
+        periodic=True, lattice_scales=8,
+    )
+    U, F, phi = s.compute(r, q)
+    madelung = -2.0 * float(U) / n
+    np.testing.assert_allclose(madelung, 1.7475645946, rtol=5e-5)
+    # perfect lattice: forces vanish by symmetry (truncation noise)
+    assert np.abs(np.asarray(F)).max() < 5e-4
+
+
+def test_fmm_periodic_vs_ewald():
+    """Periodic FMM against the Ewald solver on a random neutral
+    configuration with exactly zero box dipole (mirror pairs through
+    the box center), where the cubic-shell FMM convention and tinfoil
+    Ewald agree: two algorithmically independent periodic solvers."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_ewald import _charge_scene, _real_space_direct
+
+    from ls1_mardyn_tpu.ops.ewald import EwaldParams, EwaldSolver
+
+    rng = np.random.default_rng(21)
+    box = 6.0
+    npairs = 24
+    ra = rng.uniform(0.2, box - 0.2, (npairs, 3))
+    rb = (box - ra) % box  # mirror through center
+    r = np.concatenate([ra, rb])
+    sgn = np.where(np.arange(npairs) % 2 == 0, 1.0, -1.0)
+    q = np.concatenate([sgn, sgn])  # neutral, P = box * sum(sgn) = 0
+    assert abs(q.sum()) < 1e-12
+    assert np.abs((q[:, None] * r).sum(0)).max() < 1e-10
+
+    s = FMMSolver(
+        box=box, depth=2, order=6, cap=32, dtype=jnp.float64,
+        periodic=True, lattice_scales=8,
+    )
+    U_f, F_f, _ = s.compute(r, q)
+
+    rc = 2.9
+    mol, pp, table = _charge_scene(r, q, np.array([box] * 3), rc)
+    solver = EwaldSolver(
+        np.array([box] * 3), EwaldParams(alpha=1.8, kmax=14), jnp.float64
+    )
+    u_recip, F_recip, _ = solver(mol, pp)
+    u_real, F_real = _real_space_direct(mol, pp, np.array([box] * 3), 1.8, rc)
+    U_e = float(u_recip) + u_real
+    F_e = np.asarray(F_recip) + np.asarray(F_real)
+    assert abs(float(U_f) - U_e) / abs(U_e) < 1e-3
+    assert np.abs(np.asarray(F_f) - F_e).max() / np.abs(F_e).max() < 5e-3
+
+
 def test_fmm_valid_mask_and_overflow():
     """Invalid slots are excluded; leaf-capacity overflow raises."""
     r, q = _cluster(64, 8.0, seed=13)

@@ -45,8 +45,15 @@ def main():
     backend = jax.default_backend()
     print(f"backend={backend} devices={len(jax.devices())}")
 
+    import sys as _sys
+
+    def say(msg):
+        print(msg)
+        _sys.stdout.flush()
+
     rho, T, rc = 0.60, 1.10, 2.5
     L = (n_target / rho) ** (1.0 / 3.0)
+    say(f"scene: N={n_target} L={L:.1f}")
     cfg = XMLConfig(
         timestep=0.002,
         temperature=T,
@@ -73,17 +80,15 @@ def main():
     t0 = time.time()
     sim = ParallelMDSimulation(cfg, n_devices=1, dtype=jnp.float32)
     t_build = time.time() - t0
+    say(f"decomposed: kind={sim.kind} t_build={t_build:.1f}s")
     n0 = int(np.asarray(sim.molecules().valid).sum())
-    print(
-        f"built: kind={sim.kind} N={n0} box={L:.1f} "
-        f"t_build={t_build:.1f}s"
-    )
+    say(f"built: N={n0} box={L:.1f}")
 
     # warmup (compile) + timed window
     t0 = time.time()
     sim.run(steps=2, print_every=0)
     t_compile = time.time() - t0
-    print(f"warmup (compile + 2 steps): {t_compile:.1f}s")
+    say(f"warmup (compile + 2 steps): {t_compile:.1f}s")
 
     steps = 10
     t0 = time.time()
