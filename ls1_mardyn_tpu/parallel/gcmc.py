@@ -7,12 +7,16 @@ GrandCanonicalEnsemble.cpp:92-137, ChemicalPotential.cpp
 grandcanonicalStep; ParticleContainer::getEnergy supplies the probe
 energy).
 
-TPU-native: the probe energy is ONE jitted shard_map -- every device
-computes the probe's interaction with its local molecules (min-image
-O(N/P) row) and a psum reduces the scalar.  Moves are host-orchestrated
-(they happen every `interval` steps, not per step); insertions write
-into a free slot of the OWNER device's segment so the next migration
-pass sees a consistent slab assignment.
+TPU-native: the whole muVT cycle of an interval (nd deletions + ni
+insertions) is ONE jitted lax.scan over the GLOBAL view of the sharded
+state -- XLA's SPMD partitioner turns the O(N) min-image probe row
+into per-device partials + a psum, candidate selection is a sharded
+cumsum, and insertions dynamic-update the OWNER device's segment so
+the next migration pass sees a consistent assignment.  The host reads
+back two counters per interval; nothing per-trial crosses the tunnel
+(the batching twin of the single-chip GrandCanonicalEnsemble._cycle).
+`probe_energy` (a shard_map psum of per-device partials) remains for
+diagnostics and tests.
 """
 
 from __future__ import annotations
@@ -93,6 +97,7 @@ class SlabGrandCanonical:
         molecule arrays use the sim's own input sharding, so the slab
         and 3-D mesh cases differ only in owner routing (see
         Mesh3DGrandCanonical)."""
+        self._cycles = {}  # jitted cycles close over pp/capacities
         pp = self.sim.pp
         axes = tuple(self.sim.mesh.axis_names)
 
@@ -118,10 +123,6 @@ class SlabGrandCanonical:
             )
         )
 
-    def _next(self):
-        self.key, k = jax.random.split(self.key)
-        return k
-
     def probe_energy(self, mol, r, q, cid, excl_mid=-1):
         return float(
             self._probe(
@@ -133,94 +134,182 @@ class SlabGrandCanonical:
             )
         )
 
-    def _owner_of(self, r_new) -> int:
-        """Linear device index owning position r_new.  Slab: z interval
-        of owner_bounds (non-uniform under load balancing)."""
-        return min(
-            int(np.searchsorted(self.owner_bounds[1:-1], r_new[2],
-                                side="right")),
-            self.sim.cfg.n_devices - 1,
-        )
-
     def step(self, mol: MoleculeState, step: int) -> MoleculeState:
-        for cp in self.chem_pots:
+        for ci, cp in enumerate(self.chem_pots):
             if step % cp.interval:
                 continue
-            for _ in range(cp.deletions_per_interval):
-                mol = self._try_deletion(mol, cp)
-            for _ in range(cp.insertions_per_interval):
-                mol = self._try_insertion(mol, cp)
+            nd = cp.deletions_per_interval
+            ni = cp.insertions_per_interval
+            self.key, k = jax.random.split(self.key)
+            mol, a_del, a_ins = self._cycle_fn(ci)(
+                mol, self._owner_dynamic_arg(), k
+            )
+            self.attempted += nd + ni
+            self.accepted_del += int(a_del)
+            self.accepted_ins += int(a_ins)
         return mol
 
-    # -- moves ---------------------------------------------------------
-    def _try_deletion(self, mol, cp):
-        valid = np.asarray(mol.valid)
-        cid = np.asarray(mol.cid)
-        cands = np.where(valid & (cid == cp.component))[0]
-        if len(cands) == 0:
-            return mol
-        pick = int(jax.random.randint(self._next(), (), 0, len(cands)))
-        idx = int(cands[pick])
-        mid = int(np.asarray(mol.mid)[idx])
-        e_mol = self.probe_energy(
-            mol, np.asarray(mol.r)[idx], np.asarray(mol.q)[idx],
-            int(cid[idx]), excl_mid=mid,
-        )
-        n = int(valid.sum())
-        acc = min(1.0, n / self.volume * np.exp((-cp.mu + e_mol) / self.T))
-        self.attempted += 1
-        if float(jax.random.uniform(self._next(), ())) < acc:
-            self.accepted_del += 1
-            mol = dataclasses.replace(mol, valid=mol.valid.at[idx].set(False))
-        return mol
+    # -- batched on-device cycle ----------------------------------------
+    def _owner_dynamic_arg(self):
+        """Dynamic owner-routing data (slab: z slab boundaries, updated
+        by the load balancer through self.owner_bounds)."""
+        return jnp.asarray(np.asarray(self.owner_bounds, float))
 
-    def _try_insertion(self, mol, cp):
-        cfg = self.sim.cfg
-        lo = cp.control_lower if cp.control_lower is not None else np.zeros(3)
-        hi = cp.control_upper if cp.control_upper is not None else self.box
-        r_new = np.asarray(
-            jax.random.uniform(
-                self._next(), (3,),
-                minval=jnp.asarray(lo), maxval=jnp.asarray(hi),
+    def _owner_idx(self, r_new, owner_arg):
+        """Traceable linear device index owning position r_new (slab:
+        z interval of the dynamic boundaries)."""
+        P = self.sim.cfg.n_devices
+        return jnp.clip(
+            jnp.searchsorted(
+                owner_arg[1:-1], r_new[2].astype(owner_arg.dtype),
+                side="right",
+            ),
+            0, P - 1,
+        ).astype(jnp.int32)
+
+    def _cycle_fn(self, ci):
+        """Build (and cache) the jitted interval cycle for chem-pot ci:
+        lax.scan over nd deletion + ni insertion trials on the global
+        sharded state (one dispatch, two scalar readbacks)."""
+        cached = getattr(self, "_cycles", None)
+        if cached is None:
+            cached = self._cycles = {}
+        if ci in cached:
+            return cached[ci]
+        cp = self.chem_pots[ci]
+        pp = self.sim.pp
+        ncap = self.sim.cfg.n_local_cap
+        comp = cp.component
+        nd, ni = cp.deletions_per_interval, cp.insertions_per_interval
+        T, mu, V = self.T, cp.mu, self.volume
+        lo_np = (cp.control_lower if cp.control_lower is not None
+                 else np.zeros(3))
+        hi_np = (cp.control_upper if cp.control_upper is not None
+                 else self.box)
+        mass = float(np.asarray(pp.mass)[comp])
+
+        def cycle(mol, owner_arg, key):
+            dtype = mol.r.dtype
+            boxj = jnp.asarray(self.box, dtype)
+            lo = jnp.asarray(lo_np, dtype)
+            hi = jnp.asarray(hi_np, dtype)
+            n_cap = mol.capacity
+
+            def probe(m, r_p, q_p, cid_p, excl_mid):
+                return _probe_energy_local(
+                    m, pp, boxj, r_p, q_p, cid_p, excl_mid
+                )
+
+            def try_delete(m, mid_max, kk):
+                k1, k2 = jax.random.split(kk)
+                in_cv = jnp.all((m.r >= lo) & (m.r < hi), axis=-1)
+                cand = m.valid & (m.cid == comp) & in_cv
+                total = jnp.sum(cand.astype(jnp.int32))
+                cnt = jnp.cumsum(cand.astype(jnp.int32))
+                pick = jax.random.randint(
+                    k1, (), 0, jnp.maximum(total, 1)
+                )
+                idx = jnp.clip(
+                    jnp.searchsorted(cnt, pick, side="right"),
+                    0, n_cap - 1,
+                ).astype(jnp.int32)
+                e_mol = probe(m, m.r[idx], m.q[idx], m.cid[idx],
+                              m.mid[idx])
+                n = jnp.sum(m.valid).astype(dtype)
+                acc = jnp.minimum(
+                    1.0, n / V * jnp.exp((-mu + e_mol) / T)
+                )
+                do = (
+                    (jax.random.uniform(k2, (), dtype) < acc)
+                    & (total > 0)
+                )
+                valid = m.valid.at[idx].set(
+                    jnp.where(do, False, m.valid[idx])
+                )
+                return (
+                    dataclasses.replace(m, valid=valid),
+                    mid_max,
+                    do,
+                    jnp.asarray(False),
+                )
+
+            def try_insert(m, mid_max, kk):
+                k1, k2, k3, k4 = jax.random.split(kk, 4)
+                r_new = jax.random.uniform(k1, (3,), dtype, lo, hi)
+                qv = jax.random.normal(k2, (4,), dtype)
+                q_new = qv / jnp.linalg.norm(qv)
+                du = probe(m, r_new, q_new,
+                           jnp.asarray(comp, jnp.int32),
+                           jnp.asarray(-1, jnp.int32))
+                n = jnp.sum(m.valid).astype(dtype)
+                acc = jnp.minimum(
+                    1.0, V / (n + 1.0) * jnp.exp((mu - du) / T)
+                )
+                owner = self._owner_idx(r_new, owner_arg)
+                seg_free = jax.lax.dynamic_slice(
+                    ~m.valid, (owner * ncap,), (ncap,)
+                )
+                has_free = jnp.any(seg_free)
+                idx = owner * ncap + jnp.argmax(seg_free).astype(
+                    jnp.int32
+                )
+                do = (
+                    (jax.random.uniform(k3, (), dtype) < acc)
+                    & has_free
+                )
+                v_new = jax.random.normal(k4, (3,), dtype) * np.sqrt(
+                    T / mass
+                )
+                mid_new = mid_max + 1
+
+                def w(old, new):
+                    return jnp.where(do, new, old)
+
+                m = dataclasses.replace(
+                    m,
+                    r=m.r.at[idx].set(w(m.r[idx], r_new)),
+                    v=m.v.at[idx].set(w(m.v[idx], v_new)),
+                    q=m.q.at[idx].set(w(m.q[idx], q_new)),
+                    L=m.L.at[idx].set(w(m.L[idx], jnp.zeros(3, dtype))),
+                    cid=m.cid.at[idx].set(
+                        w(m.cid[idx], jnp.asarray(comp, jnp.int32))
+                    ),
+                    mid=m.mid.at[idx].set(w(m.mid[idx], mid_new)),
+                    valid=m.valid.at[idx].set(w(m.valid[idx], True)),
+                )
+                return m, jnp.where(do, mid_new, mid_max), (
+                    jnp.asarray(False)
+                ), do
+
+            def body(carry, xs):
+                m, mid_max, a_del, a_ins, i = carry
+                kk = xs
+                m, mid_max, dd, di = jax.lax.cond(
+                    i < nd, try_delete, try_insert, m, mid_max, kk
+                )
+                return (
+                    m,
+                    mid_max,
+                    a_del + dd.astype(jnp.int32),
+                    a_ins + di.astype(jnp.int32),
+                    i + 1,
+                ), None
+
+            mid_max0 = jnp.max(
+                jnp.where(mol.valid, mol.mid, 0)
+            ).astype(mol.mid.dtype)
+            keys = jax.random.split(key, nd + ni)
+            (mol, _, a_del, a_ins, _), _ = jax.lax.scan(
+                body,
+                (mol, mid_max0, jnp.int32(0), jnp.int32(0),
+                 jnp.int32(0)),
+                keys,
             )
-        )
-        qv = np.asarray(jax.random.normal(self._next(), (4,)))
-        q_new = qv / np.linalg.norm(qv)
-        du = self.probe_energy(mol, r_new, q_new, cp.component)
-        valid = np.asarray(mol.valid)
-        n = int(valid.sum())
-        acc = min(1.0, self.volume / (n + 1) * np.exp((cp.mu - du) / self.T))
-        self.attempted += 1
-        if float(jax.random.uniform(self._next(), ())) >= acc:
-            return mol
-        # the OWNER device must store the molecule (migration only
-        # handles +-1 hops); owner routing is the only decomposition-
-        # specific part of GCMC (see _owner_of)
-        owner = self._owner_of(r_new)
-        seg = slice(owner * cfg.n_local_cap, (owner + 1) * cfg.n_local_cap)
-        free = np.where(~valid[seg])[0]
-        if len(free) == 0:
-            raise RuntimeError(
-                f"device {owner}: no free slots for muVT insertion"
-            )
-        idx = owner * cfg.n_local_cap + int(free[0])
-        self.accepted_ins += 1
-        mass = float(np.asarray(self.sim.pp.mass)[cp.component])
-        v_new = np.asarray(
-            jax.random.normal(self._next(), (3,))
-        ) * np.sqrt(self.T / mass)
-        mid_new = int(np.asarray(mol.mid).max()) + 1
-        dtype = mol.r.dtype
-        return dataclasses.replace(
-            mol,
-            r=mol.r.at[idx].set(jnp.asarray(r_new, dtype)),
-            v=mol.v.at[idx].set(jnp.asarray(v_new, dtype)),
-            q=mol.q.at[idx].set(jnp.asarray(q_new, dtype)),
-            L=mol.L.at[idx].set(jnp.zeros(3, dtype)),
-            cid=mol.cid.at[idx].set(cp.component),
-            mid=mol.mid.at[idx].set(mid_new),
-            valid=mol.valid.at[idx].set(True),
-        )
+            return mol, a_del, a_ins
+
+        fn = jax.jit(cycle)
+        cached[ci] = fn
+        return fn
 
 
 class Mesh3DGrandCanonical(SlabGrandCanonical):
@@ -233,7 +322,22 @@ class Mesh3DGrandCanonical(SlabGrandCanonical):
     .distribute uses (the reference's decompositions are
     interchangeable under one interface, DomainDecompBase.h:51)."""
 
-    def _owner_of(self, r_new) -> int:
+    def _owner_dynamic_arg(self):
+        # z-layer device bounds follow the CURRENT load-balanced edges
+        # (mesh3d z-layer balancing); x/y stay uniform
+        return jnp.asarray(np.asarray(self.sim.zb_host, float))
+
+    def _owner_idx(self, r_new, owner_arg):
         cfg = self.sim.cfg
-        o = self.sim._owner3(np.asarray(r_new, float)[None, :])[0]
-        return int((o[0] * cfg.grid[1] + o[1]) * cfg.grid[2] + o[2])
+        lb = cfg.local_box
+        gx, gy, gz = cfg.grid
+        ox = jnp.clip((r_new[0] / lb[0]).astype(jnp.int32), 0, gx - 1)
+        oy = jnp.clip((r_new[1] / lb[1]).astype(jnp.int32), 0, gy - 1)
+        oz = jnp.clip(
+            jnp.searchsorted(
+                owner_arg[1:-1], r_new[2].astype(owner_arg.dtype),
+                side="right",
+            ),
+            0, gz - 1,
+        ).astype(jnp.int32)
+        return (ox * gy + oy) * gz + oz

@@ -81,8 +81,7 @@ def main():
     sim = ParallelMDSimulation(cfg, n_devices=1, dtype=jnp.float32)
     t_build = time.time() - t0
     say(f"decomposed: kind={sim.kind} t_build={t_build:.1f}s")
-    n0 = int(np.asarray(sim.molecules().valid).sum())
-    say(f"built: N={n0} box={L:.1f}")
+    n0 = n_target  # a full-state gather costs minutes over the tunnel
 
     # warmup (compile) + timed window
     t0 = time.time()
@@ -94,7 +93,7 @@ def main():
     t0 = time.time()
     gv = sim.run(steps=steps, print_every=0)
     t_run = time.time() - t0
-    nv = int(np.asarray(sim.molecules().valid).sum())
+    nv = int(float(gv.n))
     ups = n0 * steps / t_run
     out = {
         "scene": "muVT LJ liquid (BASELINE scene-coverage tier)",
