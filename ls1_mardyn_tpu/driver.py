@@ -136,6 +136,11 @@ class MDSimulation:
             lj_cutoff=config.lj_cutoff,
         )
         self.pp = PairParams.from_table(self.table, dtype=dtype)
+        # the PAIR path's table/params; FMM-mode electrostatics strip
+        # the charges here (the FMM owns all Coulomb work) while
+        # self.pp stays complete for integration, probes and the FMM
+        self._table_pair = self.table
+        self._pp_pair = self.pp
         self.box = np.asarray(data.box, float)
         self.volume = float(np.prod(self.box))
         self.lj_cutoff = config.lj_cutoff
@@ -345,7 +350,51 @@ class MDSimulation:
                 accuracy=config.ewald_accuracy,
             )
             method = getattr(config, "ewald_method", "auto")
-            if method == "auto":
+            if method == "fmm":
+                # the ACTUAL solid-harmonics FMM (ops/fmm.py): it owns
+                # ALL Coulomb work (near P2P + far expansions) while
+                # the pair path runs LJ only -- exactly the reference's
+                # FMM mode, which swaps in VectorizedLJP2PCellProcessor
+                # (Simulation.cpp:781-797).  Charge-only scenes.
+                import copy
+
+                from ls1_mardyn_tpu.models.components import (
+                    ComponentTable as _CT,
+                )
+                from ls1_mardyn_tpu.models.interaction import (
+                    PairParams as _PP,
+                )
+                from ls1_mardyn_tpu.ops.fmm import FMMElectrostatics
+
+                if force_mode == "cells":
+                    raise ValueError(
+                        "ewald_method='fmm' needs the pallas/oracle "
+                        "force path (force_mode auto); the internal "
+                        "cells path would double-count in-cutoff "
+                        "Coulomb"
+                    )
+                self.ewald = FMMElectrostatics(
+                    self.box, self.table, self.pp, n_hint=n,
+                    dtype=dtype,
+                    order=getattr(config, "fmm_order", 8),
+                )
+                comps_lj = copy.deepcopy(self.table.components)
+                for c_ in comps_lj:
+                    c_.charges = []
+                self._table_pair = _CT(
+                    comps_lj, cutoff=config.cutoff,
+                    lj_cutoff=config.lj_cutoff,
+                )
+                self._pp_pair = _PP.from_table(
+                    self._table_pair, dtype=dtype
+                )
+                global_log.info(
+                    "electrostatics: solid-harmonics FMM depth=%d "
+                    "order=%d cap=%d (pair path runs LJ only)",
+                    self.ewald.depth, self.ewald.solver.order,
+                    self.ewald.solver.cap,
+                )
+            elif method == "auto":
                 # direct k-space costs O(N_sites * K) matmul work; the
                 # SPME mesh costs O(N_sites * p^3 + G^3 log G).  Pick
                 # the mesh once the matmuls dominate (the analogue of
@@ -355,7 +404,9 @@ class MDSimulation:
                     np.asarray(self.pp.charge_q).shape[1]
                 )
                 method = "pme" if nsites * K > 2e8 else "direct"
-            if method == "pme":
+            if method == "fmm":
+                pass  # solver built above; no erfc screening
+            elif method == "pme":
                 from ls1_mardyn_tpu.ops.pme import PMEParams, PMESolver
 
                 pparams = PMEParams.tune(
@@ -448,7 +499,7 @@ class MDSimulation:
                         )
 
                         force_fn = PallasMultiSitePath(
-                            self.table, spec, interpret=interpret,
+                            self._table_pair, spec, interpret=interpret,
                             screen_alpha=screen_alpha,
                         )
                         global_log.info(
@@ -479,7 +530,7 @@ class MDSimulation:
                 if max(config.cutoff, config.lj_cutoff) > min(self.box) / 2
                 else 1
             )
-            pp_ref = self.pp
+            pp_ref = self._pp_pair
             box_ref = self.box
 
             def force_fn(mol, _chunk=chunk, _images=images,

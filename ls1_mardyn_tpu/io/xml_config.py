@@ -75,7 +75,8 @@ class XMLConfig:
     temp_control: List[dict] = dataclasses.field(default_factory=list)
     electrostatic_solver: Optional[str] = None  # None | "Ewald"
     ewald_accuracy: float = 1e-5
-    ewald_method: str = "auto"  # auto | direct | pme
+    ewald_method: str = "auto"  # auto | direct | pme | fmm
+    fmm_order: int = 8  # <orderOfExpansions> (FastMultipoleMethod.cpp:35)
     chemical_potentials: List[PluginSpec] = dataclasses.field(default_factory=list)
     config_dir: str = "."
 
@@ -288,10 +289,13 @@ def _read_body(sim: ET.Element, cfg: XMLConfig, base_dir: str) -> XMLConfig:
             "FastMultipoleMethod", "Ewald",
         ):
             # the reference plugs bhfmm here (Simulation.cpp:292-302);
-            # our long-range electrostatics solver is Ewald summation
-            # (direct k-space or SPME mesh -- the FMM-FFT analogue)
+            # long-range electrostatics run as Ewald summation (direct
+            # k-space or SPME mesh -- the FMM-FFT analogue) or, with
+            # <method>fmm</method>, the actual solid-harmonics FMM
+            # (ops/fmm.py, charge-only scenes)
             cfg.electrostatic_solver = "Ewald"
             cfg.ewald_accuracy = _get(el, "accuracy", 1e-5)
+            cfg.fmm_order = int(_get(el, "orderOfExpansions", 8))
             m = el.find("method")
             if m is not None and m.text:
                 cfg.ewald_method = m.text.strip().lower()

@@ -399,7 +399,7 @@ class FMMSolver:
         )
         return slots, overflow
 
-    def _compute(self, r, q, valid):
+    def _compute(self, r, q, valid, gid):
         p = self.order
         nc2 = 2 * self.nc
         nl = self.n_leaf
@@ -552,7 +552,11 @@ class FMMSolver:
         g = jax.vmap(jax.grad(phi_far, argnums=0))(r, Li, ci_)
         F_far = -q[:, None] * g
 
-        # near field P2P over the 27-neighborhood (free-space clamp)
+        # near field P2P over the 27-neighborhood (free-space clamp).
+        # Pairs sharing a group id are excluded: gid defaults to the
+        # particle index (self-pair only); molecule-site mode passes
+        # the molecule id so intramolecular pairs never contribute
+        # (they sit entirely in P2P range -- asserted at build).
         nbr = self._neighbor_table()  # [cells, 27] cell ids or -1
         nb_slots = jnp.where(
             nbr[:, :, None] >= 0,
@@ -563,6 +567,8 @@ class FMMSolver:
         wj = (nb_slots >= 0).astype(dt)
         rj = r[safe_j]  # [cells, 27cap, 3]
         qj = q[safe_j] * wj
+        gid_own = jnp.where(slots >= 0, gid[safe], -1)
+        gid_nb = jnp.where(nb_slots >= 0, gid[safe_j], -2)
 
         def cell_near(rc_c, qc_c, w_c, rj_c, qj_c, sl_c, nsl_c):
             d = rc_c[:, None, :] - rj_c[None, :, :]
@@ -585,7 +591,7 @@ class FMMSolver:
             return jnp.sum(phi_c, 1), jnp.sum(f, 1)
 
         phi_n_c, F_n_c = jax.vmap(cell_near)(
-            rc_, qc, w, rj, qj, slots, nb_slots
+            rc_, qc, w, rj, qj, gid_own, gid_nb
         )
         # scatter back per particle
         phi_near = jnp.zeros_like(phi)
@@ -637,19 +643,118 @@ class FMMSolver:
 
     # -- public -------------------------------------------------------------
 
-    def compute(self, r, q, valid=None):
+    def compute(self, r, q, valid=None, gid=None):
         """Energy U = 1/2 sum q_i phi_i, forces [N,3], potentials [N].
+        gid: optional group ids -- pairs within a group are excluded
+        (molecule-site mode); defaults to per-particle (self only).
         Raises on leaf-capacity overflow."""
         r = jnp.asarray(r)
         q = jnp.asarray(q)
         if valid is None:
             valid = jnp.ones((r.shape[0],), bool)
-        U, F, phi, overflow = self._jit_compute(r, q, valid)
+        if gid is None:
+            gid = jnp.arange(r.shape[0], dtype=jnp.int32)
+        U, F, phi, overflow = self._jit_compute(r, q, valid, gid)
         if bool(overflow):
             raise RuntimeError(
                 "FMM leaf cell capacity exceeded; raise cap or depth"
             )
         return U, F, phi
+
+
+class FMMElectrostatics:
+    """Molecule-level FMM electrostatics for the MD driver: the role
+    bhfmm plays when `<electrostatic type="FastMultipoleMethod">` is
+    configured (/root/reference/src/Simulation.cpp:292-302; the FMM
+    then owns ALL Coulomb work while the cell processor runs LJ only,
+    Simulation.cpp:781-797).
+
+    Implements the extra-force protocol `(mol, pp) -> (u, F, M)`: all
+    charge sites are flattened into the periodic FMM with the molecule
+    index as the exclusion group (intramolecular pairs never
+    contribute; they sit entirely within near-field range, asserted at
+    build), forces map back per molecule and torques from the
+    world-frame site offsets.  Charges only, like the reference's
+    VectorizedChargeP2PCellProcessor."""
+
+    def __init__(self, box, table, pp, n_hint: int,
+                 dtype=jnp.float32, order: int = 8, depth: int = 0,
+                 cap: int = 0):
+        from ls1_mardyn_tpu.models.interaction import site_offsets
+
+        b = np.asarray(box, float)
+        if not np.allclose(b, b[0], rtol=1e-6):
+            raise ValueError("FMM electrostatics needs a cubic box")
+        for c in table.components:
+            if c.dipoles or c.quadrupoles:
+                raise ValueError(
+                    "FMM electrostatics handles point charges only "
+                    "(the reference bhfmm constraint); use Ewald/SPME "
+                    "for dipoles/quadrupoles"
+                )
+        self._site_offsets = site_offsets
+        self.NC = int(np.asarray(pp.charge_q).shape[1])
+        if depth == 0:
+            # aim for ~16 occupied sites per leaf (leaf count 8^D)
+            n_sites = max(n_hint, 1) * self.NC
+            depth = min(6, max(2, int(round(np.log(n_sites / 16) /
+                                            np.log(8)))))
+        self.depth = depth
+        # intramolecular exclusion correctness: all sites of one
+        # molecule must stay within the 27-cell near field
+        cq = np.asarray(pp.charge_pos)
+        r_max = float(np.max(np.linalg.norm(cq, axis=-1))) if cq.size else 0.0
+        leaf_edge = float(b[0]) / 2**depth
+        if leaf_edge < 2.0 * r_max:
+            raise ValueError(
+                f"FMM leaf edge {leaf_edge:.3g} < 2*max site radius "
+                f"{r_max:.3g}: intramolecular exclusion would leak"
+            )
+        if cap == 0:
+            mean_occ = max(n_hint, 1) * self.NC / 8**depth
+            cap = int(max(32, 4 * mean_occ))
+        self.solver = FMMSolver(
+            box=float(b[0]), depth=depth, order=order,
+            cap=cap, dtype=dtype, periodic=True,
+        )
+        self._jit = jax.jit(self._call)
+
+    def _call(self, mol, pp):
+        dtype = mol.r.dtype
+        n = mol.capacity
+        sites = self._site_offsets(pp, mol.q, mol.cid)["charge"]
+        q_site = pp.charge_q[mol.cid]  # [N, NC]
+        wq = q_site * mol.valid[:, None].astype(dtype)
+        rs = (mol.r[:, None, :] + sites).reshape(-1, 3)
+        qs = wq.reshape(-1)
+        mids = jnp.repeat(
+            jnp.arange(n, dtype=jnp.int32), sites.shape[1]
+        )
+        valid_s = qs != 0.0  # zero-charge padding never occupies slots
+        U, F_s, phi, overflow = self.solver._compute(
+            rs, qs, valid_s, mids
+        )
+        f = F_s.reshape(n, -1, 3)
+        F = jnp.sum(f, axis=1)
+        M = jnp.sum(jnp.cross(sites, f), axis=1)
+        return U, F, M, overflow
+
+    def __call__(self, mol, pp):
+        # traceable: runs inside the driver's jitted step like the
+        # Ewald/PME extra-force hook
+        u, F, M, _overflow = self._call(mol, pp)
+        return u, F, M
+
+    def validate(self, mol, pp):
+        """Host-side overflow check, once at prepare time (cap is
+        sized 4x the mean leaf occupancy, so a later overflow implies
+        a drastic density change -- which rebuilds solvers through the
+        driver's re-spec path anyway)."""
+        _u, _F, _M, overflow = self._jit(mol, pp)
+        if bool(overflow):
+            raise RuntimeError(
+                "FMM leaf cap exceeded; raise cap or depth"
+            )
 
 
 def direct_coulomb(r, q):

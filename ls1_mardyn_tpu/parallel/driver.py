@@ -137,6 +137,14 @@ class ParallelMDSimulation:
         if n_devices is None:
             n_devices = jax.device_count()
         self.n_devices = n_devices
+        if getattr(config, "ewald_method", "auto") == "fmm":
+            # the solid-harmonics FMM solver is single-chip; the
+            # sharded path runs its k-space twin (sharded Ewald)
+            global_log.warning(
+                "FMM electrostatics is single-chip; --parallel runs "
+                "Ewald/SPME instead"
+            )
+            config = _dc.replace(config, ewald_method="auto")
 
         # reuse the single-chip scene construction (readers, tables,
         # thermostats, LRC) -- but not its engine, its plugins (we own

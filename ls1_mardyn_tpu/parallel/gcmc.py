@@ -281,30 +281,34 @@ class SlabGrandCanonical:
                     jnp.asarray(False)
                 ), do
 
-            def body(carry, xs):
-                m, mid_max, a_del, a_ins, i = carry
-                kk = xs
-                m, mid_max, dd, di = jax.lax.cond(
-                    i < nd, try_delete, try_insert, m, mid_max, kk
-                )
-                return (
-                    m,
-                    mid_max,
-                    a_del + dd.astype(jnp.int32),
-                    a_ins + di.astype(jnp.int32),
-                    i + 1,
-                ), None
+            # two plain scans (deletions first, like the reference's
+            # getDeletion/getInsertion order) instead of one scan with
+            # a lax.cond over the full state: on TPU the cond made XLA
+            # spill remat copies of the [N,3] carries in (8,128)
+            # tiling -- a 42x padding expansion that OOMed at N=10M
+            def del_body(carry, kk):
+                m, mid_max, a = carry
+                m, mid_max, dd, _ = try_delete(m, mid_max, kk)
+                return (m, mid_max, a + dd.astype(jnp.int32)), None
+
+            def ins_body(carry, kk):
+                m, mid_max, a = carry
+                m, mid_max, _, di = try_insert(m, mid_max, kk)
+                return (m, mid_max, a + di.astype(jnp.int32)), None
 
             mid_max0 = jnp.max(
                 jnp.where(mol.valid, mol.mid, 0)
             ).astype(mol.mid.dtype)
             keys = jax.random.split(key, nd + ni)
-            (mol, _, a_del, a_ins, _), _ = jax.lax.scan(
-                body,
-                (mol, mid_max0, jnp.int32(0), jnp.int32(0),
-                 jnp.int32(0)),
-                keys,
-            )
+            a_del = a_ins = jnp.int32(0)
+            if nd:
+                (mol, mid_max0, a_del), _ = jax.lax.scan(
+                    del_body, (mol, mid_max0, jnp.int32(0)), keys[:nd]
+                )
+            if ni:
+                (mol, mid_max0, a_ins), _ = jax.lax.scan(
+                    ins_body, (mol, mid_max0, jnp.int32(0)), keys[nd:]
+                )
             return mol, a_del, a_ins
 
         fn = jax.jit(cycle)

@@ -91,3 +91,38 @@ def test_driver_ewald_energy_scale(tmp_path, monkeypatch):
     # Madelung: -1.7476/2 = -0.874 per ion, plus the attractive LJ
     # contribution of the 12 sqrt(2)-diagonal neighbors (~ -0.6)
     assert -2.0 < u_per_ion < -0.8
+
+
+def test_driver_fmm_matches_ewald(tmp_path, monkeypatch):
+    """ewald_method='fmm' runs the ACTUAL solid-harmonics FMM as the
+    driver's electrostatic solver (the reference's FMM mode swaps the
+    cell processor to LJ-only and hands all Coulomb work to bhfmm,
+    Simulation.cpp:781-797): total energy must agree with the Ewald
+    route on the same scene."""
+    os.chdir(tmp_path)
+    u0 = {}
+    for method in ("direct", "fmm"):
+        cfg, data = _molten_salt_config(n_side=6, d=1.0)
+        cfg.lj_cutoff = 2.4
+        cfg.cutoff = 2.4
+        cfg.ewald_method = method
+        cfg.fmm_order = 8
+        monkeypatch.setattr(
+            MDSimulation, "_load_phasespace", lambda self, c: data
+        )
+        sim = MDSimulation(cfg, dtype=jnp.float64)
+        if method == "fmm":
+            from ls1_mardyn_tpu.ops.fmm import FMMElectrostatics
+
+            assert isinstance(sim.ewald, FMMElectrostatics)
+            sim.ewald.validate(sim.engine.mol, sim.pp)
+            # the pair path must be charge-stripped (FMM owns Coulomb)
+            assert not sim._table_pair.has_electrostatics()
+        sim.engine.prepare_start()
+        u0[method] = float(sim.engine.macro.upot)
+        # the scene also has to STEP (FMM forces/torques inside the
+        # jitted leapfrog)
+        gv = sim.run(steps=2, print_every=0)
+        assert np.isfinite(float(gv.upot))
+    scale = abs(u0["direct"])
+    assert abs(u0["fmm"] - u0["direct"]) / scale < 2e-3, u0
