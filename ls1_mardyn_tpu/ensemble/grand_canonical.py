@@ -430,38 +430,36 @@ class GrandCanonicalEnsemble:
             jnp.zeros((n_cap,), bool) if probe is not None else None
         )
 
-        def body(carry, kk):
-            mol, deltas, freed, a_del, a_ins, i = carry
-            is_del = i < nd
+        # two plain scans (deletions then insertions, the reference's
+        # order) instead of one scan with a lax.cond over the full
+        # state: on TPU the cond makes XLA spill (8,128)-tiled remat
+        # copies of the [N,3] carries (42x padding), which OOMs at
+        # N=10M.  The key split keys[:nd]/keys[nd:] preserves the
+        # exact RNG stream of the former fused scan.
+        def del_body(carry, kk):
+            m, d, fr, a = carry
+            m2, fr2, do = try_delete(m, d, fr, kk)
+            return (m2, d, fr2, a + do.astype(jnp.int32)), None
 
-            def del_branch(args):
-                m, d, fr = args
-                m2, fr2, do = try_delete(m, d, fr, kk)
-                return m2, d, fr2, do, jnp.asarray(False)
+        def ins_body(carry, kk):
+            m, d, fr, a, j = carry
+            m2, d2, do = try_insert(m, d, fr, j, kk)
+            return (m2, d2, fr, a + do.astype(jnp.int32), j + 1), None
 
-            def ins_branch(args):
-                m, d, fr = args
-                m2, d2, do = try_insert(m, d, fr, i - nd, kk)
-                return m2, d2, fr, jnp.asarray(False), do
-
-            mol, deltas, freed, dd, di = jax.lax.cond(
-                is_del, del_branch, ins_branch, (mol, deltas, freed)
+        mol_out, deltas_c, freed_c = mol, deltas0, freed0
+        a_del = a_ins = jnp.int32(0)
+        if nd:
+            (mol_out, deltas_c, freed_c, a_del), _ = jax.lax.scan(
+                del_body, (mol_out, deltas_c, freed_c, jnp.int32(0)),
+                keys[:nd],
             )
-            return (
-                mol,
-                deltas,
-                freed,
-                a_del + dd.astype(jnp.int32),
-                a_ins + di.astype(jnp.int32),
-                i + 1,
-            ), None
-
-        (mol_out, _, _, a_del, a_ins, _), _ = jax.lax.scan(
-            body,
-            (mol, deltas0, freed0, jnp.int32(0), jnp.int32(0),
-             jnp.int32(0)),
-            keys,
-        )
+        if ni:
+            (mol_out, deltas_c, freed_c, a_ins, _), _ = jax.lax.scan(
+                ins_body,
+                (mol_out, deltas_c, freed_c, jnp.int32(0),
+                 jnp.int32(0)),
+                keys[nd:],
+            )
         # probe-table overflow: results are untrustworthy -- return the
         # INPUT state so the host can rebuild with a larger table and
         # rerun the cycle

@@ -252,13 +252,51 @@ class ParallelMDSimulation:
         cap = cell_cap or max(
             32, int(2 ** np.ceil(np.log2(max(rc**3 * n / self.volume * 3, 8))))
         )
+        # coarsest admissible grid for big scenes: kernel work is
+        # n_cells * cap * window regardless of occupancy, so the
+        # FINEST grid (edge = rc) wastes slots whenever cells run far
+        # below cap (the bench's _pick_grid3 logic, applied lightly:
+        # the decomposition routing decision keeps using the finest
+        # dims so the slab/mesh choice is unchanged)
+        rv = np.asarray(mol.r)[np.asarray(mol.valid)]
+        if n >= 500_000 and not cell_cap:
+            rv0 = rv
+            for occ_target in (19.0, 14.0, 10.0):
+                e_t = (occ_target * self.volume / n) ** (1.0 / 3.0)
+                if e_t <= rc:
+                    break
+                dc = [max(4, int(np.floor(b / e_t))) for b in self.box]
+                dc[0] -= dc[0] % 4
+                dcz = (dc[2] // n_devices) * n_devices
+                if min(dc[0], dc[1], dcz) < 4:
+                    continue
+                if (n_devices > dims[2]) != (n_devices > dcz):
+                    continue
+                cx = np.clip((rv0[:, 0] / (self.box[0] / dc[0]))
+                             .astype(int), 0, dc[0] - 1)
+                cy = np.clip((rv0[:, 1] / (self.box[1] / dc[1]))
+                             .astype(int), 0, dc[1] - 1)
+                cz = np.clip((rv0[:, 2] / (self.box[2] / dcz))
+                             .astype(int), 0, dcz - 1)
+                occ = np.bincount(
+                    (cz * dc[1] + cy) * dc[0] + cx,
+                    minlength=dcz * dc[1] * dc[0],
+                ).max()
+                if occ <= 26:
+                    global_log.info(
+                        "grid: coarsened (%d,%d,%d)->(%d,%d,%d) "
+                        "cap 32 (occ max %d)",
+                        nx, ny, nz, dc[0], dc[1], dcz, occ,
+                    )
+                    nx, ny, nz = dc[0], dc[1], dcz
+                    cap = 32
+                    break
         # load-balance decision (KDDecomposition/ALL role): when the
         # initial uniform-slab imbalance is high, build ONE adaptive
         # row per device (nz = P) -- device boundaries then move freely
         # above the cutoff, which is the finest balancing granularity a
         # slab split admits (a device's minimum height is nz_local*rc)
         init_edges = None
-        rv = np.asarray(mol.r)[np.asarray(mol.valid)]
         if n and n_devices <= dims[2]:
             from ls1_mardyn_tpu.parallel.decomposition import (
                 balanced_z_edges,

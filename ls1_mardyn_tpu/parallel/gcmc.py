@@ -194,16 +194,55 @@ class SlabGrandCanonical:
             lo = jnp.asarray(lo_np, dtype)
             hi = jnp.asarray(hi_np, dtype)
             n_cap = mol.capacity
+            # the scans carry ONLY [N] booleans + tiny per-trial
+            # records: carrying the [N,3]/[N,4] state arrays makes
+            # XLA compress-remat them in (8,128) tiling (a 42x padding
+            # expansion that OOMs at N=10M).  Probes read the
+            # closed-over constant arrays + the accepted-insertion
+            # deltas, exactly like the single-chip cell-probe design;
+            # accepted insertions scatter once after the scan.
+            r0, q0 = mol.r, mol.q
+            cid0, mid0 = mol.cid, mol.mid
 
-            def probe(m, r_p, q_p, cid_p, excl_mid):
+            def probe_const(valid, r_p, q_p, cid_p, excl_mid):
+                m = dataclasses.replace(mol, valid=valid)
                 return _probe_energy_local(
                     m, pp, boxj, r_p, q_p, cid_p, excl_mid
                 )
 
-            def try_delete(m, mid_max, kk):
+            def deltas_energy(ins_r, ins_q, ins_ok, r_p, q_p, cid_p):
+                # probe vs the insertions accepted so far this interval
+                drm_raw = min_image(r_p[None, :] - ins_r, boxj)
+                com2 = jnp.sum(drm_raw * drm_raw, axis=-1)
+                mask_lj = ins_ok & (com2 < pp.rc2_lj)
+                mask_el = ins_ok & (com2 < pp.rc2)
+                fill = jnp.zeros((3,), dtype).at[0].set(
+                    3.0 * jnp.sqrt(pp.rc2) + 1.0
+                )
+                drm = jnp.where(
+                    (mask_lj | mask_el)[:, None], drm_raw, fill
+                )
+                cids = jnp.full((ins_r.shape[0],), comp, jnp.int32)
+                out = molecule_pair(
+                    drm,
+                    site_offsets(pp, q_p[None], cid_p[None]),
+                    site_offsets(pp, ins_q, cids),
+                    cid_p, cids, pp, mask_lj, mask_el,
+                )
+                return (
+                    jnp.sum(out["u6lj"]) / 6.0
+                    + jnp.sum(out["uX"])
+                    + jnp.sum(out["my_rf"])
+                )
+
+            keys = jax.random.split(key, nd + ni)
+
+            # -- deletions (carry: valid [N] bool + counter) ----------
+            def del_body(carry, kk):
+                valid, a = carry
                 k1, k2 = jax.random.split(kk)
-                in_cv = jnp.all((m.r >= lo) & (m.r < hi), axis=-1)
-                cand = m.valid & (m.cid == comp) & in_cv
+                in_cv = jnp.all((r0 >= lo) & (r0 < hi), axis=-1)
+                cand = valid & (cid0 == comp) & in_cv
                 total = jnp.sum(cand.astype(jnp.int32))
                 cnt = jnp.cumsum(cand.astype(jnp.int32))
                 pick = jax.random.randint(
@@ -213,9 +252,10 @@ class SlabGrandCanonical:
                     jnp.searchsorted(cnt, pick, side="right"),
                     0, n_cap - 1,
                 ).astype(jnp.int32)
-                e_mol = probe(m, m.r[idx], m.q[idx], m.cid[idx],
-                              m.mid[idx])
-                n = jnp.sum(m.valid).astype(dtype)
+                e_mol = probe_const(
+                    valid, r0[idx], q0[idx], cid0[idx], mid0[idx]
+                )
+                n = jnp.sum(valid).astype(dtype)
                 acc = jnp.minimum(
                     1.0, n / V * jnp.exp((-mu + e_mol) / T)
                 )
@@ -223,31 +263,44 @@ class SlabGrandCanonical:
                     (jax.random.uniform(k2, (), dtype) < acc)
                     & (total > 0)
                 )
-                valid = m.valid.at[idx].set(
-                    jnp.where(do, False, m.valid[idx])
+                valid = valid.at[idx].set(
+                    jnp.where(do, False, valid[idx])
                 )
-                return (
-                    dataclasses.replace(m, valid=valid),
-                    mid_max,
-                    do,
-                    jnp.asarray(False),
+                return (valid, a + do.astype(jnp.int32)), None
+
+            valid1, a_del = mol.valid, jnp.int32(0)
+            if nd:
+                (valid1, a_del), _ = jax.lax.scan(
+                    del_body, (valid1, jnp.int32(0)), keys[:nd]
                 )
 
-            def try_insert(m, mid_max, kk):
+            # -- insertions (carry: occupancy [N] bool + [ni] records)
+            n1 = jnp.sum(valid1).astype(dtype)
+            mid_max0 = jnp.max(
+                jnp.where(mol.valid, mol.mid, 0)
+            ).astype(mol.mid.dtype)
+
+            def ins_body(carry, kk):
+                (occ, ins_idx, ins_r, ins_v, ins_q, ins_mid, ins_ok,
+                 mid_max, a, j) = carry
                 k1, k2, k3, k4 = jax.random.split(kk, 4)
                 r_new = jax.random.uniform(k1, (3,), dtype, lo, hi)
                 qv = jax.random.normal(k2, (4,), dtype)
                 q_new = qv / jnp.linalg.norm(qv)
-                du = probe(m, r_new, q_new,
-                           jnp.asarray(comp, jnp.int32),
-                           jnp.asarray(-1, jnp.int32))
-                n = jnp.sum(m.valid).astype(dtype)
+                compj = jnp.asarray(comp, jnp.int32)
+                du = probe_const(
+                    valid1, r_new, q_new, compj,
+                    jnp.asarray(-1, jnp.int32),
+                ) + deltas_energy(
+                    ins_r, ins_q, ins_ok, r_new, q_new, compj
+                )
+                n = n1 + a.astype(dtype)
                 acc = jnp.minimum(
                     1.0, V / (n + 1.0) * jnp.exp((mu - du) / T)
                 )
                 owner = self._owner_idx(r_new, owner_arg)
                 seg_free = jax.lax.dynamic_slice(
-                    ~m.valid, (owner * ncap,), (ncap,)
+                    ~occ, (owner * ncap,), (ncap,)
                 )
                 has_free = jnp.any(seg_free)
                 idx = owner * ncap + jnp.argmax(seg_free).astype(
@@ -260,56 +313,66 @@ class SlabGrandCanonical:
                 v_new = jax.random.normal(k4, (3,), dtype) * np.sqrt(
                     T / mass
                 )
-                mid_new = mid_max + 1
-
-                def w(old, new):
-                    return jnp.where(do, new, old)
-
-                m = dataclasses.replace(
-                    m,
-                    r=m.r.at[idx].set(w(m.r[idx], r_new)),
-                    v=m.v.at[idx].set(w(m.v[idx], v_new)),
-                    q=m.q.at[idx].set(w(m.q[idx], q_new)),
-                    L=m.L.at[idx].set(w(m.L[idx], jnp.zeros(3, dtype))),
-                    cid=m.cid.at[idx].set(
-                        w(m.cid[idx], jnp.asarray(comp, jnp.int32))
-                    ),
-                    mid=m.mid.at[idx].set(w(m.mid[idx], mid_new)),
-                    valid=m.valid.at[idx].set(w(m.valid[idx], True)),
+                occ = occ.at[idx].set(jnp.where(do, True, occ[idx]))
+                # rejected trials park at n_cap (dropped by the
+                # post-scan scatter) so duplicate slot indices from
+                # rejected trials cannot race an accepted write
+                ins_idx = ins_idx.at[j].set(
+                    jnp.where(do, idx, n_cap)
                 )
-                return m, jnp.where(do, mid_new, mid_max), (
-                    jnp.asarray(False)
-                ), do
+                ins_r = ins_r.at[j].set(r_new)
+                ins_v = ins_v.at[j].set(v_new)
+                ins_q = ins_q.at[j].set(q_new)
+                ins_mid = ins_mid.at[j].set(mid_max + 1)
+                ins_ok = ins_ok.at[j].set(do)
+                return (
+                    occ, ins_idx, ins_r, ins_v, ins_q, ins_mid,
+                    ins_ok,
+                    jnp.where(do, mid_max + 1, mid_max),
+                    a + do.astype(jnp.int32),
+                    j + 1,
+                ), None
 
-            # two plain scans (deletions first, like the reference's
-            # getDeletion/getInsertion order) instead of one scan with
-            # a lax.cond over the full state: on TPU the cond made XLA
-            # spill remat copies of the [N,3] carries in (8,128)
-            # tiling -- a 42x padding expansion that OOMed at N=10M
-            def del_body(carry, kk):
-                m, mid_max, a = carry
-                m, mid_max, dd, _ = try_delete(m, mid_max, kk)
-                return (m, mid_max, a + dd.astype(jnp.int32)), None
-
-            def ins_body(carry, kk):
-                m, mid_max, a = carry
-                m, mid_max, _, di = try_insert(m, mid_max, kk)
-                return (m, mid_max, a + di.astype(jnp.int32)), None
-
-            mid_max0 = jnp.max(
-                jnp.where(mol.valid, mol.mid, 0)
-            ).astype(mol.mid.dtype)
-            keys = jax.random.split(key, nd + ni)
-            a_del = a_ins = jnp.int32(0)
-            if nd:
-                (mol, mid_max0, a_del), _ = jax.lax.scan(
-                    del_body, (mol, mid_max0, jnp.int32(0)), keys[:nd]
-                )
+            a_ins = jnp.int32(0)
+            mol_out = dataclasses.replace(mol, valid=valid1)
             if ni:
-                (mol, mid_max0, a_ins), _ = jax.lax.scan(
-                    ins_body, (mol, mid_max0, jnp.int32(0)), keys[nd:]
+                far = jnp.zeros((ni, 3), dtype).at[:, 0].set(
+                    3.0 * jnp.sqrt(pp.rc2) + 1e6
                 )
-            return mol, a_del, a_ins
+                carry0 = (
+                    valid1,
+                    jnp.full((ni,), n_cap, jnp.int32),
+                    far,
+                    jnp.zeros((ni, 3), dtype),
+                    jnp.zeros((ni, 4), dtype).at[:, 0].set(1.0),
+                    jnp.zeros((ni,), mol.mid.dtype),
+                    jnp.zeros((ni,), bool),
+                    mid_max0,
+                    jnp.int32(0),
+                    jnp.int32(0),
+                )
+                (occ, ins_idx, ins_r, ins_v, ins_q, ins_mid, ins_ok,
+                 _, a_ins, _), _ = jax.lax.scan(
+                    ins_body, carry0, keys[nd:]
+                )
+                drop = dict(mode="drop")
+                mol_out = dataclasses.replace(
+                    mol_out,
+                    r=mol_out.r.at[ins_idx].set(ins_r, **drop),
+                    v=mol_out.v.at[ins_idx].set(ins_v, **drop),
+                    q=mol_out.q.at[ins_idx].set(ins_q, **drop),
+                    L=mol_out.L.at[ins_idx].set(
+                        jnp.zeros((ni, 3), dtype), **drop
+                    ),
+                    cid=mol_out.cid.at[ins_idx].set(
+                        jnp.full((ni,), comp, jnp.int32), **drop
+                    ),
+                    mid=mol_out.mid.at[ins_idx].set(ins_mid, **drop),
+                    valid=mol_out.valid.at[ins_idx].set(
+                        jnp.ones((ni,), bool), **drop
+                    ),
+                )
+            return mol_out, a_del, a_ins
 
         fn = jax.jit(cycle)
         cached[ci] = fn

@@ -1,0 +1,103 @@
+"""A/B the three long-range electrostatics solvers on the chip:
+direct-Ewald k-space, SPME, and the solid-harmonics FMM, on the same
+molten-salt scene (ionic LJ fluid, the FMMCharge.inp class).
+
+Interleaved timings (shared-chip throttle varies ~20% between
+sessions; only same-process comparisons are meaningful, see
+PROGRESS.md).  Prints one line per solver: wall per evaluation +
+max rel force diff vs the direct-Ewald route.
+
+Usage: python tools/ab_electro.py [n_side]   (default 22 -> N=10648)
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    n_side = int(sys.argv[1]) if len(sys.argv) > 1 else 22
+
+    import jax
+    import jax.numpy as jnp
+
+    from ls1_mardyn_tpu.models.components import Component, ComponentTable
+    from ls1_mardyn_tpu.models.interaction import PairParams
+    from ls1_mardyn_tpu.ops.ewald import EwaldParams, EwaldSolver
+    from ls1_mardyn_tpu.ops.fmm import FMMElectrostatics
+    from ls1_mardyn_tpu.ops.pme import PMEParams, PMESolver
+    from ls1_mardyn_tpu.state import MoleculeState
+
+    d = 1.1
+    comps = []
+    for sign in (1.0, -1.0):
+        c = Component(cid=len(comps))
+        c.add_ljcenter(0, 0, 0, 1.0, 0.2, 1.0)
+        c.add_charge(0, 0, 0, 0.0, sign)
+        comps.append(c)
+    rc = 2.5
+    table = ComponentTable(comps, cutoff=rc, lj_cutoff=rc)
+    pp = PairParams.from_table(table, dtype=jnp.float32)
+    idx = np.arange(n_side)
+    g = np.stack(np.meshgrid(idx, idx, idx, indexing="ij"), -1).reshape(-1, 3)
+    rng = np.random.default_rng(3)
+    r = (g + 0.5) * d + rng.uniform(-0.15, 0.15, (len(g), 3))
+    q = np.where(g.sum(1) % 2 == 0, 1.0, -1.0)
+    box = np.array([n_side * d] * 3)
+    n = len(r)
+    print(f"N={n} box={box[0]:.1f} backend={jax.default_backend()}")
+    mol = MoleculeState.from_numpy(
+        r=r, v=np.zeros_like(r),
+        cid=np.where(q > 0, 0, 1).astype(np.int32),
+        dtype=jnp.float32,
+    )
+
+    q2_sum, n_q = float((q**2).sum()), n
+    ep = EwaldParams.tune(box, rc, q2_sum, n_q, accuracy=1e-4)
+    pe = PMEParams.tune(box, rc, q2_sum, n_q, accuracy=1e-4)
+    solvers = {
+        "ewald": EwaldSolver(box, ep, dtype=jnp.float32),
+        "pme": PMESolver(box, pe, dtype=jnp.float32),
+        "fmm": FMMElectrostatics(box, table, pp, n_hint=n,
+                                 dtype=jnp.float32, order=8),
+    }
+    fns = {
+        k: jax.jit(lambda m, p, s=s: s(m, p)[:2]) for k, s in solvers.items()
+    }
+    out = {}
+    for k, f in fns.items():
+        u, F = f(mol, pp)
+        jax.block_until_ready(F)
+        out[k] = np.asarray(F)
+    times = {k: [] for k in fns}
+    reps, inner = 5, 3
+    for _ in range(reps):
+        for k, f in fns.items():
+            t0 = time.perf_counter()
+            for _ in range(inner):
+                u, F = f(mol, pp)
+            jax.block_until_ready(F)
+            times[k].append((time.perf_counter() - t0) / inner)
+    ref = out["ewald"]
+    scale = np.abs(ref).max()
+    for k in fns:
+        rel = np.abs(out[k] - ref).max() / scale
+        ts = np.array(times[k]) * 1e3
+        print(
+            f"{k:6s}  min {ts.min():8.2f} ms  med {np.median(ts):8.2f} ms"
+            f"  max rel F vs ewald {rel:.2e}"
+        )
+    # note: ewald/pme here time the K-SPACE part only (their real-space
+    # erfc rides the pair kernel); fmm times the WHOLE Coulomb work
+    # (near P2P + far field).  An apples-to-apples product comparison
+    # adds the pair kernel's screened-term cost to ewald/pme.
+    print("(ewald/pme = k-space only; fmm = all Coulomb incl. near field)")
+
+
+if __name__ == "__main__":
+    main()

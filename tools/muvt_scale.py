@@ -95,6 +95,16 @@ def main():
     t_run = time.time() - t0
     nv = int(float(gv.n))
     ups = n0 * steps / t_run
+    say(f"muVT window: {t_run:.1f}s for {steps} steps")
+    # MD-only window on the same state separates the GCMC interval
+    # cost from the sharded MD step cost
+    gc = sim.gc
+    sim.gc = None
+    t0 = time.time()
+    sim.run(steps=steps, print_every=0)
+    t_md = time.time() - t0
+    sim.gc = gc
+    say(f"MD-only window: {t_md:.1f}s for {steps} steps")
     out = {
         "scene": "muVT LJ liquid (BASELINE scene-coverage tier)",
         "backend": backend,
@@ -109,6 +119,8 @@ def main():
         "steps_timed": steps,
         "wall_s": t_run,
         "updates_per_s": ups,
+        "md_only_wall_s": t_md,
+        "md_only_updates_per_s": n0 * steps / t_md,
         "gcmc_attempted": sim.gc.attempted if sim.gc else 0,
         "gcmc_accepted_ins": sim.gc.accepted_ins if sim.gc else 0,
         "gcmc_accepted_del": sim.gc.accepted_del if sim.gc else 0,
