@@ -373,6 +373,24 @@ class MDSimulation:
                         "cells path would double-count in-cutoff "
                         "Coulomb"
                     )
+                if getattr(config, "fmm_adaptive", False):
+                    # the reference's <adaptiveContainer> is a
+                    # sequential beta that warns it "certainly
+                    # delivers WRONG results" and proceeds
+                    # (FastMultipoleMethod.cpp:41-43).  The rebuilt
+                    # adaptive container (ops/fmm_adaptive.py,
+                    # threshold-split octree + dual tree traversal) is
+                    # validated but free-space-scoped; the periodic
+                    # driver scene stays on the uniform periodic FMM,
+                    # which is correct rather than warned-wrong.
+                    global_log.warning(
+                        "FastMultipoleMethod: adaptiveContainer "
+                        "(threshold=%d) is free-space only; the "
+                        "periodic run uses the uniform octree "
+                        "(AdaptiveFMMSolver serves open-boundary "
+                        "charge systems)",
+                        getattr(config, "fmm_threshold", 32),
+                    )
                 self.ewald = FMMElectrostatics(
                     self.box, self.table, self.pp, n_hint=n,
                     dtype=dtype,

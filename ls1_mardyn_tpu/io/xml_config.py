@@ -77,6 +77,8 @@ class XMLConfig:
     ewald_accuracy: float = 1e-5
     ewald_method: str = "auto"  # auto | direct | pme | fmm
     fmm_order: int = 8  # <orderOfExpansions> (FastMultipoleMethod.cpp:35)
+    fmm_adaptive: bool = False  # <adaptiveContainer> (FastMultipoleMethod.cpp:41)
+    fmm_threshold: int = 32  # <threshold> leaf split count (ibid.:40)
     chemical_potentials: List[PluginSpec] = dataclasses.field(default_factory=list)
     config_dir: str = "."
 
@@ -296,6 +298,11 @@ def _read_body(sim: ET.Element, cfg: XMLConfig, base_dir: str) -> XMLConfig:
             cfg.electrostatic_solver = "Ewald"
             cfg.ewald_accuracy = _get(el, "accuracy", 1e-5)
             cfg.fmm_order = int(_get(el, "orderOfExpansions", 8))
+            # adaptive container knobs (FastMultipoleMethod.cpp:40-44:
+            # <adaptiveContainer> selects AdaptivePseudoParticleContainer,
+            # <threshold> its per-leaf split count)
+            cfg.fmm_adaptive = bool(int(_get(el, "adaptiveContainer", 0.0)))
+            cfg.fmm_threshold = int(_get(el, "threshold", 32.0) or 32)
             m = el.find("method")
             if m is not None and m.text:
                 cfg.ewald_method = m.text.strip().lower()
