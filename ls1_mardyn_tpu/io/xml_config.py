@@ -298,10 +298,12 @@ def _read_body(sim: ET.Element, cfg: XMLConfig, base_dir: str) -> XMLConfig:
             cfg.electrostatic_solver = "Ewald"
             cfg.ewald_accuracy = _get(el, "accuracy", 1e-5)
             cfg.fmm_order = int(_get(el, "orderOfExpansions", 8))
-            # adaptive container knobs (FastMultipoleMethod.cpp:40-44:
-            # <adaptiveContainer> selects AdaptivePseudoParticleContainer,
-            # <threshold> its per-leaf split count)
-            cfg.fmm_adaptive = bool(int(_get(el, "adaptiveContainer", 0.0)))
+            # <adaptiveContainer> selects AdaptivePseudoParticleContainer
+            # (FastMultipoleMethod.cpp:41,58-66); <threshold> is a
+            # rebuild-specific extension -- the reference hardcodes the
+            # adaptive container's per-leaf split count in the ctor it
+            # uses (its readXML never reads a threshold tag)
+            cfg.fmm_adaptive = _get(el, "adaptiveContainer", False, cast=bool)
             cfg.fmm_threshold = int(_get(el, "threshold", 32.0) or 32)
             m = el.find("method")
             if m is not None and m.text:

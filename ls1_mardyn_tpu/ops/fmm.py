@@ -37,12 +37,13 @@ Conventions (verified to machine precision in tests/test_fmm.py):
   R_n^m(a+b)         = sum_{j<=n,k} R_j^k(a) R_{n-j}^{m-k}(b)
   S_n^m(t+x)         = sum_{j,k} (-1)^j conj(R_j^k(x)) S_{n+j}^{m+k}(t)
 
-Scope: open (free-space) boundaries.  Periodic long-range
-electrostatics in this framework are served by Ewald / SPME
-(ops/ewald.py, ops/pme.py) -- the idiomatic TPU choice the survey
-sanctions; the FMM provides the reference's octree/solid-harmonics
-capability for non-periodic charge systems and as an independent
-cross-check of the other solvers.
+Scope: free-space AND fully periodic boundaries.  periodic=True runs
+wrapped M2L interaction lists at every level plus the 3x-block lattice
+recursion for the far field (validated on the NaCl Madelung constant
+and cross-checked against Ewald; see tests/test_fmm.py).  Ewald / SPME
+(ops/ewald.py, ops/pme.py) remain the cost-selected default for
+periodic driver scenes; the FMM is a driver-selectable alternative
+(<method>fmm</method>) and an independent cross-check.
 """
 
 from __future__ import annotations

@@ -187,15 +187,41 @@ class AdaptiveFMMSolver:
 
     # -- host: tree build + dual tree traversal -----------------------------
 
-    def build_plan(self, r: np.ndarray, valid=None) -> TreePlan:
+    def build_plan(self, r: np.ndarray, valid=None, gid=None) -> TreePlan:
         """Threshold-split octree + dual tree traversal -> TreePlan.
-        Runs on the host (numpy); emits bucket-padded arrays."""
+        Runs on the host (numpy); emits bucket-padded arrays.
+
+        gid: optional [N] intramolecular-exclusion groups.  Same-gid
+        pairs must NEVER be counted, but M2L far-field sums include
+        every particle of both nodes -- so the MAC is tightened until
+        no same-gid pair can straddle an accepted node pair: a pair is
+        only accepted when the minimum possible inter-node particle
+        distance |t| - (r_A + r_B) exceeds the largest intramolecular
+        extent (2 x max site-to-centroid distance per group).  Pairs
+        that fail keep subdividing and bottom out in P2P, where the
+        gid mask is exact."""
         r = np.asarray(r, np.float64)
         n = r.shape[0]
         if valid is None:
             valid = np.ones((n,), bool)
         valid = np.asarray(valid, bool)
         live = np.nonzero(valid)[0]
+
+        # largest intramolecular extent (upper bound on same-gid pair
+        # distance): 2 * max distance from the group centroid
+        d_gid = 0.0
+        if gid is not None and live.size:
+            g = np.asarray(gid)[live]
+            order = np.argsort(g, kind="stable")
+            gs, rs = g[order], r[live][order]
+            starts = np.r_[0, 1 + np.nonzero(np.diff(gs))[0], gs.size]
+            cent = np.add.reduceat(rs, starts[:-1], axis=0) / np.diff(
+                starts
+            )[:, None]
+            spread = np.linalg.norm(
+                rs - np.repeat(cent, np.diff(starts), axis=0), axis=1
+            )
+            d_gid = 2.0 * float(spread.max()) if spread.size else 0.0
 
         centers: List[np.ndarray] = []
         depths: List[int] = []
@@ -251,7 +277,10 @@ class AdaptiveFMMSolver:
             if a != b:
                 t = centers_a[a] - centers_a[b]
                 dist = float(np.sqrt(np.dot(t, t)))
-                if rad_a[a] + rad_a[b] <= self.theta * dist:
+                rr = rad_a[a] + rad_a[b]
+                # MAC + gid guard: far field only when no same-gid
+                # (intramolecular) pair can straddle this node pair
+                if rr <= self.theta * dist and dist - rr > d_gid:
                     m2l.append((a, b))
                     continue
             if is_leaf[a] and is_leaf[b]:
@@ -492,5 +521,7 @@ class AdaptiveFMMSolver:
         if gid is None:
             gid = jnp.arange(r.shape[0], dtype=jnp.int32)
         if plan is None:
-            plan = self.build_plan(np.asarray(r), np.asarray(valid))
+            plan = self.build_plan(
+                np.asarray(r), np.asarray(valid), gid=np.asarray(gid)
+            )
         return self._eval(plan, r, q, jnp.asarray(valid), jnp.asarray(gid))

@@ -237,6 +237,21 @@ class RMMSimulation:
         cap = self.spec.cap
         dtype = planes.dtype
         r_i = planes[:, :, :4, :]
+        if self.zb or self.n3l or self.lanej:
+            # lab-notebook variants: measured 4-8x slower than cw/cwn3l
+            # under the package-wide exact-f32 matmul default (README
+            # "superseded kernel experiments"); kept for A/B
+            # reproducibility, not production
+            import warnings
+
+            warnings.warn(
+                "RMMSimulation: superseded kernel variant selected "
+                "(zb=%s n3l=%s lanej=%s) -- these measured 4-8x slower "
+                "than the cw/cwn3l production kernels (tools/"
+                "ab_kernels.py); use them only for A/B reproduction"
+                % (self.zb, self.n3l, self.lanej),
+                stacklevel=2,
+            )
         # x halo: plain copies -- cell-local coordinates need no +-L
         # shift (the kernel's cell-difference offsets are exact)
         hx = self.hx
