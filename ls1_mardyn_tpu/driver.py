@@ -384,11 +384,14 @@ class MDSimulation:
                     # driver scene stays on the uniform periodic FMM,
                     # which is correct rather than warned-wrong.
                     global_log.warning(
-                        "FastMultipoleMethod: adaptiveContainer "
-                        "(threshold=%d) is free-space only; the "
-                        "periodic run uses the uniform octree "
-                        "(AdaptiveFMMSolver serves open-boundary "
-                        "charge systems)",
+                        "FastMultipoleMethod: <adaptiveContainer> is "
+                        "IGNORED for this run (threshold=%d): the "
+                        "rebuilt adaptive solver (ops/fmm_adaptive."
+                        "AdaptiveFMMSolver) is free-space only, and "
+                        "driver scenes are periodic -- the uniform "
+                        "periodic octree runs instead.  Open-boundary "
+                        "charge systems can call AdaptiveFMMSolver "
+                        "directly.",
                         getattr(config, "fmm_threshold", 32),
                     )
                 self.ewald = FMMElectrostatics(
@@ -474,6 +477,14 @@ class MDSimulation:
                 cap_aligned = ((spec.cap + unit - 1) // unit) * unit
                 if cap_aligned != spec.cap:
                     spec = _dc.replace(spec, cap=cap_aligned)
+            # per-molecule-virial consumers (GammaWriter, DirectedPM):
+            # the 1CLJ row kernel returns Vi=0, so such scenes run the
+            # multi-site kernel (NL=1), which carries exact per-axis Vi
+            _vi_plugins = {"GammaWriter", "DirectedPM"}
+            need_vi = any(
+                s.name in _vi_plugins
+                for s in list(config.output_plugins) + list(config.plugins)
+            )
             is_1clj = (
                 self.table.K == 1
                 and len(self.table.components[0].ljcenters) == 1
@@ -481,6 +492,7 @@ class MDSimulation:
                 # cell-local 1CLJ path needs a uniform grid; non-uniform
                 # z rows run the absolute-coordinate multi-site kernel
                 and not self._z_edges
+                and not need_vi
             )
             # cost-based path choice (the TraversalTuner role,
             # src/particleContainer/TraversalTuner.h:135): tiny dense
@@ -1036,7 +1048,16 @@ class MDSimulation:
         self.total_steps = steps
         eng = self.engine
         profiler = _TraceCapture(profile_dir, profile_steps, steps)
-        if not getattr(eng, "started", eng.forces is not None):
+        # NB: getattr's default is evaluated EAGERLY -- writing
+        # getattr(eng, "started", eng.forces is not None) here cost a
+        # full dense-plane gather (engine.forces property, ~0.5 GB at
+        # N=4.2M) on EVERY run() call (measured 2.4 s/step on 20-step
+        # windows vs 59 ms for the bare engine loop, 2026-08-20)
+        if hasattr(eng, "started"):
+            started = eng.started
+        else:
+            started = eng.forces is not None
+        if not started:
             with self.timers["SIMULATION_FORCE_CALCULATION"]:
                 eng.prepare_start()
         t_start = _time.time()
