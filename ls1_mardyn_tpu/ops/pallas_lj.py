@@ -1386,6 +1386,7 @@ def _lj_cw_kernel(
     compute_macro: bool,
     sentinel: bool,
     fast_recip: bool,
+    compute_vi: bool,
     out_dtype,
 ):
     """Cell-window kernel: per-i-CELL j windows instead of per-tile.
@@ -1466,6 +1467,13 @@ def _lj_cw_kernel(
             if compute_macro:
                 au = jnp.zeros((cap, gw), out_dtype)
                 av = jnp.zeros((cap, gw), out_dtype)
+            if compute_vi:
+                # per-slot per-axis virial Vi_a = 0.5 sum f_a * dr_a
+                # (FullMolecule::Vi, read by GammaWriter/pressure
+                # profiles -- VectorizedCellProcessor.h:140-186)
+                avx = jnp.zeros((cap, gw), out_dtype)
+                avy = jnp.zeros((cap, gw), out_dtype)
+                avz = jnp.zeros((cap, gw), out_dtype)
             for k, (dz, dy) in enumerate(_OFFS):
                 # phase-g copy: group g's window at an aligned offset
                 Hw = row_refs[k][g, 0, 0, :, pl.ds(off, gw)]  # [4, gw]
@@ -1494,9 +1502,16 @@ def _lj_cw_kernel(
                 lj12 = lj6 * lj6
                 lj12m6 = lj12 - lj6
                 fac = e24 * (lj12 + lj12m6) * invdr2
-                ax = ax + fac * dx
-                ay = ay + fac * dyv
-                az = az + fac * dzv
+                fxc = fac * dx
+                fyc = fac * dyv
+                fzc = fac * dzv
+                ax = ax + fxc
+                ay = ay + fyc
+                az = az + fzc
+                if compute_vi:
+                    avx = avx + fxc * dx
+                    avy = avy + fyc * dyv
+                    avz = avz + fzc * dzv
                 if compute_macro:
                     au = au + (e24 * lj12m6 + sh6 * mf)
                     av = av + fac * dr2
@@ -1506,14 +1521,28 @@ def _lj_cw_kernel(
             if compute_macro:
                 u6_t = u6_t + jnp.sum(au)
                 vir_t = vir_t + jnp.sum(av)
-            fcols.append(jnp.concatenate([fxg, fyg, fzg], axis=1))  # [cap, 3]
-        Fcat = jnp.concatenate(fcols, axis=0)  # [txc, 3]
+            cols = [fxg, fyg, fzg]
+            if compute_vi:
+                cols += [
+                    0.5 * jnp.sum(avx, axis=1, keepdims=True),
+                    0.5 * jnp.sum(avy, axis=1, keepdims=True),
+                    0.5 * jnp.sum(avz, axis=1, keepdims=True),
+                ]
+            fcols.append(jnp.concatenate(cols, axis=1))
+        Fcat = jnp.concatenate(fcols, axis=0)  # [txc, 3|6]
         scal_col = (0.5 * u6_t) * (
             jax.lax.broadcasted_iota(jnp.int32, (txc, 1), 0) == 0
         ).astype(out_dtype) + (0.5 * vir_t) * (
             jax.lax.broadcasted_iota(jnp.int32, (txc, 1), 0) == 1
         ).astype(out_dtype)
-        Fcat = jnp.concatenate([Fcat, scal_col], axis=1)  # [txc, 4]
+        if compute_vi:
+            # plane order: fx fy fz scal vix viy viz pad
+            z1 = jnp.zeros((txc, 1), out_dtype)
+            Fcat = jnp.concatenate(
+                [Fcat[:, :3], scal_col, Fcat[:, 3:6], z1], axis=1
+            )  # [txc, 8]
+        else:
+            Fcat = jnp.concatenate([Fcat, scal_col], axis=1)  # [txc, 4]
         f_ref[0, 0, :, pl.ds(off, txc)] = Fcat.T
         return _
 
@@ -1525,7 +1554,7 @@ def _lj_cw_kernel(
     static_argnames=(
         "nx", "ny", "nz", "cap", "tx", "box", "eps24", "sig2", "shift6",
         "rc2", "interpret", "z_halo", "compute_macro", "sentinel",
-        "fast_recip",
+        "fast_recip", "compute_vi",
     ),
 )
 def lj_cell_forces_pallas_cw(
@@ -1547,10 +1576,15 @@ def lj_cell_forces_pallas_cw(
     compute_macro: bool = True,
     sentinel: bool = False,
     fast_recip: bool = False,
+    compute_vi: bool = False,
 ):
     """Cell-window variant (see _lj_cw_kernel).  Cell-local coordinates
     only; min cell edge >= rc.  Same output contract as the other
-    kernels."""
+    kernels; compute_vi=True widens the output to 8 planes
+    [fx fy fz scal vix viy viz pad] carrying the per-slot per-axis
+    virial (0.5 sum f_a dr_a -- the FullMolecule::Vi GammaWriter
+    reads, VectorizedCellProcessor.h:140-186; +3 FMA/pair-lane, so it
+    is opt-in for Vi-consuming plugins)."""
     Wj = (nx + 4) * cap
     nzj = nz + 2 if z_halo else nz
     assert r_i.shape == (nz, ny, NPLANE, nx * cap), r_i.shape
@@ -1586,8 +1620,9 @@ def lj_cell_forces_pallas_cw(
         )
         for dz, dy in _OFFS
     ]
+    nout = 8 if compute_vi else NPLANE
     out_spec = pl.BlockSpec(
-        (1, 1, NPLANE, nx * cap), lambda z, y: (z, y, 0, 0),
+        (1, 1, nout, nx * cap), lambda z, y: (z, y, 0, 0),
         memory_space=pltpu.VMEM,
     )
     kernel = functools.partial(
@@ -1605,6 +1640,7 @@ def lj_cell_forces_pallas_cw(
         compute_macro=compute_macro,
         sentinel=sentinel,
         fast_recip=fast_recip,
+        compute_vi=compute_vi,
         out_dtype=out_dtype,
     )
     n_pairs = nz * ny * nx * cap * 9 * 4 * cap
@@ -1613,7 +1649,7 @@ def lj_cell_forces_pallas_cw(
         grid=(nz, ny),
         in_specs=[i_spec] + j_specs,
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((nz, ny, NPLANE, nx * cap), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((nz, ny, nout, nx * cap), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=26 * n_pairs,
             bytes_accessed=(9 * tx + 2) * nx * cap * NPLANE * nz * ny * 4,

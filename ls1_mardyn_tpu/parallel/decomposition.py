@@ -94,6 +94,10 @@ class SlabConfig:
     # non-uniform-edge mode falls back to the row kernel), nx % tx == 0,
     # nx >= 4, ny >= 3, (4*cap) % 128 == 0, cell edges >= rc.
     cw_eligible: bool = False
+    # per-molecule per-axis virials in the 1CLJ cw kernel (opt-in:
+    # +3 FMA/pair-lane; enabled by the driver when a Vi-consuming
+    # plugin -- GammaWriter, DirectedPM, virial profiles -- is present)
+    compute_vi: bool = False
     # multi-site mode: hashable kernel metadata (ops/pallas_multisite
     # _MSMeta); None selects the 1CLJ kernel
     ms_meta: object = None
@@ -775,10 +779,21 @@ class SlabSimulation:
                 compute_macro=True,
                 sentinel=False,
                 fast_recip=not cfg.interpret,
+                compute_vi=cfg.compute_vi,
             )
             fxyz = jnp.moveaxis(f[:, :, :3, :], 2, -1).reshape(-1, 3)
             src = jnp.clip(bins.slot_of, 0, fxyz.shape[0] - 1)
             F = jnp.where(mol.valid[:, None], fxyz[src], 0.0)
+            if cfg.compute_vi:
+                # planes 4:7 carry per-slot Vi (see _lj_cw_kernel)
+                vxyz = jnp.moveaxis(f[:, :, 4:7, :], 2, -1).reshape(-1, 3)
+                Vi = jnp.where(mol.valid[:, None], vxyz[src], 0.0)
+            else:
+                # scalar virial only (the default: Vi costs +3
+                # FMA/pair-lane); Vi-consuming plugins flip
+                # cfg.compute_vi at construction, anything else is
+                # warned by the driver facade
+                Vi = jnp.zeros_like(F)
             M = jnp.zeros_like(F)
             uX = zero
             for fn in self.extra_force_fns:
@@ -786,10 +801,7 @@ class SlabSimulation:
                 F = F + F_x
                 M = M + M_x
                 uX = uX + u_x
-            # the 1CLJ cell-window kernel tracks only the scalar virial
-            # (per-axis accumulation would add 3 FMA/pair-lane); plugins
-            # that need Vi are warned by the driver facade
-            return F, M, jnp.zeros_like(F), (u6, uX, zero, vir), bins.overflow
+            return F, M, Vi, (u6, uX, zero, vir), bins.overflow
         r_i, r_j, bins = self._local_views(mol, z_edges)
         if cfg.ms_meta is None:
             f, u6, vir = lj_cell_forces_pallas(

@@ -341,6 +341,18 @@ class ParallelMDSimulation:
             and len(self.table.components[0].ljcenters) == 1
             and not self.table.has_electrostatics()
         )
+        # per-molecule virial consumers (GammaWriter surface tension --
+        # the reference's CI validation class, Jenkinsfile:368-376 --
+        # DirectedPM): 1CLJ scenes must still produce exact Vi.  The
+        # slab cw kernel grows opt-in Vi accumulators (+3 FMA/
+        # pair-lane); paths without that option run the multi-site
+        # kernel (NL=1), which always carries Vi.
+        _vi_plugins = {"GammaWriter", "DirectedPM"}
+        need_vi = any(
+            type(p).__name__ in _vi_plugins
+            or getattr(p, "name", "") in _vi_plugins
+            for p in self._plugins
+        )
         tx = next(t for t in (4, 2, 1) if nx % t == 0)
         if not interpret:
             u = 128 // tx
@@ -397,6 +409,14 @@ class ParallelMDSimulation:
                     f"cannot factor {n_devices} devices onto cell grid "
                     f"{tuple(dims)}"
                 )
+            if is_1clj and need_vi:
+                # mesh3d's 1CLJ row kernel has no Vi accumulators; the
+                # multi-site kernel (NL=1) carries exact per-axis Vi
+                common = dict(common, ms_meta=_MSMeta(self.table))
+                global_log.info(
+                    "per-molecule Vi consumers present: mesh3d 1CLJ "
+                    "scene routed onto the multi-site kernel"
+                )
             nd3 = [(dims[d] // grid3[d]) * grid3[d] for d in range(3)]
             nxl = nd3[0] // grid3[0]
             tx3 = next(t for t in (4, 2, 1) if nxl % t == 0)
@@ -444,6 +464,21 @@ class ParallelMDSimulation:
                 and min(self.box[0] / nx, self.box[1] / ny,
                         self.box[2] / nz) >= rc
             )
+            compute_vi = False
+            if is_1clj and need_vi:
+                if cw_ok:
+                    compute_vi = True
+                    global_log.info(
+                        "per-molecule Vi consumers present: cw kernel "
+                        "Vi accumulators enabled (+3 FMA/pair-lane)"
+                    )
+                else:
+                    # row-kernel fallback has no Vi accumulators
+                    common = dict(common, ms_meta=_MSMeta(self.table))
+                    global_log.info(
+                        "per-molecule Vi consumers present: slab 1CLJ "
+                        "scene routed onto the multi-site kernel"
+                    )
             slab_cfg = SlabConfig(
                 n_devices=n_devices,
                 nz_local=nz // n_devices,
@@ -451,6 +486,7 @@ class ParallelMDSimulation:
                 nx=nx,
                 tx=tx,
                 cw_eligible=cw_ok,
+                compute_vi=compute_vi,
                 temp_control_regions=tuple(
                     base.engine.config.temp_control_regions
                 ),
@@ -480,35 +516,40 @@ class ParallelMDSimulation:
                 mol, z_edges=self.z_edges
             )
         else:
-            # mesh3d init-time z-layer balancing (device-granular
-            # KDDecomposition role; same 1.3x trigger as the slab)
-            Pz = self.sim.cfg.grid[2]
-            min_h = self.sim.cfg.nzl * rc
-            if n and Pz > 1 and Pz * min_h <= self.box[2]:
+            # mesh3d init-time tensor balancing (device-granular
+            # KDDecomposition / ALL-TENSOR role; same 1.3x trigger as
+            # the slab, applied per axis on the marginal distribution)
+            mcfg = self.sim.cfg
+            nl = (mcfg.nxl, mcfg.nyl, mcfg.nzl)
+            hosts = ("xb_host", "yb_host", "zb_host")
+            if n:
                 from ls1_mardyn_tpu.parallel.decomposition import (
                     balanced_z_edges,
                 )
 
-                cu = np.bincount(
-                    np.clip(
-                        (rv[:, 2] / (self.box[2] / Pz)).astype(int),
-                        0, Pz - 1,
-                    ),
-                    minlength=Pz,
-                )
-                if cu.max() > 1.3 * cu.mean():
-                    import jax.numpy as _jnp
-
-                    zb = balanced_z_edges(
-                        rv[:, 2], Pz, float(self.box[2]), min_h
+                for d in range(3):
+                    Pd = mcfg.grid[d]
+                    min_h = nl[d] * rc
+                    if Pd == 1 or Pd * min_h > self.box[d]:
+                        continue
+                    cu = np.bincount(
+                        np.clip(
+                            (rv[:, d] / (self.box[d] / Pd)).astype(int),
+                            0, Pd - 1,
+                        ),
+                        minlength=Pd,
                     )
-                    self.sim.zb_host = zb
-                    self.sim._zb_default = _jnp.asarray(zb)
-                    global_log.info(
-                        "load balance: mesh3d balanced z-layer bounds "
-                        "at init (uniform imbalance %.2f)",
-                        cu.max() / max(cu.mean(), 1e-12),
-                    )
+                    if cu.max() > 1.3 * cu.mean():
+                        bd = balanced_z_edges(
+                            rv[:, d], Pd, float(self.box[d]), min_h
+                        )
+                        setattr(self.sim, hosts[d], bd)
+                        global_log.info(
+                            "load balance: mesh3d balanced %s-layer "
+                            "bounds at init (uniform imbalance %.2f)",
+                            "xyz"[d],
+                            cu.max() / max(cu.mean(), 1e-12),
+                        )
             self.mol_sharded = self.sim.distribute(mol)
         self._FM = None
 
@@ -591,11 +632,17 @@ class ParallelMDSimulation:
             F, M = self._FM
         F = np.asarray(F)
         M = np.asarray(M)
-        if Vi is None or (self.sim.cfg.ms_meta is None):
-            # the 1CLJ sharded kernels track only the scalar virial;
-            # warn loudly instead of letting GammaWriter/pressure
-            # profiles silently compute from zeros
-            # (src/io/GammaWriter.cpp reads per-molecule Vi)
+        has_vi = self.sim.cfg.ms_meta is not None or getattr(
+            self.sim.cfg, "compute_vi", False
+        )
+        if Vi is None or not has_vi:
+            # 1CLJ sharded kernels without the compute_vi opt-in track
+            # only the scalar virial; warn loudly instead of letting
+            # GammaWriter/pressure profiles silently compute from zeros
+            # (src/io/GammaWriter.cpp reads per-molecule Vi).  Vi
+            # consumers known at construction flip compute_vi (cw
+            # kernel) or route onto the multi-site kernel, so this
+            # fires only for out-of-registry plugins reading .Vi.
             if not getattr(self, "_warned_vi", False):
                 self._warned_vi = True
                 global_log.warning(
@@ -757,30 +804,44 @@ class ParallelMDSimulation:
         )
 
     def _rebalance_mesh3d(self, g, z, rc):
-        """mesh3d z-layer balancing: equal-count bounds at device
-        granularity; every layer keeps extent >= nzl*rc (cell pitch >=
-        rc).  The bounds are a dynamic step argument and the host
-        ownership table (sim.zb_host), so distribute/GC routing follow
-        automatically."""
+        """mesh3d tensor balancing: equal-count bounds at device
+        granularity along EVERY axis with more than one device layer
+        (the GeneralDomainDecomposition+ALL "TENSOR" method,
+        src/parallel/ALLLoadBalancer.h -- each axis is balanced on the
+        marginal distribution of its coordinate); every layer keeps
+        extent >= n?l*rc so cell pitch stays >= rc and the +-1-row halo
+        remains valid.  The bounds are dynamic step arguments and the
+        host ownership tables (sim.{x,y,z}b_host), so distribute/GC
+        routing follow automatically."""
         import jax.numpy as jnp
 
         from ls1_mardyn_tpu.parallel.decomposition import balanced_z_edges
 
         cfg = self.sim.cfg
-        Pz = cfg.grid[2]
-        if Pz == 1:
+        if cfg.n_devices == 1:
             return
-        min_h = cfg.nzl * rc
-        if Pz * min_h > cfg.box[2]:
-            global_log.warning(
-                "mesh3d load balance skipped: %d z layers x nzl=%d "
-                "rows x rc=%.3g exceed the box height %.3g",
-                Pz, cfg.nzl, rc, cfg.box[2],
-            )
+        valid = np.asarray(g.valid)
+        rr = np.asarray(g.r)[valid]
+        nl = (cfg.nxl, cfg.nyl, cfg.nzl)
+        hosts = ("xb_host", "yb_host", "zb_host")
+        balanced_any = False
+        for d in range(3):
+            Pd = cfg.grid[d]
+            if Pd == 1:
+                continue
+            min_h = nl[d] * rc
+            if Pd * min_h > cfg.box[d]:
+                global_log.warning(
+                    "mesh3d load balance skipped on axis %d: %d layers"
+                    " x n%sl=%d rows x rc=%.3g exceed the box extent "
+                    "%.3g", d, Pd, "xyz"[d], nl[d], rc, cfg.box[d],
+                )
+                continue
+            bd = balanced_z_edges(rr[:, d], Pd, cfg.box[d], min_h)
+            setattr(self.sim, hosts[d], bd)
+            balanced_any = True
+        if not balanced_any:
             return
-        zb = balanced_z_edges(z, Pz, cfg.box[2], min_h)
-        self.sim.zb_host = zb
-        self.sim._zb_default = jnp.asarray(zb)
         if isinstance(self._FM, dict):
             a = self._FM
             keys = [k for k in ("F", "M", "Vi", "rcomp", "vcomp")
@@ -796,13 +857,13 @@ class ParallelMDSimulation:
         else:
             self.mol_sharded = self.sim.distribute(g)
         self._mol_cache = None
-        lay = np.clip(np.searchsorted(zb[1:-1], z, side="right"), 0,
-                      Pz - 1)
-        counts = np.bincount(lay, minlength=Pz)
+        o = self.sim._owner3(rr)
+        lin = (o[:, 0] * cfg.grid[1] + o[:, 1]) * cfg.grid[2] + o[:, 2]
+        counts = np.bincount(lin, minlength=cfg.n_devices)
         global_log.info(
-            "load balance: mesh3d z-layer bounds adopted at step %d "
-            "(per-layer counts %s, imbalance %.3f)",
-            self.step, counts.tolist(),
+            "load balance: mesh3d tensor bounds adopted at step %d "
+            "(per-device imbalance %.3f)",
+            self.step,
             counts.max() / max(counts.mean(), 1e-12),
         )
         self._lb_cooldown = 10
@@ -915,7 +976,7 @@ class ParallelMDSimulation:
                  overflow, nloc) = self.sim._step_sharded(
                     self.mol_sharded, self._FM,
                     jnp.asarray(self.step, jnp.int32),
-                    self.sim._zb_default,
+                    self.sim._bounds_default,
                 )
             ovf_window.append(overflow)
             self._mol_cache = None

@@ -390,21 +390,34 @@ class Mesh3DGrandCanonical(SlabGrandCanonical):
     interchangeable under one interface, DomainDecompBase.h:51)."""
 
     def _owner_dynamic_arg(self):
-        # z-layer device bounds follow the CURRENT load-balanced edges
-        # (mesh3d z-layer balancing); x/y stay uniform
-        return jnp.asarray(np.asarray(self.sim.zb_host, float))
+        # per-axis device bounds follow the CURRENT load-balanced
+        # tensor edges (mesh3d x/y/z balancing); stacked [3, max_P+1]
+        # (padded with +inf so searchsorted ignores the tail)
+        cfg = self.sim.cfg
+        w = max(cfg.grid) + 1
+        rows = []
+        for h, Pd in zip(
+            (self.sim.xb_host, self.sim.yb_host, self.sim.zb_host),
+            cfg.grid,
+        ):
+            row = np.full((w,), np.inf)
+            row[: Pd + 1] = np.asarray(h, float)
+            rows.append(row)
+        return jnp.asarray(np.stack(rows))
 
     def _owner_idx(self, r_new, owner_arg):
         cfg = self.sim.cfg
-        lb = cfg.local_box
         gx, gy, gz = cfg.grid
-        ox = jnp.clip((r_new[0] / lb[0]).astype(jnp.int32), 0, gx - 1)
-        oy = jnp.clip((r_new[1] / lb[1]).astype(jnp.int32), 0, gy - 1)
-        oz = jnp.clip(
-            jnp.searchsorted(
-                owner_arg[1:-1], r_new[2].astype(owner_arg.dtype),
-                side="right",
-            ),
-            0, gz - 1,
-        ).astype(jnp.int32)
+
+        def ax_owner(d, Pd):
+            return jnp.clip(
+                jnp.searchsorted(
+                    owner_arg[d, 1:-1],
+                    r_new[d].astype(owner_arg.dtype),
+                    side="right",
+                ),
+                0, Pd - 1,
+            ).astype(jnp.int32)
+
+        ox, oy, oz = ax_owner(0, gx), ax_owner(1, gy), ax_owner(2, gz)
         return (ox * gy + oy) * gz + oz

@@ -160,59 +160,88 @@ class Mesh3DSimulation:
             self._ewald_k = (jnp.asarray(k), jnp.asarray(c))
         flat = P((AX[0], AX[1], AX[2]))
         self._in_spec = flat
-        # dynamic per-z-layer device bounds (the KDDecomposition role
-        # restricted to z splits at DEVICE granularity: each z layer of
-        # devices owns z in [zb[k], zb[k+1]), cells inside a layer stay
-        # uniform with pitch (zb[k+1]-zb[k])/nzl >= rc so the +-1-row
-        # halo remains valid; the kernel computes pair distances from
-        # absolute coordinates, so non-uniform pitch is physically
-        # exact).  zb is a replicated DYNAMIC step argument -- moving
-        # the edges never recompiles.
+        # dynamic per-axis device bounds (the KDDecomposition /
+        # GeneralDomainDecomposition+ALL "TENSOR" role at DEVICE
+        # granularity: the device layer k along axis d owns coordinates
+        # in [b_d[k], b_d[k+1]); cells inside a layer stay uniform with
+        # pitch (b[k+1]-b[k])/n?l >= rc so the +-1-row halo remains
+        # valid; the kernel computes pair distances from absolute
+        # coordinates, so non-uniform pitch is physically exact).
+        # All three bounds arrays are replicated DYNAMIC step
+        # arguments -- moving any edge never recompiles.
+        self.xb_host = np.linspace(
+            0.0, cfg.box[0], cfg.grid[0] + 1
+        ).astype(np.float32)
+        self.yb_host = np.linspace(
+            0.0, cfg.box[1], cfg.grid[1] + 1
+        ).astype(np.float32)
         self.zb_host = np.linspace(
             0.0, cfg.box[2], cfg.grid[2] + 1
         ).astype(np.float32)
-        self._zb_default = jnp.asarray(self.zb_host)
         self._step_sharded = jax.jit(
             jax.shard_map(
                 self._device_step,
                 mesh=self.mesh,
-                in_specs=(flat, flat, P(), P()),
+                in_specs=(flat, flat, P(), (P(), P(), P())),
                 out_specs=(flat, flat, P(), P(), P(), flat),
                 check_vma=False,
             )
         )
-        self._force_sharded_zb = jax.jit(
+        self._force_sharded_b = jax.jit(
             jax.shard_map(
                 self._device_forces_entry,
                 mesh=self.mesh,
-                in_specs=(flat, P()),
+                in_specs=(flat, (P(), P(), P())),
                 out_specs=(flat, P(), P()),
                 check_vma=False,
             )
         )
 
-    def _force_sharded(self, mol, zb=None):
-        return self._force_sharded_zb(
-            mol, self._zb_default if zb is None else zb
+    @property
+    def _bounds_default(self):
+        return (
+            jnp.asarray(self.xb_host),
+            jnp.asarray(self.yb_host),
+            jnp.asarray(self.zb_host),
         )
+
+    # kept for callers that adjust z bounds only (z-layer balancing
+    # tests / older call sites)
+    @property
+    def _zb_default(self):
+        return jnp.asarray(self.zb_host)
+
+    def _as_bounds(self, b):
+        """Accept None, a bare zb array (legacy), or an (xb, yb, zb)
+        tuple."""
+        if b is None:
+            return self._bounds_default
+        if isinstance(b, tuple):
+            return b
+        return (
+            jnp.asarray(self.xb_host), jnp.asarray(self.yb_host),
+            jnp.asarray(b),
+        )
+
+    def _force_sharded(self, mol, bounds=None):
+        return self._force_sharded_b(mol, self._as_bounds(bounds))
 
     # -- host-side scene distribution --------------------------------------
     def _owner3(self, r: np.ndarray) -> np.ndarray:
+        """Device-layer ownership follows the CURRENT dynamic per-axis
+        bounds."""
         cfg = self.cfg
-        lb = cfg.local_box
-        o = np.stack(
+        hosts = (self.xb_host, self.yb_host, self.zb_host)
+        return np.stack(
             [
-                np.clip((r[:, d] / lb[d]).astype(int), 0, cfg.grid[d] - 1)
+                np.clip(
+                    np.searchsorted(hosts[d][1:-1], r[:, d], side="right"),
+                    0, cfg.grid[d] - 1,
+                )
                 for d in range(3)
             ],
             axis=1,
         )
-        # z layer ownership follows the CURRENT dynamic bounds
-        o[:, 2] = np.clip(
-            np.searchsorted(self.zb_host[1:-1], r[:, 2], side="right"),
-            0, cfg.grid[2] - 1,
-        )
-        return o
 
     def distribute(self, mol_global: MoleculeState, extras=None):
         """Split a global state into per-device blocks stacked on the
@@ -332,31 +361,24 @@ class Mesh3DSimulation:
     def _coords(self):
         return tuple(jax.lax.axis_index(a) for a in AX)
 
-    def _migrate(self, mol: MoleculeState, zb):
+    def _migrate(self, mol: MoleculeState, bounds):
         """Three sequential dimension-wise leaving-molecule exchanges
         (IndirectNeighbourCommunicationScheme: x, then y, then z).
-        z ownership follows the dynamic layer bounds zb."""
+        Ownership along every axis follows its dynamic layer bounds."""
         cfg = self.cfg
-        lb = cfg.local_box
         overflow = jnp.zeros((), jnp.bool_)
         for d, axname in enumerate(AX):
             Pn = cfg.grid[d]
             if Pn == 1:
                 continue
             me = jax.lax.axis_index(axname)
-            if d == 2:
-                owner = jnp.clip(
-                    jnp.searchsorted(
-                        zb[1:-1].astype(mol.r.dtype), mol.r[:, 2],
-                        side="right",
-                    ).astype(jnp.int32),
-                    0, Pn - 1,
-                )
-            else:
-                owner = jnp.clip(
-                    jnp.floor(mol.r[:, d] / lb[d]).astype(jnp.int32),
-                    0, Pn - 1,
-                )
+            owner = jnp.clip(
+                jnp.searchsorted(
+                    bounds[d][1:-1].astype(mol.r.dtype), mol.r[:, d],
+                    side="right",
+                ).astype(jnp.int32),
+                0, Pn - 1,
+            )
             dd = jnp.mod(owner - me, Pn)
             go_up = mol.valid & (dd == 1)
             go_down = mol.valid & (dd == Pn - 1) & ~go_up
@@ -426,37 +448,43 @@ class Mesh3DSimulation:
             )
         return packed
 
-    def _local_views(self, mol: MoleculeState, zb):
+    def _local_views(self, mol: MoleculeState, bounds):
         """Bin into the local cell block; attach x halo lanes (ppermute
         along ddx), then y halo rows, then z halo rows.  Because y rows
         are exchanged after x lanes are attached (and z after y), the
         edge/corner halos arrive transitively -- the indirect scheme's
         diagonal forwarding.
 
-        z cells are DYNAMIC: this layer's extent [zb[cz], zb[cz+1])
-        divided into nzl uniform rows (pitch >= rc is enforced by the
-        min-height constraint on the balanced bounds)."""
+        ALL axes are DYNAMIC: this device's extent along axis d is
+        [b_d[c_d], b_d[c_d+1]) divided into n?l uniform rows (pitch >=
+        rc is enforced by the min-extent constraint on the balanced
+        bounds), so a tensor-mesh rebalance along any axis never
+        recompiles."""
         cfg = self.cfg
         spec = cfg.local_spec
         cx, cy, cz = self._coords()
         gx, gy, gz = cfg.grid
         dtype = mol.r.dtype
-        lb = cfg.local_box
         nxl, nyl, nzl, cap = cfg.nxl, cfg.nyl, cfg.nzl, cfg.cap
-        zbd = zb.astype(dtype)
-        z_lo = jax.lax.dynamic_index_in_dim(zbd, cz, keepdims=False)
-        z_hi = jax.lax.dynamic_index_in_dim(zbd, cz + 1, keepdims=False)
-        pitch_z = (z_hi - z_lo) / nzl
-        # x/y cells from the static spec; z from the dynamic bounds
+
+        def lo_pitch(d, c, nl):
+            bd = bounds[d].astype(dtype)
+            lo = jax.lax.dynamic_index_in_dim(bd, c, keepdims=False)
+            hi = jax.lax.dynamic_index_in_dim(bd, c + 1, keepdims=False)
+            return lo, (hi - lo) / nl
+
+        x_lo, pitch_x = lo_pitch(0, cx, nxl)
+        y_lo, pitch_y = lo_pitch(1, cy, nyl)
+        z_lo, pitch_z = lo_pitch(2, cz, nzl)
         from ls1_mardyn_tpu.ops.cells import bin_by_id
 
         cxg = jnp.clip(
-            jnp.floor((mol.r[:, 0] - cx.astype(dtype) * lb[0])
-                      / (lb[0] / nxl)).astype(jnp.int32), 0, nxl - 1
+            jnp.floor((mol.r[:, 0] - x_lo) / pitch_x).astype(jnp.int32),
+            0, nxl - 1,
         )
         cyg = jnp.clip(
-            jnp.floor((mol.r[:, 1] - cy.astype(dtype) * lb[1])
-                      / (lb[1] / nyl)).astype(jnp.int32), 0, nyl - 1
+            jnp.floor((mol.r[:, 1] - y_lo) / pitch_y).astype(jnp.int32),
+            0, nyl - 1,
         )
         czg = jnp.clip(
             jnp.floor((mol.r[:, 2] - z_lo) / pitch_z).astype(jnp.int32),
@@ -534,9 +562,9 @@ class Mesh3DSimulation:
         r_j = jnp.moveaxis(gj, -1, 2)
         return r_i, r_j, bins
 
-    def _device_forces(self, mol: MoleculeState, zb):
+    def _device_forces(self, mol: MoleculeState, bounds):
         cfg = self.cfg
-        r_i, r_j, bins = self._local_views(mol, zb)
+        r_i, r_j, bins = self._local_views(mol, bounds)
         dtype = mol.r.dtype
         zero = jnp.zeros((), dtype)
         if cfg.ms_meta is None:
@@ -635,13 +663,13 @@ class Mesh3DSimulation:
             t = jax.lax.psum(t, a)
         return t
 
-    def _device_forces_entry(self, mol: MoleculeState, zb):
-        F, M, Vi, (u6, uX, my_rf, vir), _ovf = self._device_forces(mol, zb)
+    def _device_forces_entry(self, mol: MoleculeState, bounds):
+        F, M, Vi, (u6, uX, my_rf, vir), _ovf = self._device_forces(mol, bounds)
         packed = self._psum_all(jnp.stack([u6, uX, my_rf, vir]))
         ovf = self._psum_all(_ovf.astype(jnp.int32))
         return (F, M, Vi), packed, ovf
 
-    def _device_step(self, mol: MoleculeState, F_prev, step, zb):
+    def _device_step(self, mol: MoleculeState, F_prev, step, bounds):
         cfg = self.cfg
         from ls1_mardyn_tpu.state import Forces
 
@@ -654,8 +682,8 @@ class Mesh3DSimulation:
         forces_prev = Forces(F=F_prev, M=M_prev, Vi=zeros3)
         mol = upd_pre_force(mol, forces_prev, self.pp, cfg.dt)
         mol = dataclasses.replace(mol, r=wrap_positions(mol.r, cfg.box))
-        mol, mig_overflow = self._migrate(mol, zb)
-        F, M, Vi, (u6, uX, my_rf, vir), bin_overflow = self._device_forces(mol, zb)
+        mol, mig_overflow = self._migrate(mol, bounds)
+        F, M, Vi, (u6, uX, my_rf, vir), bin_overflow = self._device_forces(mol, bounds)
         forces = Forces(F=F, M=M, Vi=zeros3)
         mol, mv2, iw2 = upd_post_force(mol, forces, self.pp, cfg.dt)
 
@@ -707,25 +735,25 @@ class Mesh3DSimulation:
         return mol, (F, M, Vi), gv, macro_g, overflow, nloc_dev
 
     # -- host API -----------------------------------------------------------
-    def compute_forces(self, mol: MoleculeState, zb=None):
-        (F, M, _Vi), packed, ovf = self._force_sharded(mol, zb)
+    def compute_forces(self, mol: MoleculeState, bounds=None):
+        (F, M, _Vi), packed, ovf = self._force_sharded(mol, bounds)
         return F, M, packed, ovf
 
-    def step(self, mol: MoleculeState, FM, step: int = 0, zb=None):
+    def step(self, mol: MoleculeState, FM, step: int = 0, bounds=None):
         mol, FM, gv, _macro, ovf, _nloc = self._step_sharded(
             mol, FM, jnp.asarray(step, jnp.int32),
-            self._zb_default if zb is None else zb,
+            self._as_bounds(bounds),
         )
         return mol, FM, gv, ovf
 
     def run(self, mol: MoleculeState, steps: int, check_overflow_every: int = 0,
-            zb=None):
-        zb = self._zb_default if zb is None else zb
-        FM, _, ovf = self._force_sharded(mol, zb)
+            bounds=None):
+        bounds = self._as_bounds(bounds)
+        FM, _, ovf = self._force_sharded(mol, bounds)
         gv = None
         for i in range(steps):
             mol, FM, gv, _macro, overflow, _nloc = self._step_sharded(
-                mol, FM, jnp.asarray(i + 1, jnp.int32), zb
+                mol, FM, jnp.asarray(i + 1, jnp.int32), bounds
             )
             if check_overflow_every and (i % check_overflow_every == 0):
                 if bool(np.asarray(overflow)):

@@ -60,6 +60,39 @@ def test_cw_slab_forces_match_row(slab_pair):
     np.testing.assert_allclose(float(vir_b), float(vir_a), rtol=1e-5)
 
 
+def test_cw_compute_vi_matches_oracle(slab_pair):
+    """compute_vi=True: the cw kernel's per-molecule per-axis virials
+    must match the N^2 oracle (FullMolecule::Vi semantics,
+    VectorizedCellProcessor.h:140-186), and their sum must equal the
+    scalar virial."""
+    sim_row, sim_cw, mol = slab_pair
+    import dataclasses as _dc
+
+    from ls1_mardyn_tpu.models.oracle import compute_forces_n2_jit
+
+    sim_vi = SlabSimulation(
+        _dc.replace(sim_cw.cfg, compute_vi=True), sim_cw.pp,
+        mesh=sim_cw.mesh,
+    )
+    ms = sim_vi.distribute(mol)
+    (F, _M, Vi), u6, _uX, _rf, vir = sim_vi._force_sharded(ms)
+    # the oracle runs on the same sharded slot order (valid-masked N^2)
+    box = jnp.asarray(sim_vi.cfg.box)
+    forces_o, macro_o = compute_forces_n2_jit(ms, sim_vi.pp, box)
+    vo = np.asarray(forces_o.Vi)
+    vk = np.asarray(Vi)
+    valid = np.asarray(ms.valid)
+    scale = np.abs(vo[valid]).max()
+    assert scale > 0
+    np.testing.assert_allclose(
+        vk[valid] / scale, vo[valid] / scale, atol=2e-6
+    )
+    # sum of per-molecule Vi = global scalar virial (potforce.h:498-499)
+    np.testing.assert_allclose(
+        float(np.sum(vk[valid])), float(vir), rtol=1e-5
+    )
+
+
 def test_cw_slab_step_runs_and_conserves(slab_pair):
     sim_row, sim_cw, mol = slab_pair
     ms = sim_cw.distribute(mol)
