@@ -7,9 +7,11 @@ sessions; only same-process comparisons are meaningful, see
 PROGRESS.md).  Prints one line per solver: wall per evaluation +
 max rel force diff vs the direct-Ewald route.
 
-Usage: python tools/ab_electro.py [n_side]   (default 22 -> N=10648)
+Usage: python tools/ab_electro.py [n_side ...] [--json OUT.json]
+       (default sizes 22, 47, 100 -> N = 10648, 103823, 1000000)
 """
 
+import json
 import os
 import sys
 import time
@@ -20,9 +22,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def main():
-    n_side = int(sys.argv[1]) if len(sys.argv) > 1 else 22
-
+def measure(n_side):
     import jax
     import jax.numpy as jnp
 
@@ -70,9 +70,12 @@ def main():
         k: jax.jit(lambda m, p, s=s: s(m, p)[:2]) for k, s in solvers.items()
     }
     out = {}
+    u_out = {}
     for k, f in fns.items():
         u, F = f(mol, pp)
-        jax.block_until_ready(F)
+        # scalar readback: block_until_ready does not reliably block
+        # through the axon remote backend
+        u_out[k] = float(u)
         out[k] = np.asarray(F)
     times = {k: [] for k in fns}
     reps, inner = 5, 3
@@ -81,22 +84,61 @@ def main():
             t0 = time.perf_counter()
             for _ in range(inner):
                 u, F = f(mol, pp)
-            jax.block_until_ready(F)
+            float(u)
             times[k].append((time.perf_counter() - t0) / inner)
     ref = out["ewald"]
     scale = np.abs(ref).max()
+    rec = {"n_sites": n, "box": float(box[0]),
+           "ewald_kmax": int(ep.kmax), "pme_grid": list(pe.grid),
+           "solvers": {}}
     for k in fns:
-        rel = np.abs(out[k] - ref).max() / scale
+        rel = float(np.abs(out[k] - ref).max() / scale)
+        urel = abs(u_out[k] - u_out["ewald"]) / max(abs(u_out["ewald"]),
+                                                    1e-30)
         ts = np.array(times[k]) * 1e3
+        rec["solvers"][k] = {
+            "ms_per_eval_min": round(float(ts.min()), 3),
+            "ms_per_eval_med": round(float(np.median(ts)), 3),
+            "max_relF_vs_ewald": rel,
+            "relU_vs_ewald": urel,
+        }
         print(
             f"{k:6s}  min {ts.min():8.2f} ms  med {np.median(ts):8.2f} ms"
-            f"  max rel F vs ewald {rel:.2e}"
+            f"  max rel F vs ewald {rel:.2e}  relU {urel:.2e}"
         )
     # note: ewald/pme here time the K-SPACE part only (their real-space
     # erfc rides the pair kernel); fmm times the WHOLE Coulomb work
     # (near P2P + far field).  An apples-to-apples product comparison
     # adds the pair kernel's screened-term cost to ewald/pme.
     print("(ewald/pme = k-space only; fmm = all Coulomb incl. near field)")
+    return rec
+
+
+def main():
+    args = [a for a in sys.argv[1:]]
+    json_out = ""
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i:i + 2]
+    sides = [int(a) for a in args] or [22, 47, 100]
+    import jax
+
+    recs = {"device": jax.devices()[0].device_kind,
+            "backend": jax.default_backend(),
+            "note": "ewald/pme = k-space only (their erfc real space "
+                    "rides the pair kernel); fmm = all Coulomb work",
+            "sizes": []}
+    for s in sides:
+        try:
+            recs["sizes"].append(measure(s))
+        except Exception as e:
+            print(f"n_side={s} FAILED: {e!r}")
+            recs["sizes"].append({"n_side": s, "error": repr(e)[:300]})
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(recs, f, indent=1)
+        print("wrote", json_out)
 
 
 if __name__ == "__main__":

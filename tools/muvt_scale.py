@@ -19,7 +19,18 @@ scene-coverage target, not a reference-committed number.
 
 Writes MUVT_SCALE.json at the repo root.
 
-Usage: python tools/muvt_scale.py [N_millions]   (default 10.5)
+Usage: python tools/muvt_scale.py [N_millions] [scene]
+  scene = "lj" (default): homogeneous LJ liquid at rho=0.60, mu=-2.5
+          (measures the interval cost; at this state point Metropolis
+          acceptance is ~0, so the accepted-insertion scatter path
+          stays cold)
+  scene = "evap": the BASELINE Evaporation/Adsorption tier -- a
+          two-phase MkTcTS film (liquid slab + vapor, the
+          /root/reference/examples/Evaporation scene class) with the
+          ChemicalPotential control volume RESTRICTED TO THE VAPOR
+          region and mu near saturation, so insertions/deletions
+          genuinely accept and the at-scale insertion scatter path
+          (the OOM-safe post-scan scatter, PROGRESS r3 s3) executes.
 """
 
 import json
@@ -35,6 +46,7 @@ sys.path.insert(0, REPO)
 
 def main():
     n_target = int(float(sys.argv[1]) * 1e6) if len(sys.argv) > 1 else 10_500_000
+    scene = sys.argv[2] if len(sys.argv) > 2 else "lj"
 
     import jax
     import jax.numpy as jnp
@@ -51,37 +63,81 @@ def main():
         print(msg)
         _sys.stdout.flush()
 
-    rho, T, rc = 0.60, 1.10, 2.5
-    L = (n_target / rho) ** (1.0 / 3.0)
-    say(f"scene: N={n_target} L={L:.1f}")
-    cfg = XMLConfig(
-        timestep=0.002,
-        temperature=T,
-        box=np.array([L, L, L]),
-        cutoff=rc,
-        lj_cutoff=rc,
-        ensemble_type="muVT",
-        generator=PluginSpec(
-            "CubicGridGenerator", {"numMolecules": str(n_target)}
-        ),
-        chemical_potentials=[
-            PluginSpec(
-                "ChemicalPotential",
-                {
-                    "mu": "-2.5",
-                    "componentid": "1",
-                    "instances": "8",
-                    "everyNTimesteps": "2",
-                },
-            )
-        ],
-    )
+    T, rc = 1.10, 2.5
+    if scene == "evap":
+        # two-phase film + vapor (MkTcTSGenerator, the reference's
+        # Evaporation/Adsorption scene class); GC control volume in
+        # the vapor only, mu near saturation -> nonzero acceptance
+        rho_liq, rho_vap, liq_frac, mu = 0.60, 0.02, 0.40, -1.0
+        rho_eff = rho_liq * liq_frac + rho_vap * (1 - liq_frac)
+        L = (n_target / rho_eff) ** (1.0 / 3.0)
+        rho = rho_eff
+        scene_name = ("Evaporation-class two-phase muVT film "
+                      "(MkTcTS slab + vapor-restricted GC)")
+        say(f"scene: {scene_name} N~{n_target} L={L:.1f}")
+        cv_lo_y = (liq_frac + 0.15) * L  # vapor, clear of the interface
+        cfg = XMLConfig(
+            timestep=0.002,
+            temperature=T,
+            box=np.array([L, L, L]),
+            cutoff=rc,
+            lj_cutoff=rc,
+            ensemble_type="muVT",
+            generator=PluginSpec(
+                "MkTcTSGenerator",
+                {"density-liquid": str(rho_liq),
+                 "density-vapor": str(rho_vap),
+                 "liq_fraction": str(liq_frac)},
+            ),
+            chemical_potentials=[
+                PluginSpec(
+                    "ChemicalPotential",
+                    {
+                        "mu": str(mu),
+                        "componentid": "1",
+                        "instances": "8",
+                        "everyNTimesteps": "2",
+                        "control": {
+                            "lower": {"x": 0.0, "y": cv_lo_y, "z": 0.0},
+                            "upper": {"x": L, "y": L, "z": L},
+                        },
+                    },
+                )
+            ],
+        )
+    else:
+        rho, mu = 0.60, -2.5
+        L = (n_target / rho) ** (1.0 / 3.0)
+        scene_name = "muVT LJ liquid (interval-cost tier)"
+        say(f"scene: N={n_target} L={L:.1f}")
+        cfg = XMLConfig(
+            timestep=0.002,
+            temperature=T,
+            box=np.array([L, L, L]),
+            cutoff=rc,
+            lj_cutoff=rc,
+            ensemble_type="muVT",
+            generator=PluginSpec(
+                "CubicGridGenerator", {"numMolecules": str(n_target)}
+            ),
+            chemical_potentials=[
+                PluginSpec(
+                    "ChemicalPotential",
+                    {
+                        "mu": str(mu),
+                        "componentid": "1",
+                        "instances": "8",
+                        "everyNTimesteps": "2",
+                    },
+                )
+            ],
+        )
 
     t0 = time.time()
     sim = ParallelMDSimulation(cfg, n_devices=1, dtype=jnp.float32)
     t_build = time.time() - t0
     say(f"decomposed: kind={sim.kind} t_build={t_build:.1f}s")
-    n0 = n_target  # a full-state gather costs minutes over the tunnel
+    n0 = n_target  # nominal; actual count read back from gv.n below
 
     # warmup (compile) + timed window
     t0 = time.time()
@@ -94,6 +150,7 @@ def main():
     gv = sim.run(steps=steps, print_every=0)
     t_run = time.time() - t0
     nv = int(float(gv.n))
+    n0 = nv  # actual molecule count (generators size from densities)
     ups = n0 * steps / t_run
     say(f"muVT window: {t_run:.1f}s for {steps} steps")
     # MD-only window on the same state separates the GCMC interval
@@ -106,7 +163,7 @@ def main():
     sim.gc = gc
     say(f"MD-only window: {t_md:.1f}s for {steps} steps")
     out = {
-        "scene": "muVT LJ liquid (BASELINE scene-coverage tier)",
+        "scene": scene_name,
         "backend": backend,
         "n_devices": len(jax.devices()),
         "decomposition": sim.kind,
@@ -115,7 +172,7 @@ def main():
         "box": L,
         "rho": rho,
         "T": T,
-        "mu": -2.5,
+        "mu": mu,
         "steps_timed": steps,
         "wall_s": t_run,
         "updates_per_s": ups,
@@ -132,9 +189,10 @@ def main():
     }
     print(json.dumps(out))
     if backend == "tpu":
-        with open(os.path.join(REPO, "MUVT_SCALE.json"), "w") as f:
+        name = "MUVT_EVAP.json" if scene == "evap" else "MUVT_SCALE.json"
+        with open(os.path.join(REPO, name), "w") as f:
             json.dump(out, f, indent=1)
-        print("wrote MUVT_SCALE.json")
+        print("wrote", name)
     else:
         print("(not on TPU: artifact not written)")
 
