@@ -427,9 +427,16 @@ def compute_forces_cells_lanes(
 
 # --- component-form pair physics (identical math to models/potentials.py)
 
-def _charge_quad(dr, ej, qQ05, m, safe_inv, torque_on_quad=False):
-    dr2 = _dot(dr, dr)
-    inv = safe_inv(dr2, m)
+def _charge_quad(dr, ej, qQ05, m, safe_inv, torque_on_quad=False, geom=None):
+    if geom is None:
+        dr2 = _dot(dr, dr)
+        inv = safe_inv(dr2, m)
+    else:
+        # precomputed (dr2, inv) shared across interaction bodies with
+        # co-located sites (the multi-site kernel's geometry cache);
+        # dr2/inv are even under dr negation, so swapped-role bodies
+        # reuse them too
+        dr2, inv = geom
     invd = jnp.sqrt(inv)
     costj = _dot(ej, dr) * invd
     qQ3 = qQ05 * invd * inv
@@ -442,9 +449,16 @@ def _charge_quad(dr, ej, qQ05, m, safe_inv, torque_on_quad=False):
     return f, m2, u
 
 
-def _charge_dip(dr, ej, mqmy, m, safe_inv, torque_on_dip=False):
-    dr2 = _dot(dr, dr)
-    inv = safe_inv(dr2, m)
+def _charge_dip(dr, ej, mqmy, m, safe_inv, torque_on_dip=False, geom=None):
+    if geom is None:
+        dr2 = _dot(dr, dr)
+        inv = safe_inv(dr2, m)
+    else:
+        # precomputed (dr2, inv) shared across interaction bodies with
+        # co-located sites (the multi-site kernel's geometry cache);
+        # dr2/inv are even under dr negation, so swapped-role bodies
+        # reuse them too
+        dr2, inv = geom
     invd = jnp.sqrt(inv)
     costj = _dot(ej, dr) * invd
     uic = mqmy * inv
@@ -456,9 +470,16 @@ def _charge_dip(dr, ej, mqmy, m, safe_inv, torque_on_dip=False):
     return f, m2, u
 
 
-def _dip_dip(dr, ei, ej, my2, rffac, m, safe_inv):
-    dr2 = _dot(dr, dr)
-    inv = safe_inv(dr2, m)
+def _dip_dip(dr, ei, ej, my2, rffac, m, safe_inv, geom=None):
+    if geom is None:
+        dr2 = _dot(dr, dr)
+        inv = safe_inv(dr2, m)
+    else:
+        # precomputed (dr2, inv) shared across interaction bodies with
+        # co-located sites (the multi-site kernel's geometry cache);
+        # dr2/inv are even under dr negation, so swapped-role bodies
+        # reuse them too
+        dr2, inv = geom
     invd = jnp.sqrt(inv)
     myfac = my2 * inv * invd
     costi = _dot(ei, dr) * invd
@@ -480,10 +501,17 @@ def _dip_dip(dr, ei, ej, my2, rffac, m, safe_inv):
     return f, m1, m2, u, rf
 
 
-def _dip_quad(dr, ei, ej, myq15, m, safe_inv):
+def _dip_quad(dr, ei, ej, myq15, m, safe_inv, geom=None):
     """Dipole (role i) -- quadrupole (role j); potforce.h:139-184."""
-    dr2 = _dot(dr, dr)
-    inv = safe_inv(dr2, m)
+    if geom is None:
+        dr2 = _dot(dr, dr)
+        inv = safe_inv(dr2, m)
+    else:
+        # precomputed (dr2, inv) shared across interaction bodies with
+        # co-located sites (the multi-site kernel's geometry cache);
+        # dr2/inv are even under dr negation, so swapped-role bodies
+        # reuse them too
+        dr2, inv = geom
     invd = jnp.sqrt(inv)
     myqfac = myq15 * inv * inv
     costi = _dot(ei, dr) * invd
@@ -505,9 +533,16 @@ def _dip_quad(dr, ei, ej, myq15, m, safe_inv):
     return f, m1, m2, u
 
 
-def _quad_quad(dr, ei, ej, q2075, m, safe_inv):
-    dr2 = _dot(dr, dr)
-    inv = safe_inv(dr2, m)
+def _quad_quad(dr, ei, ej, q2075, m, safe_inv, geom=None):
+    if geom is None:
+        dr2 = _dot(dr, dr)
+        inv = safe_inv(dr2, m)
+    else:
+        # precomputed (dr2, inv) shared across interaction bodies with
+        # co-located sites (the multi-site kernel's geometry cache);
+        # dr2/inv are even under dr negation, so swapped-role bodies
+        # reuse them too
+        dr2, inv = geom
     invd = jnp.sqrt(inv)
     qfac = q2075 * inv * inv * invd
     costi = _dot(ei, dr) * invd

@@ -58,12 +58,14 @@ from ls1_mardyn_tpu.ops.pallas_lj import _CENTER, _OFFS, HX
 NOUT = 10  # fx fy fz mx my mz vix viy viz scalars
 
 
-def _erfc(x, interpret: bool):
+def _erfc(x, interpret: bool, e=None):
     """erfc for the screened-Coulomb path.  Mosaic has no erfc
     primitive, so the compiled kernel uses the Abramowitz & Stegun
     7.1.26 rational approximation (|error| < 1.5e-7 -- at f32 epsilon,
     the production precision); interpret mode keeps the exact libm
-    erfc for the f64 golden tests."""
+    erfc for the f64 golden tests.  `e` may pass a precomputed
+    exp(-x^2) (the screened force term needs the same factor, so the
+    compiled kernel shares one transcendental per charge pair)."""
     if interpret:
         return jax.scipy.special.erfc(x)
     # A&S 7.1.26 (valid for x >= 0; screened distances are positive)
@@ -73,7 +75,7 @@ def _erfc(x, interpret: bool):
         + t * (-0.284496736 + t * (1.421413741
                                    + t * (-1.453152027 + t * 1.061405429)))
     )
-    return poly * jnp.exp(-x * x)
+    return poly * (jnp.exp(-x * x) if e is None else e)
 
 
 def plane_layout(NL, NC, ND, NQ):
@@ -103,6 +105,8 @@ def _ms_row_kernel(
     tables,  # dict of numpy coupling tables (trace-time constants)
     masks,  # dict of numpy site-pair masks
     layout,
+    srep,  # (cat, s) -> representative (cat, s) with identical body pos
+    szero,  # (cat, s) -> True if the site sits at the COM (zero offset)
     P: int,
     K: int,
     NL: int,
@@ -162,6 +166,8 @@ def _ms_row_kernel(
     # K one-hot comparison constants
     kvals = list(range(K))
 
+    same_cut = rc2 == rc2_lj
+
     def tile(t, _):
         off = pl.multiple_of(t * txc, txc)
         ti = i_ref[0, 0, :, pl.ds(off, txc)]  # [P, txc]
@@ -172,13 +178,50 @@ def _ms_row_kernel(
         def col(c):
             return jnp.sum(G * ohc[c], axis=1, keepdims=True)  # [txc,1]
 
-        xi, yi, zi, wi, cidi = col(0), col(1), col(2), col(3), col(4)
-        ohi_cols = [
-            (jnp.abs(cidi - k) < 0.5).astype(out_dtype) for k in kvals
-        ]  # each [txc, 1]
+        xi, yi, zi, wi = col(0), col(1), col(2), col(3)
+        if K > 1:
+            cidi = col(4)
+            ohi_cols = [
+                (jnp.abs(cidi - k) < 0.5).astype(out_dtype) for k in kvals
+            ]  # each [txc, 1]
 
-        def icol3(base, s):
-            return (col(base + 3 * s), col(base + 3 * s + 1), col(base + 3 * s + 2))
+        L = layout
+
+        # i-side plane reads are cached per tile (shared by all 9
+        # neighbor rows and all j chunks).  Keys are plane bases; sites
+        # with identical body positions across all components (e.g.
+        # CO2's co-located LJ centers and point charges) alias to one
+        # representative read, and sites at the molecular COM (zero
+        # body position -> zero world offset for every quaternion)
+        # resolve to None so their adds and torque cross products are
+        # pruned at trace time.
+        icache = {}
+
+        def iread(base):
+            if base not in icache:
+                icache[base] = (col(base), col(base + 1), col(base + 2))
+            return icache[base]
+
+        def ikey(cat, s):
+            if szero[(cat, s)]:
+                return None
+            rcat, rs = srep[(cat, s)]
+            return L[rcat] + 3 * rs
+
+        def iget(cat, s):
+            b = ikey(cat, s)
+            return None if b is None else iread(b)
+
+        # materialize the i-side reads now, OUTSIDE the j-chunk
+        # fori_loop, so they are loop constants rather than re-executed
+        # per chunk (unused ones are dead-code-eliminated)
+        for cat, ns in (("lj", NL), ("charge", NC), ("dip", ND),
+                        ("quad", NQ)):
+            for s in range(ns):
+                iget(cat, s)
+        for cat, ns in (("dip_e", ND), ("quad_e", NQ)):
+            for s in range(ns):
+                iread(L[cat] + 3 * s)
 
         def chunk(k, is_center, jbase, sy, sz):
             """One [txc, jwc] slab of the pair matrix against neighbor
@@ -192,13 +235,23 @@ def _ms_row_kernel(
             yj = row(1) + sy
             zj = row(2) + sz
             wj = row(3)
-            cidj = row(4)
-            ohj_rows = [
-                (jnp.abs(cidj - kk) < 0.5).astype(out_dtype) for kk in kvals
-            ]  # each [1, jwc]
+            if K > 1:
+                cidj = row(4)
+                ohj_rows = [
+                    (jnp.abs(cidj - kk) < 0.5).astype(out_dtype)
+                    for kk in kvals
+                ]  # each [1, jwc]
 
-            def jcol3(base, s):
-                return (row(base + 3 * s), row(base + 3 * s + 1), row(base + 3 * s + 2))
+            jcache = {}
+
+            def jread(base):
+                if base not in jcache:
+                    jcache[base] = (row(base), row(base + 1), row(base + 2))
+                return jcache[base]
+
+            def jget(cat, s):
+                b = ikey(cat, s)
+                return None if b is None else jread(b)
 
             drm = (xi - xj, yi - yj, zi - zj)  # [txc, jwc]
             com2 = _dot(drm, drm)
@@ -209,45 +262,85 @@ def _ms_row_kernel(
                 # il + HX*cap
                 ok = ok * (jbase + jlc != ilc + HX * cap).astype(out_dtype)
             mlj = jnp.where(com2 < cut2lj, ok, 0.0)
-            mel = jnp.where(com2 < cut2, ok, 0.0)
+            mel = mlj if same_cut else jnp.where(com2 < cut2, ok, 0.0)
 
             Fx = Fy = Fz = 0.0
             Mx = My = Mz = 0.0
             Vx = Vy = Vz = 0.0
             u6_t = uX_t = rf_t = 0.0
 
-            def coupling(tbl, sa, sb):
-                # sum of python-scalar coefficients times component
-                # one-hot outer products (array constants cannot be
-                # captured by a Pallas kernel); zero terms pruned at
-                # trace time.  K == 1 collapses to a plain scalar.
-                acc = None
-                for a in range(K):
-                    for b in range(K):
-                        c = float(tbl[a, b, sa, sb])
-                        if c == 0.0:
-                            continue
-                        term = c * (ohi_cols[a] * ohj_rows[b])
-                        acc = term if acc is None else acc + term
-                if acc is None:
-                    return 0.0
-                return acc  # [txc, win] (or scalar*mask shapes broadcast)
+            if K == 1:
+                def coupling(tbl, sa, sb):
+                    # single component: the pair coefficient is one
+                    # trace-time Python scalar (validity rides the
+                    # cutoff masks) -- no one-hot products at all
+                    return float(tbl[0, 0, sa, sb])
+            else:
+                oh2 = {}
+
+                def coupling(tbl, sa, sb):
+                    # sum of python-scalar coefficients times component
+                    # one-hot outer products (array constants cannot be
+                    # captured by a Pallas kernel); zero terms pruned
+                    # and the [txc,jwc] outer products memoized per
+                    # component pair
+                    acc = None
+                    for a in range(K):
+                        for b in range(K):
+                            c = float(tbl[a, b, sa, sb])
+                            if c == 0.0:
+                                continue
+                            if (a, b) not in oh2:
+                                oh2[(a, b)] = ohi_cols[a] * ohj_rows[b]
+                            term = c * oh2[(a, b)]
+                            acc = term if acc is None else acc + term
+                    if acc is None:
+                        return 0.0
+                    return acc
 
             def safe_inv(dr2, m):
                 return m / jnp.where(m > 0, dr2, 1.0)
 
-            L = layout
+            # geometry caches: site-pair separation (dr, dr2) keyed by
+            # the representative plane bases (None = COM), and the
+            # masked 1/r^2 keyed additionally by which cutoff mask
+            # applies.  Bodies over co-located site sets (LJ + charges
+            # at the same atoms, the CO2/ion pattern) compute each
+            # distance exactly once.
+            geom = {}
+
+            def pair_geom(cat_i, si, cat_j, sj):
+                kij = (ikey(cat_i, si), ikey(cat_j, sj))
+                if kij not in geom:
+                    dia, djb = iget(cat_i, si), jget(cat_j, sj)
+                    if dia is None and djb is None:
+                        geom[kij] = (drm, com2)
+                    else:
+                        dr = drm
+                        if dia is not None:
+                            dr = tuple(dr[d] + dia[d] for d in range(3))
+                        if djb is not None:
+                            dr = tuple(dr[d] - djb[d] for d in range(3))
+                        geom[kij] = (dr, _dot(dr, dr))
+                return kij, geom[kij]
+
+            invc = {}
+
+            def inv_of(kij, dr2, lj_mask):
+                mk = "lj" if (lj_mask or same_cut) else "el"
+                kk = (kij, mk)
+                if kk not in invc:
+                    invc[kk] = safe_inv(dr2, mlj if mk == "lj" else mel)
+                return invc[kk]
 
             # LJ
             for sa in range(NL):
-                dia = icol3(L["lj"], sa)
+                dia = iget("lj", sa)
                 for sb in range(NL):
                     if not masks["lj"][sa, sb]:
                         continue
-                    djb = jcol3(L["lj"], sb)
-                    dr = tuple(drm[d] + dia[d] - djb[d] for d in range(3))
-                    dr2 = _dot(dr, dr)
-                    inv = safe_inv(dr2, mlj)
+                    kij, (dr, dr2) = pair_geom("lj", sa, "lj", sb)
+                    inv = inv_of(kij, dr2, True)
                     e24 = coupling(tables["eps24"], sa, sb)
                     s2 = coupling(tables["sig2"], sa, sb)
                     sh6 = coupling(tables["shift6"], sa, sb)
@@ -259,8 +352,9 @@ def _ms_row_kernel(
                     fac = e24 * (lj12 + lj12m6) * inv
                     f = tuple(fac * dr[d] for d in range(3))
                     Fx, Fy, Fz = Fx + f[0], Fy + f[1], Fz + f[2]
-                    m = _cross(dia, f)
-                    Mx, My, Mz = Mx + m[0], My + m[1], Mz + m[2]
+                    if dia is not None:
+                        m = _cross(dia, f)
+                        Mx, My, Mz = Mx + m[0], My + m[1], Mz + m[2]
                     Vx = Vx + 0.5 * drm[0] * f[0]
                     Vy = Vy + 0.5 * drm[1] * f[1]
                     Vz = Vz + 0.5 * drm[2] * f[2]
@@ -268,8 +362,9 @@ def _ms_row_kernel(
             def add_block(f, m_extra, u, dia):
                 nonlocal Fx, Fy, Fz, Mx, My, Mz, Vx, Vy, Vz, uX_t
                 Fx, Fy, Fz = Fx + f[0], Fy + f[1], Fz + f[2]
-                m = _cross(dia, f)
-                Mx, My, Mz = Mx + m[0], My + m[1], Mz + m[2]
+                if dia is not None:
+                    m = _cross(dia, f)
+                    Mx, My, Mz = Mx + m[0], My + m[1], Mz + m[2]
                 if m_extra is not None:
                     Mx, My, Mz = Mx + m_extra[0], My + m_extra[1], Mz + m_extra[2]
                 Vx = Vx + 0.5 * drm[0] * f[0]
@@ -279,25 +374,23 @@ def _ms_row_kernel(
 
             # charge-charge
             for sa in range(NC):
-                dia = icol3(L["charge"], sa)
+                dia = iget("charge", sa)
                 for sb in range(NC):
                     if not masks["cc"][sa, sb]:
                         continue
-                    djb = jcol3(L["charge"], sb)
-                    dr = tuple(drm[d] + dia[d] - djb[d] for d in range(3))
-                    dr2 = _dot(dr, dr)
-                    inv = safe_inv(dr2, mel)
+                    kij, (dr, dr2) = pair_geom("charge", sa, "charge", sb)
+                    inv = inv_of(kij, dr2, False)
                     invd = jnp.sqrt(inv)
                     qq = coupling(tables["qq"], sa, sb)
                     if screen_alpha:
+                        # exp(-(alpha r)^2) is shared between the erfc
+                        # approximation and the screened force term
+                        e = jnp.exp(-(screen_alpha * screen_alpha) * dr2)
                         r = dr2 * invd
-                        erfc = _erfc(screen_alpha * r, interpret) * mel
+                        erfc = _erfc(screen_alpha * r, interpret, e=e) * mel
                         u = qq * erfc * invd
                         tap = 2.0 * screen_alpha / np.sqrt(np.pi)
-                        fac = (
-                            u
-                            + qq * tap * jnp.exp(-screen_alpha ** 2 * dr2) * mel
-                        ) * inv
+                        fac = (u + qq * tap * e * mel) * inv
                     else:
                         u = qq * invd
                         fac = u * inv
@@ -306,120 +399,122 @@ def _ms_row_kernel(
 
             # charge_i x quad_j
             for sa in range(NC):
-                dia = icol3(L["charge"], sa)
+                dia = iget("charge", sa)
                 for sb in range(NQ):
                     if not masks["cq"][sa, sb]:
                         continue
-                    djb = jcol3(L["quad"], sb)
-                    ej = jcol3(L["quad_e"], sb)
-                    dr = tuple(drm[d] + dia[d] - djb[d] for d in range(3))
+                    ej = jread(L["quad_e"] + 3 * sb)
+                    kij, (dr, dr2) = pair_geom("charge", sa, "quad", sb)
                     f, _m2, u = _charge_quad(
-                        dr, ej, coupling(tables["qQ05"], sa, sb), mel, safe_inv
+                        dr, ej, coupling(tables["qQ05"], sa, sb), mel,
+                        safe_inv, geom=(dr2, inv_of(kij, dr2, False)),
                     )
                     add_block(f, None, u, dia)
 
             # charge_i x dip_j
             for sa in range(NC):
-                dia = icol3(L["charge"], sa)
+                dia = iget("charge", sa)
                 for sb in range(ND):
                     if not masks["cd"][sa, sb]:
                         continue
-                    djb = jcol3(L["dip"], sb)
-                    ej = jcol3(L["dip_e"], sb)
-                    dr = tuple(drm[d] + dia[d] - djb[d] for d in range(3))
+                    ej = jread(L["dip_e"] + 3 * sb)
+                    kij, (dr, dr2) = pair_geom("charge", sa, "dip", sb)
                     f, _m2, u = _charge_dip(
-                        dr, ej, coupling(tables["minus_qmy"], sa, sb), mel, safe_inv
+                        dr, ej, coupling(tables["minus_qmy"], sa, sb), mel,
+                        safe_inv, geom=(dr2, inv_of(kij, dr2, False)),
                     )
                     add_block(f, None, u, dia)
 
             # quad_i x charge_j (dr = charge - quad; i gets -f + m2)
             for sa in range(NQ):
-                dia = icol3(L["quad"], sa)
-                ei = icol3(L["quad_e"], sa)
+                dia = iget("quad", sa)
+                ei = iread(L["quad_e"] + 3 * sa)
                 for sb in range(NC):
                     if not masks["qc"][sa, sb]:
                         continue
-                    djb = jcol3(L["charge"], sb)
-                    dr = tuple(-(drm[d] + dia[d] - djb[d]) for d in range(3))
+                    kij, (drf, dr2) = pair_geom("quad", sa, "charge", sb)
+                    dr = tuple(-drf[d] for d in range(3))
                     f, m_i, u = _charge_quad(
-                        dr, ei, coupling(tables["Qq05"], sa, sb), mel, safe_inv
+                        dr, ei, coupling(tables["Qq05"], sa, sb), mel,
+                        safe_inv, geom=(dr2, inv_of(kij, dr2, False)),
                     )
                     add_block(tuple(-f[d] for d in range(3)), m_i, u, dia)
 
             # quad_i x quad_j
             for sa in range(NQ):
-                dia = icol3(L["quad"], sa)
-                ei = icol3(L["quad_e"], sa)
+                dia = iget("quad", sa)
+                ei = iread(L["quad_e"] + 3 * sa)
                 for sb in range(NQ):
                     if not masks["qq"][sa, sb]:
                         continue
-                    djb = jcol3(L["quad"], sb)
-                    ej = jcol3(L["quad_e"], sb)
-                    dr = tuple(drm[d] + dia[d] - djb[d] for d in range(3))
+                    ej = jread(L["quad_e"] + 3 * sb)
+                    kij, (dr, dr2) = pair_geom("quad", sa, "quad", sb)
                     f, m1, _m2, u = _quad_quad(
-                        dr, ei, ej, coupling(tables["QQ075"], sa, sb), mel, safe_inv
+                        dr, ei, ej, coupling(tables["QQ075"], sa, sb), mel,
+                        safe_inv, geom=(dr2, inv_of(kij, dr2, False)),
                     )
                     add_block(f, m1, u, dia)
 
             # quad_i x dip_j (dr = dip - quad; i gets -f + m_quad)
             for sa in range(NQ):
-                dia = icol3(L["quad"], sa)
-                ei = icol3(L["quad_e"], sa)
+                dia = iget("quad", sa)
+                ei = iread(L["quad_e"] + 3 * sa)
                 for sb in range(ND):
                     if not masks["qd"][sa, sb]:
                         continue
-                    djb = jcol3(L["dip"], sb)
-                    ej = jcol3(L["dip_e"], sb)
-                    dr = tuple(-(drm[d] + dia[d] - djb[d]) for d in range(3))
+                    ej = jread(L["dip_e"] + 3 * sb)
+                    kij, (drf, dr2) = pair_geom("quad", sa, "dip", sb)
+                    dr = tuple(-drf[d] for d in range(3))
                     f, _m_dip, m_quad, u = _dip_quad(
-                        dr, ej, ei, coupling(tables["Qmy15"], sa, sb), mel, safe_inv
+                        dr, ej, ei, coupling(tables["Qmy15"], sa, sb), mel,
+                        safe_inv, geom=(dr2, inv_of(kij, dr2, False)),
                     )
                     add_block(tuple(-f[d] for d in range(3)), m_quad, u, dia)
 
             # dip_i x charge_j (dr = charge - dip; i gets -f + m_dip)
             for sa in range(ND):
-                dia = icol3(L["dip"], sa)
-                ei = icol3(L["dip_e"], sa)
+                dia = iget("dip", sa)
+                ei = iread(L["dip_e"] + 3 * sa)
                 for sb in range(NC):
                     if not masks["dc"][sa, sb]:
                         continue
-                    djb = jcol3(L["charge"], sb)
-                    dr = tuple(-(drm[d] + dia[d] - djb[d]) for d in range(3))
+                    kij, (drf, dr2) = pair_geom("dip", sa, "charge", sb)
+                    dr = tuple(-drf[d] for d in range(3))
                     f, m_i, u = _charge_dip(
-                        dr, ei, coupling(tables["minus_myq"], sa, sb), mel, safe_inv
+                        dr, ei, coupling(tables["minus_myq"], sa, sb), mel,
+                        safe_inv, geom=(dr2, inv_of(kij, dr2, False)),
                     )
                     add_block(tuple(-f[d] for d in range(3)), m_i, u, dia)
 
             # dip_i x quad_j
             for sa in range(ND):
-                dia = icol3(L["dip"], sa)
-                ei = icol3(L["dip_e"], sa)
+                dia = iget("dip", sa)
+                ei = iread(L["dip_e"] + 3 * sa)
                 for sb in range(NQ):
                     if not masks["dq"][sa, sb]:
                         continue
-                    djb = jcol3(L["quad"], sb)
-                    ej = jcol3(L["quad_e"], sb)
-                    dr = tuple(drm[d] + dia[d] - djb[d] for d in range(3))
+                    ej = jread(L["quad_e"] + 3 * sb)
+                    kij, (dr, dr2) = pair_geom("dip", sa, "quad", sb)
                     f, m1, _m2, u = _dip_quad(
-                        dr, ei, ej, coupling(tables["myQ15"], sa, sb), mel, safe_inv
+                        dr, ei, ej, coupling(tables["myQ15"], sa, sb), mel,
+                        safe_inv, geom=(dr2, inv_of(kij, dr2, False)),
                     )
                     add_block(f, m1, u, dia)
 
             # dip_i x dip_j
             for sa in range(ND):
-                dia = icol3(L["dip"], sa)
-                ei = icol3(L["dip_e"], sa)
+                dia = iget("dip", sa)
+                ei = iread(L["dip_e"] + 3 * sa)
                 for sb in range(ND):
                     if not masks["dd"][sa, sb]:
                         continue
-                    djb = jcol3(L["dip"], sb)
-                    ej = jcol3(L["dip_e"], sb)
-                    dr = tuple(drm[d] + dia[d] - djb[d] for d in range(3))
+                    ej = jread(L["dip_e"] + 3 * sb)
+                    kij, (dr, dr2) = pair_geom("dip", sa, "dip", sb)
                     f, m1, _m2, u, rf = _dip_dip(
                         dr, ei, ej,
                         coupling(tables["my2"], sa, sb),
                         coupling(tables["rffac"], sa, sb),
-                        mel, safe_inv,
+                        mel, safe_inv, geom=(dr2, inv_of(kij, dr2, False)),
                     )
                     rf_t = rf_t + jnp.sum(rf)
                     add_block(f, m1, u, dia)
@@ -557,6 +652,8 @@ def multisite_cell_forces_pallas(
         tables=meta.tables,
         masks=meta.masks,
         layout=meta.layout,
+        srep=meta.site_rep,
+        szero=meta.site_zero,
         P=P,
         K=meta.K,
         NL=meta.NL,
@@ -638,6 +735,33 @@ class _MSMeta:
             dip_pos=table.dip_pos, dip_e=table.dip_e,
             quad_pos=table.quad_pos, quad_e=table.quad_e,
         )
+        # site geometry dedup for the kernel: two sites (possibly of
+        # different categories) whose body-frame positions are
+        # identical across ALL components produce identical world
+        # offset planes, so the kernel computes their pair separations
+        # once (CO2's LJ centers and charges are co-located; water's O
+        # charge sits on the LJ center).  Sites at the origin have
+        # identically-zero world offsets for every orientation.
+        cats = [("lj", np.asarray(table.lj_pos), self.NL),
+                ("charge", np.asarray(table.charge_pos), self.NC),
+                ("dip", np.asarray(table.dip_pos), self.ND),
+                ("quad", np.asarray(table.quad_pos), self.NQ)]
+        reps = {}
+        seen = []
+        zero = {}
+        for cat, pos, ns in cats:
+            for s in range(ns):
+                p = pos[:, s, :]
+                zero[(cat, s)] = not p.any()
+                for key, q in seen:
+                    if np.array_equal(q, p):
+                        reps[(cat, s)] = key
+                        break
+                else:
+                    reps[(cat, s)] = (cat, s)
+                    seen.append(((cat, s), p))
+        self.site_rep = reps
+        self.site_zero = zero
         self._key = (
             self.K, self.NL, self.NC, self.ND, self.NQ,
             table.eps24.tobytes(), table.sig2.tobytes(),
@@ -646,6 +770,11 @@ class _MSMeta:
             table.QQ075.tobytes(), table.Qmy15.tobytes(),
             table.myQ15.tobytes(), table.my2.tobytes(),
             table.rffac.tobytes(),
+            # geometry now shapes the kernel trace (alias/zero pruning)
+            np.asarray(table.lj_pos).tobytes(),
+            np.asarray(table.charge_pos).tobytes(),
+            np.asarray(table.dip_pos).tobytes(),
+            np.asarray(table.quad_pos).tobytes(),
         )
 
     def __hash__(self):

@@ -142,7 +142,8 @@ def measure(name, data, cfg_kw, steps, windows, budget):
                     ensemble_type="NVT", **cfg_kw)
     t0 = time.perf_counter()
     sim = MDSimulation(cfg, dtype=jnp.float32, phase_space_data=data)
-    fp = getattr(sim.engine, "force_fn", None)
+    fp = getattr(sim.engine, "force_fn", None) or getattr(
+        sim.engine, "_force_fn", None)
     info = {}
     if fp is not None and hasattr(fp, "meta"):
         spec = fp.spec
