@@ -82,7 +82,10 @@ class MDSimulation:
         self,
         config: XMLConfig,
         dtype=jnp.float32,
-        force_mode: str = "auto",  # auto | pallas | cells
+        force_mode: str = "auto",  # auto | pallas | cells | scene
+        # "scene": construction-only base (tables/solvers/readers; the
+        # force path is the internal cells fallback and never runs) --
+        # what ParallelMDSimulation builds its own engines from
         cell_cap: int = 0,
         phase_space_data: Optional[PhaseSpaceData] = None,
         allow_axis_swap: bool = True,
@@ -179,6 +182,7 @@ class MDSimulation:
         # initial state (mean-density heuristics underestimate clustered
         # scenes) and leave drift headroom
         self._z_edges = None
+        self._cap_forced = bool(cell_cap)
         if not cell_cap:
             dims = np.maximum(
                 1, np.floor(self.box * config.cells_in_cutoff /
@@ -367,6 +371,8 @@ class MDSimulation:
                 from ls1_mardyn_tpu.ops.fmm import FMMElectrostatics
 
                 if force_mode == "cells":
+                    # "scene" (the parallel driver's construction-only
+                    # base, whose force path never executes) is exempt
                     raise ValueError(
                         "ewald_method='fmm' needs the pallas/oracle "
                         "force path (force_mode auto); the internal "
@@ -526,16 +532,35 @@ class MDSimulation:
                     else:
                         from ls1_mardyn_tpu.ops.pallas_ms_path import (
                             PallasMultiSitePath,
+                            pick_ms_grid,
                         )
 
+                        ms_tx = 0
+                        if (not interpret and not self._z_edges and n
+                                and not self._cap_forced):
+                            # cost-based grid/cap/tx for the dense
+                            # kernel: pair lanes = cells*cap^2*9*(tx+2)
+                            # under the tx*cap%128==0 alignment -- odd
+                            # floor() grids force cap to a 128 multiple
+                            # (up to 4x waste); a slightly coarser even
+                            # x axis with tx=2/4 often wins
+                            pick = pick_ms_grid(
+                                data.r, self.box,
+                                config.lj_cutoff / config.cells_in_cutoff,
+                            )
+                            if pick is not None:
+                                dims_p, cap_p, ms_tx = pick
+                                spec = _dc.replace(
+                                    spec, dims=dims_p, cap=cap_p)
                         force_fn = PallasMultiSitePath(
-                            self._table_pair, spec, interpret=interpret,
+                            self._table_pair, spec, tx=ms_tx,
+                            interpret=interpret,
                             screen_alpha=screen_alpha,
                         )
                         global_log.info(
                             "force path: Pallas multi-site kernel, grid %s, "
-                            "%d planes",
-                            spec.dims,
+                            "cap %d, tx %d, %d planes",
+                            spec.dims, spec.cap, force_fn.tx,
                             force_fn.meta.P,
                         )
                 except AssertionError:

@@ -347,16 +347,33 @@ class FMMSolver:
             # 3^k * box; A_k aggregates the 27 sub-blocks (all carry the
             # same multipole by periodicity), T_k sums the 702 far
             # offsets 2 <= |b|_inf <= 4 (the |v|_inf >= 2 image shells
-            # tile exactly across scales)
+            # tile exactly across scales).
+            #
+            # SCALED formulation: raw A_k entries grow like
+            # (3^k box)^n -- they overflow float32 (inf -> NaN phi) by
+            # scale ~8 on production boxes.  Work in per-scale units
+            # instead: M~_k = D_k M_k with D_k = diag(s_k^-n),
+            # A~_k = D_{k+1} A_k D_k^-1 (entries ~ 3^-n, O(1)) and
+            # T~_k = T_k D_k^-1 (entries ~ s_k^-(j+1), which UNDERFLOW
+            # harmlessly once scales stop contributing).  The host
+            # builds everything in complex128, so the sandwich is
+            # exact before the f32 cast.
             self._lat_m2m: List[np.ndarray] = []
             self._lat_m2l: List[np.ndarray] = []
             nc = self.nc
+            degs = np.array(
+                [n for n in range(p + 1) for _ in range(2 * n + 1)],
+                np.float64,
+            )
             for k in range(self.lattice_scales):
                 s = self.box * 3.0**k
+                dk_inv = np.power(s, degs)          # D_k^-1 diagonal
+                dk1 = np.power(3.0 * s, -degs)      # D_{k+1} diagonal
                 A = np.zeros((nc, nc), complex)
                 for o in np.ndindex(3, 3, 3):
                     off = (np.array(o) - 1) * s
                     A += _m2m_matrix(-off, p)
+                A = dk1[:, None] * A * dk_inv[None, :]
                 self._lat_m2m.append(_realify(A, f))
                 T = np.zeros((nc, nc), complex)
                 for b in np.ndindex(9, 9, 9):
@@ -364,7 +381,13 @@ class FMMSolver:
                     if np.abs(bb).max() <= 1:
                         continue
                     T += _m2l_matrix(-bb * s, p)
+                T = T * dk_inv[None, :]
                 self._lat_m2l.append(_realify(T, f))
+            # D_0 applied on device to the root multipole (realified:
+            # the same real diagonal acts on Re and Im halves)
+            self._lat_d0 = np.concatenate(
+                [np.power(self.box, -degs)] * 2
+            ).astype(f)
         self._jit_compute = jax.jit(self._compute)
 
     # -- device pipeline ----------------------------------------------------
@@ -428,6 +451,24 @@ class FMMSolver:
         )
         dr = rc_ - centers[:, None, :]
         Mleaf = jnp.einsum("cs,csk->ck", qc, rvec(dr))  # [cells, 2nc]
+        Lleaf = self._tree_pass(Mleaf)
+        return self._finish_compute(
+            r, q, Lleaf, centers, slots, rc_, qc, w, gid, overflow
+        )
+
+    def _tree_pass(self, Mleaf):
+        """M2M / M2L / L2L (+ periodic lattice recursion): leaf
+        multipoles [cells, 2nc] -> leaf locals [cells, 2nc].  Shared by
+        the single-chip path and the multi-chip path (where Mleaf is
+        the psum of per-device leaf moments -- the reference's 'global
+        levels duplicated + allreduce of multipole moments' scheme,
+        UniformPseudoParticleContainer.h:95-135, with the allreduce as
+        one psum and the duplicated levels as replicated per-device
+        compute)."""
+        p = self.order
+        nc2 = 2 * self.nc
+        nl = self.n_leaf
+        dt = self.dtype
 
         # upward pass (M2M): leaves -> level 1
         Ms = [Mleaf.reshape(nl, nl, nl, nc2)]
@@ -498,7 +539,8 @@ class FMMSolver:
             # lattice far field: everything beyond the 27 box images.
             # M_k = multipole of the 3^k-box block; L_root accumulates
             # the pre-summed 702-offset far operator at every scale.
-            M_k = Ms[-1].reshape(nc2)
+            # scaled lattice units (see __post_init__): M~_0 = D_0 M
+            M_k = Ms[-1].reshape(nc2) * jnp.asarray(self._lat_d0)
             L_root = jnp.zeros((nc2,), dt)
             for k in range(self.lattice_scales):
                 L_root = L_root + jnp.asarray(self._lat_m2l[k]) @ M_k
@@ -531,7 +573,14 @@ class FMMSolver:
                         k += 1
             Ls[d + 1] = child
 
-        Lleaf = Ls[self.depth].reshape(-1, nc2)
+        return Ls[self.depth].reshape(-1, nc2)
+
+    def _finish_compute(self, r, q, Lleaf, centers, slots, rc_, qc, w,
+                        gid, overflow):
+        p = self.order
+        nl = self.n_leaf
+        dt = self.dtype
+        safe = jnp.maximum(slots, 0)
 
         # L2P potential + forces (far field), via grad for exact
         # consistency.  Phi = Re(sum_nm L_nm R_nm) = LRe.RRe - LIm.RIm
@@ -642,6 +691,198 @@ class FMMSolver:
         ids = (nb[..., 0] * nl + nb[..., 1]) * nl + nb[..., 2]
         return jnp.asarray(np.where(ok, ids, -1).astype(np.int32))
 
+    def compute_sharded(self, r, q, valid, gid, axis_name, n_dev: int):
+        """Multi-chip FMM evaluation -- call INSIDE a shard_map over
+        `axis_name` with this device's local (padded) site arrays in
+        GLOBAL coordinates.
+
+        TPU translation of the reference's MPI-parallel tree in its
+        duplicated-global-levels mode (UniformPseudoParticleContainer
+        .h:95-135: global levels replicated on every rank, multipole
+        moments combined by one allreduce):
+          1. one collision-free psum assembles the global leaf VALUE
+             table (per-cell slot offsets from an all-gather of local
+             cell counts, so sites of one leaf cell coming from
+             different devices never overwrite each other);
+          2. P2M + M2M/M2L/L2L (+ periodic lattice recursion) run
+             replicated per device on the psum'd table -- the levels
+             are small (8^D x 2(p+1)^2), exactly why the reference
+             duplicates them;
+          3. L2P evaluates far-field phi/F for LOCAL sites only;
+          4. near-field P2P is sharded by leaf-cell x-slices: each
+             device computes its contiguous slice of cells against the
+             global table, per-slot phi/F tables ride one psum back,
+             and every device gathers its own sites' entries.
+        Returns (U_local, F_local [N,3], phi_local [N], overflow);
+        U_local sums to the global energy under the caller's psum.
+        """
+        p = self.order
+        nl = self.n_leaf
+        ncell = nl**3
+        cap = self.cap
+        dt = self.dtype
+        r = jnp.asarray(r).astype(dt)
+        if self.periodic:
+            r = r % self.box
+        valid = jnp.asarray(valid)
+        q = jnp.where(valid, jnp.asarray(q), 0.0).astype(dt)
+        gid = jnp.asarray(gid, jnp.int32)
+        nloc = r.shape[0]
+
+        # --- global collision-free leaf table (one psum)
+        ci = jnp.clip(
+            jnp.floor(r / self.leaf_edge).astype(jnp.int32), 0, nl - 1
+        )
+        cell = (ci[:, 0] * nl + ci[:, 1]) * nl + ci[:, 2]
+        cell = jnp.where(valid, cell, ncell)
+        order = jnp.argsort(cell)
+        cs = cell[order]
+        lslot = jnp.arange(nloc) - jnp.searchsorted(cs, cs, side="left")
+        counts = (
+            jnp.zeros((ncell,), jnp.int32)
+            .at[jnp.minimum(cell, ncell - 1)]
+            .add((cell < ncell).astype(jnp.int32))
+        )
+        ax = jax.lax.axis_index(axis_name)
+        counts_all = jax.lax.all_gather(counts, axis_name)  # [ndev, ncell]
+        below = (jnp.arange(n_dev) < ax).astype(jnp.int32)
+        off = jnp.sum(counts_all * below[:, None], axis=0)  # [ncell]
+        overflow = jnp.any(jnp.sum(counts_all, axis=0) > cap)
+        gslot = lslot + off[jnp.minimum(cs, ncell - 1)]
+        okl = (cs < ncell) & (gslot < cap)
+        dest = jnp.where(okl, cs * cap + gslot, ncell * cap)
+        vals = jnp.concatenate([r[order], q[order][:, None]], axis=1)
+        gtab = (
+            jnp.zeros((ncell * cap + 1, 4), dt)
+            .at[dest]
+            .set(jnp.where(okl[:, None], vals, 0.0))[:-1]
+        )
+        ggid = (
+            jnp.zeros((ncell * cap + 1,), jnp.int32)
+            .at[dest]
+            .set(jnp.where(okl, gid[order], 0))[:-1]
+        )
+        gtab = jax.lax.psum(gtab, axis_name)
+        ggid = jax.lax.psum(ggid, axis_name)
+        rg = gtab[:, :3].reshape(ncell, cap, 3)
+        qg = gtab[:, 3].reshape(ncell, cap)
+        gg = ggid.reshape(ncell, cap)
+        wg = (qg != 0.0).astype(dt)
+
+        # --- P2M from the global table + replicated tree pass
+        ii = jnp.arange(nl)
+        cx, cy, cz = jnp.meshgrid(ii, ii, ii, indexing="ij")
+        centers = (
+            jnp.stack([cx, cy, cz], -1).reshape(-1, 3).astype(dt) + 0.5
+        ) * self.leaf_edge
+        rvec = jax.vmap(
+            jax.vmap(lambda d_: _rvec_real(d_, p), in_axes=0), in_axes=0
+        )
+        Mleaf = jnp.einsum(
+            "cs,csk->ck", qg, rvec(rg - centers[:, None, :])
+        )
+        Lleaf = self._tree_pass(Mleaf)
+
+        # --- L2P (far field) for local sites
+        def phi_far(pos, Lc, center):
+            rv = _rvec_real(pos - center, p)
+            nch = self.nc
+            return jnp.sum(Lc[:nch] * rv[:nch]) - jnp.sum(
+                Lc[nch:] * rv[nch:]
+            )
+
+        cidx = (ci[:, 0] * nl + ci[:, 1]) * nl + ci[:, 2]
+        Li = Lleaf[cidx]
+        ci_ = centers[cidx]
+        phi_f = jax.vmap(phi_far)(r, Li, ci_)
+        gvec = jax.vmap(jax.grad(phi_far, argnums=0))(r, Li, ci_)
+        phi_f = jnp.where(valid, phi_f, 0.0)
+        F_far = jnp.where(valid[:, None], -q[:, None] * gvec, 0.0)
+
+        # --- near field: x-slices of the leaf grid per device (cell
+        # linearization is x-outer, so slices are contiguous rows)
+        nbr = self._neighbor_table()  # [ncell, 27]
+        sliced = nl % n_dev == 0
+        if sliced:
+            csl = (nl // n_dev) * nl * nl
+            c0 = ax * csl
+        else:
+            # replicated fallback (device 0 contributes); only hit when
+            # n_dev doesn't divide the leaf count -- caller should pick
+            # depth with 2^depth % n_dev == 0 for full scaling
+            csl = ncell
+            c0 = 0
+        z0 = jnp.zeros((), jnp.int32)
+        c0 = jnp.asarray(c0, jnp.int32)
+        nb_sl = jax.lax.dynamic_slice(nbr, (c0, z0), (csl, 27))
+        nbc = jnp.maximum(nb_sl, 0)
+        wnb = (nb_sl >= 0)[:, :, None]
+        rj = rg[nbc].reshape(csl, 27 * cap, 3)
+        qj = jnp.where(wnb, qg[nbc], 0.0).reshape(csl, 27 * cap)
+        gj = jnp.where(wnb, gg[nbc], -2).reshape(csl, 27 * cap)
+        ri_s = jax.lax.dynamic_slice(rg, (c0, z0, z0), (csl, cap, 3))
+        qi_s = jax.lax.dynamic_slice(qg, (c0, z0), (csl, cap))
+        gi_s = jax.lax.dynamic_slice(gg, (c0, z0), (csl, cap))
+        wi_s = jax.lax.dynamic_slice(wg, (c0, z0), (csl, cap))
+
+        def cell_near_v(rc_c, qc_c, w_c, rj_c, qj_c, gi_c, gj_c):
+            d = rc_c[:, None, :] - rj_c[None, :, :]
+            if self.periodic:
+                d = d - self.box * jnp.round(d / self.box)
+            r2 = jnp.sum(d * d, -1)
+            same = gi_c[:, None] == gj_c[None, :]
+            ok = (
+                (w_c[:, None] > 0)
+                & (qj_c[None, :] != 0.0)
+                & ~same
+                & (r2 > 0)
+            )
+            inv = jnp.where(
+                ok, 1.0 / jnp.sqrt(jnp.where(ok, r2, 1.0)), 0.0
+            )
+            phi_c = qj_c[None, :] * inv
+            f = (
+                (qc_c[:, None] * phi_c / jnp.where(ok, r2, 1.0))[..., None]
+                * d
+            )
+            return jnp.sum(phi_c, 1), jnp.sum(f, 1)
+
+        phi_nc, F_nc = jax.vmap(cell_near_v)(
+            ri_s, qi_s, wi_s, rj, qj, gi_s, gj
+        )
+        if not sliced:
+            keep = (ax == 0).astype(dt)
+            phi_nc = phi_nc * keep
+            F_nc = F_nc * keep
+        phiT = jax.lax.dynamic_update_slice(
+            jnp.zeros((ncell, cap), dt), phi_nc, (c0, z0)
+        )
+        FT = jax.lax.dynamic_update_slice(
+            jnp.zeros((ncell, cap, 3), dt), F_nc, (c0, z0, z0)
+        )
+        phiT = jax.lax.psum(phiT, axis_name)
+        FT = jax.lax.psum(FT, axis_name)
+
+        # gather my sites' near-field entries back to site order
+        site_dest = (
+            jnp.zeros((nloc,), jnp.int32)
+            .at[order]
+            .set(
+                jnp.where(
+                    okl, jnp.minimum(dest, ncell * cap - 1), 0
+                ).astype(jnp.int32)
+            )
+        )
+        phi_n = jnp.where(valid, phiT.reshape(-1)[site_dest], 0.0)
+        F_n = jnp.where(
+            valid[:, None], FT.reshape(-1, 3)[site_dest], 0.0
+        )
+
+        phi_tot = phi_f + phi_n
+        F = F_far + F_n
+        U_loc = 0.5 * jnp.sum(q * phi_tot)
+        return U_loc, F, phi_tot, overflow
+
     # -- public -------------------------------------------------------------
 
     def compute(self, r, q, valid=None, gid=None):
@@ -745,6 +986,31 @@ class FMMElectrostatics:
         # Ewald/PME extra-force hook
         u, F, M, _overflow = self._call(mol, pp)
         return u, F, M
+
+    def sharded(self, mol, pp, axis_name, n_dev: int):
+        """Extra-force hook for the sharded drivers: call inside the
+        shard_map with this device's LOCAL molecules.  The exclusion
+        group is the GLOBAL molecule id (mol.mid) -- local indices
+        would collide across devices and wrongly exclude boundary
+        pairs.  Energy returns as the local contribution (the driver's
+        fused psum of uX sums it to the global total, matching the
+        reference's allreduce of UpotXpoles)."""
+        dtype = mol.r.dtype
+        n = mol.capacity
+        sites = self._site_offsets(pp, mol.q, mol.cid)["charge"]
+        q_site = pp.charge_q[mol.cid]
+        wq = q_site * mol.valid[:, None].astype(dtype)
+        rs = (mol.r[:, None, :] + sites).reshape(-1, 3)
+        qs = wq.reshape(-1)
+        mids = jnp.repeat(mol.mid.astype(jnp.int32), sites.shape[1])
+        valid_s = qs != 0.0
+        U, F_s, _phi, _overflow = self.solver.compute_sharded(
+            rs, qs, valid_s, mids, axis_name, n_dev
+        )
+        f = F_s.reshape(n, -1, 3)
+        F = jnp.sum(f, axis=1)
+        M = jnp.sum(jnp.cross(sites, f), axis=1)
+        return U, F, M
 
     def validate(self, mol, pp):
         """Host-side overflow check, once at prepare time (cap is

@@ -24,6 +24,87 @@ from ls1_mardyn_tpu.ops.pallas_multisite import (
 from ls1_mardyn_tpu.state import Forces, Macroscopic, MoleculeState
 
 
+def pick_ms_grid(r, box, cutoff, cap_min: int = 32, headroom: float = 1.5,
+                 span: int = 4):
+    """Cost-based grid/cap/tx choice for the multi-site kernel (the
+    TraversalTuner::findOptimalTraversal role, /root/reference/src/
+    particleContainer/TraversalTuner.h:135, for this kernel family).
+
+    The dense kernel's pair-lane count is
+        n_cells * cap^2 * 9 * (tx + 2*HX)
+    and the compiled kernel needs tx*cap % 128 == 0 with tx | nx, so an
+    odd nx forces cap up to a 128-multiple even when occupancy only
+    needs 32 -- up to 4x lane waste (e.g. a 35^3 grid at true occupancy
+    35 pays cap 128 where a 34-wide x axis runs tx=2 cap 64).  Search
+    the admissible grids near floor(box/cutoff) (cell edge >= cutoff on
+    every axis), size cap from the measured max cell occupancy plus
+    drift headroom, and take the minimum-cost combination.
+
+    Returns (dims, cap, tx) or None when no admissible grid exists.
+    """
+    r = np.asarray(r, np.float64)
+    box = np.asarray(box, np.float64)
+    lo = [int(np.floor(b / cutoff)) for b in box]
+    if min(lo) < 1:
+        return None
+
+    def cands(nmax):
+        return list(range(nmax, max(nmax - span, 1) - 1, -1))
+
+    def cap_tx(nx, max_occ):
+        need = max(cap_min, int(np.ceil(headroom * max(max_occ, 1))))
+        best = None
+        for tx in (1, 2, 4, 8):
+            if nx % tx:
+                continue
+            unit = 128 // tx  # tx*cap % 128 == 0
+            cap = ((need + unit - 1) // unit) * unit
+            if tx * cap > 1024:  # VMEM: bound the i-tile row block
+                continue
+            if cap > 128:
+                # windowed kernel: a 128-multiple j chunk must divide
+                # the window (PallasMultiSitePath picks jw there)
+                win = (tx + 2 * HX) * cap
+                if not any(win % j == 0 for j in (128, 256, 384, 512)):
+                    continue
+            cost = cap * cap * (tx + 2 * HX)
+            if best is None or cost < best[0]:
+                best = (cost, cap, tx)
+        return best
+
+    # per-axis cell index tables for each candidate count (reused
+    # across combinations; bincount per combination is the only O(N)
+    # work and span^3 stays small)
+    axis_idx = []
+    for a in range(3):
+        tbl = {}
+        for n in cands(lo[a]):
+            tbl[n] = np.minimum((r[:, a] * (n / box[a])).astype(np.int64),
+                                n - 1)
+        axis_idx.append(tbl)
+
+    best = None
+    for nx in cands(lo[0]):
+        for ny in cands(lo[1]):
+            for nz in cands(lo[2]):
+                cells = nx * ny * nz
+                if best is not None and \
+                        cells * (cap_min ** 2) * 3 >= best[0]:
+                    continue
+                lin = (axis_idx[2][nz] * ny + axis_idx[1][ny]) * nx \
+                    + axis_idx[0][nx]
+                occ = int(np.bincount(lin, minlength=cells).max())
+                ct = cap_tx(nx, occ)
+                if ct is None:
+                    continue
+                cost = cells * ct[0]
+                if best is None or cost < best[0]:
+                    best = (cost, (nx, ny, nz), ct[1], ct[2])
+    if best is None:
+        return None
+    return best[1], best[2], best[3]
+
+
 class PallasMultiSitePath:
     """force_fn for SingleChipSimulation: rigid multi-site molecules of
     any component mix (LJ + charges + dipoles + quadrupoles)."""

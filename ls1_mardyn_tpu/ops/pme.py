@@ -253,17 +253,7 @@ def _spread_sorted(bw, w3, wq, grid, p: int, dtype):
         jnp.zeros((ngp,), dtype),
         tuple(jnp.asarray(offs[:, i]) for i in range(4)),
     )
-    pad = acc.reshape(Gp)
-    # periodic fold: padded index i maps to (i - (p-1)) mod G, so the
-    # head margin [0, p-1) lands on the tail [G-p+1, G)
-    for ax, G in enumerate(grid):
-        head = jax.lax.slice_in_dim(pad, 0, p - 1, axis=ax)
-        main = jax.lax.slice_in_dim(pad, p - 1, None, axis=ax)
-        upd = jax.lax.slice_in_dim(main, G - (p - 1), G, axis=ax) + head
-        pad = jax.lax.dynamic_update_slice_in_dim(
-            main, upd, G - (p - 1), axis=ax
-        )
-    return pad
+    return _fold_padded(acc.reshape(Gp), grid, p)
 
 
 def _gather_sorted(bw, w3, dw3, scale, wq, phi, grid, p: int, dtype):
@@ -367,6 +357,311 @@ def _gather_sorted(bw, w3, dw3, scale, wq, phi, grid, p: int, dtype):
     )
 
 
+def _fold_padded(pad, grid, p: int):
+    """Padded mesh [Gp...] -> real mesh [G...]: padded index i maps to
+    (i - (p-1)) mod G per dimension, so the head margin [0, p-1) folds
+    onto the real tail (shared by the sorted and blocked spreads)."""
+    for ax, G in enumerate(grid):
+        head = jax.lax.slice_in_dim(pad, 0, p - 1, axis=ax)
+        main = jax.lax.slice_in_dim(pad, p - 1, None, axis=ax)
+        upd = jax.lax.slice_in_dim(main, G - (p - 1), G, axis=ax) + head
+        pad = jax.lax.dynamic_update_slice_in_dim(
+            main, upd, G - (p - 1), axis=ax
+        )
+    return pad
+
+
+# --- blocked spread/gather -------------------------------------------------
+#
+# TPU reality check (PME_PHASES.json, N=1e6 / G=256^3 / p=4 on v5e):
+# the sorted segment-sum spread costs 19.4 s and the sorted gather
+# 12.5 s -- their per-offset work is O(ngp) (a 17M-element gather of
+# csum at edges per offset), which explodes when the mesh is much
+# finer than the site density; the direct [NS, p^3] mesh gather is
+# 0.58 s but the matching direct scatter would serialize at the TPU's
+# ~3.4M-elem/s scatter rate.  The BLOCKED path below has no scatters
+# and no data-dependent gathers in the hot loop at all: sites are
+# bucketed once per call by their base-cell BLOCK (one argsort + one
+# N-row scatter), and each mesh block of BLK^3 cells evaluates its
+# <= 8 neighbor buckets DENSELY with separable per-axis spline
+# contractions, so the accumulation is plain batched matmuls:
+#
+#   A(s, cx)      = wq_s * Wx(s, cx)          one-hot spline select
+#   B(s, cx, cy)  = A * Wy(s, cy)
+#   Q(cx, cy, cz) = sum_s B(s, cx, cy) * Wz(s, cz)   <- MXU einsum
+#
+# and the force gather is the exact transpose (z/y/x contractions of
+# the padded potential against W and dW columns).  Cost is
+# n_blocks * 8 cap * O(BLK^3) fused VPU/MXU work -- ~100x less wall
+# time than the sorted path at production sizes.
+
+
+def _block_geometry(grid, p: int, blk: int):
+    nb = tuple((G + p - 1 + blk - 1) // blk for G in grid)
+    return nb, nb[0] * nb[1] * nb[2]
+
+
+def _auto_cap(n: int, grid, blk: int) -> int:
+    """Bucket capacity from the mean over OCCUPIABLE blocks (base
+    cells lie in [0, G), so the padded-margin blocks never receive
+    sites -- sizing over all blocks undercounts partial-edge blocks
+    and overflows on dense lattices), with 4x clustering headroom."""
+    occ = 1
+    for G in grid:
+        occ *= -(-G // blk)
+    mean = max(1.0, n / max(occ, 1))
+    return int(max(16, 2 ** int(np.ceil(np.log2(4.0 * mean)))))
+
+
+def _build_site_blocks(bw, w3, dw3, wq, grid, p: int, blk: int, cap: int):
+    """Bucket sites by base-cell block.  Sites with wq == 0 (validity
+    padding) are routed to the dump bin so they never consume bucket
+    slots.  Returns (table [nb_tot*cap, W], overflow, slot_of [N],
+    ok_site [N]) with row layout [dbx dby dbz wq w3(3p) dw3(3p)?];
+    slot_of maps each ORIGINAL site to its flat table slot (0 where
+    ok_site is False), so the gather pass routes results back without
+    a second sort."""
+    dtype = wq.dtype
+    nb, nb_tot = _block_geometry(grid, p, blk)
+    n = bw.shape[0]
+    bx, by, bz = bw[:, 0] // blk, bw[:, 1] // blk, bw[:, 2] // blk
+    bid = (bx * nb[1] + by) * nb[2] + bz
+    bid = jnp.where(wq != 0, bid, nb_tot)
+    order = jnp.argsort(bid)
+    bs = bid[order]
+    rank = (
+        jnp.arange(n, dtype=jnp.int32)
+        - jnp.searchsorted(bs, bs, side="left").astype(jnp.int32)
+    )
+    live = bs < nb_tot
+    ok = live & (rank < cap)
+    overflow = jnp.any(live & (rank >= cap))
+    dest = jnp.where(ok, bs.astype(jnp.int32) * cap + rank, nb_tot * cap)
+    db = (bw - jnp.stack([bx, by, bz], -1) * blk).astype(dtype)
+    cols = [db, wq[:, None], w3.reshape(n, -1)]
+    if dw3 is not None:
+        cols.append(dw3.reshape(n, -1))
+    rows = jnp.concatenate(cols, axis=1)[order]
+    table = (
+        jnp.zeros((nb_tot * cap + 1, rows.shape[1]), dtype)
+        .at[dest]
+        .set(rows)[:-1]
+    )
+    slot_of = (
+        jnp.zeros((n,), jnp.int32)
+        .at[order]
+        .set(jnp.where(ok, dest, 0).astype(jnp.int32))
+    )
+    ok_site = jnp.zeros((n,), bool).at[order].set(ok)
+    return table, overflow, slot_of, ok_site
+
+
+def _neighbor_rows(table, nb, cap):
+    """[nb_tot, 8*cap, W] view: for every block O, the rows of the 8
+    source buckets {O-1, O}^3 in (dx, dy, dz) raster order.  Built
+    from zero-padded STATIC slices (plain copies -- no gathers; the
+    out-of-range low-edge neighbors read the zero padding)."""
+    nbx, nby, nbz = nb
+    Wr = table.shape[1]
+    tb = table.reshape(nbx, nby, nbz, cap, Wr)
+    tp = jnp.pad(tb, ((1, 0), (1, 0), (1, 0), (0, 0), (0, 0)))
+    views = [
+        tp[dx:dx + nbx, dy:dy + nby, dz:dz + nbz]
+        for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)
+    ]
+    src = jnp.concatenate(views, axis=3)  # [nbx, nby, nbz, 8cap, W]
+    return src.reshape(nbx * nby * nbz, 8 * cap, Wr)
+
+
+def _neighbor_dbl(cap, blk):
+    """Static per-axis source-minus-target block origins (in cells)
+    matching _neighbor_rows' raster order, each [8*cap] int32."""
+    d = []
+    for ax in range(3):
+        v = np.zeros((8, cap), np.int32)
+        k = 0
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    v[k, :] = ((dx, dy, dz)[ax] - 1) * blk
+                    k += 1
+        d.append(jnp.asarray(v.reshape(-1)))
+    return d
+
+
+def _axis_weights(db_ax, dbl_ax, wcols, p: int, blk: int, dtype):
+    """W(s, c) for c = 0..blk-1 on one axis: spline index
+    j = db + (p-1) + dbl - c; one-hot select from the p weight
+    columns.  db_ax [C,S] in-block base offset, dbl_ax [S] static
+    source-minus-target block origin in cells, wcols [C,S,p]."""
+    c = jnp.arange(blk, dtype=jnp.int32)
+    j = (
+        db_ax.astype(jnp.int32)[:, :, None]
+        + (p - 1)
+        + dbl_ax[None, :, None]
+        - c[None, None, :]
+    )  # [C, S, blk]
+    w = jnp.zeros(j.shape, dtype)
+    for jj in range(p):
+        w = w + wcols[:, :, jj, None] * (j == jj).astype(dtype)
+    return w  # [C, S, blk]
+
+
+def _spread_blocked(bw, w3, wq, grid, p: int, dtype, blk: int = 8,
+                    cap: int = 0, chunk: int = 256, cap_scale: int = 1):
+    """Blocked charge spreading (see module comment above).  Returns
+    (Q [grid], overflow) -- identical assignment to _spread_sorted
+    (cell b - j gets weight M_p(frac + j)), different summation
+    order.  cap_scale: density concentration factor for auto cap
+    sizing (sharded callers pass n_devices: local sites fill ~1/ndev
+    of the volume at the global density)."""
+    n = bw.shape[0]
+    nb, nb_tot = _block_geometry(grid, p, blk)
+    if cap <= 0:
+        cap = _auto_cap(n * cap_scale, grid, blk)
+    table, overflow, _slot, _ok = _build_site_blocks(
+        bw, w3, None, wq, grid, p, blk, cap
+    )
+    src = _neighbor_rows(table, nb, cap)  # [nb_tot, 8cap, W]
+    dbl = _neighbor_dbl(cap, blk)
+    nb_pad = -(-nb_tot // chunk) * chunk
+    if nb_pad != nb_tot:
+        src = jnp.pad(src, ((0, nb_pad - nb_tot), (0, 0), (0, 0)))
+    src = src.reshape(-1, chunk, 8 * cap, src.shape[-1])
+
+    def chunk_fn(rows):
+        db = rows[:, :, 0:3]
+        wqs = rows[:, :, 3]
+        w3f = rows[:, :, 4:4 + 3 * p]
+        wx = _axis_weights(db[:, :, 0], dbl[0], w3f[:, :, 0:p], p, blk,
+                           dtype)
+        wy = _axis_weights(db[:, :, 1], dbl[1], w3f[:, :, p:2 * p], p,
+                           blk, dtype)
+        wz = _axis_weights(db[:, :, 2], dbl[2], w3f[:, :, 2 * p:3 * p],
+                           p, blk, dtype)
+        A = wqs[:, :, None] * wx                     # [C, S, bx]
+        B = A[:, :, :, None] * wy[:, :, None, :]     # [C, S, bx, by]
+        out = jnp.einsum(
+            "csxy,csz->cxyz", B, wz,
+            preferred_element_type=dtype,
+        )
+        return out  # [C, blk, blk, blk]
+
+    blocks = jax.lax.map(chunk_fn, src)  # [nchunks, C, blk, blk, blk]
+    blocks = blocks.reshape(nb_pad, blk, blk, blk)[:nb_tot]
+    full = (
+        blocks.reshape(nb[0], nb[1], nb[2], blk, blk, blk)
+        .transpose(0, 3, 1, 4, 2, 5)
+        .reshape(nb[0] * blk, nb[1] * blk, nb[2] * blk)
+    )
+    Gp = tuple(G + p - 1 for G in grid)
+    pad = full[: Gp[0], : Gp[1], : Gp[2]]
+    return _fold_padded(pad, grid, p), overflow
+
+
+def _gather_blocked(bw, w3, dw3, scale, wq, phi, grid, p: int, dtype,
+                    blk: int = 8, cap: int = 0, chunk: int = 256,
+                    cap_scale: int = 1):
+    """Blocked force interpolation: the exact transpose of
+    _spread_blocked (reads phi at cells b - j with weights built from
+    the same one-hot spline selects; no data-dependent gathers).
+    Returns site forces [NS, 3] (already multiplied by -wq)."""
+    n = bw.shape[0]
+    nb, nb_tot = _block_geometry(grid, p, blk)
+    if cap <= 0:
+        cap = _auto_cap(n * cap_scale, grid, blk)
+    dw3s = dw3 * jnp.asarray(scale, dtype)[None, :, None]
+    table, overflow, slot_of, ok_site = _build_site_blocks(
+        bw, w3, dw3s, wq, grid, p, blk, cap
+    )
+    # padded phi on the block-aligned alloc (tail zeros are never
+    # weighted: j falls outside [0, p) there)
+    padp = phi.reshape(grid)
+    for ax, G in enumerate(grid):
+        head = jax.lax.slice_in_dim(padp, G - (p - 1), G, axis=ax)
+        padp = jnp.concatenate([head, padp], axis=ax)
+    alloc = tuple(nbd * blk for nbd in nb)
+    padp = jnp.pad(
+        padp,
+        [(0, alloc[d] - padp.shape[d]) for d in range(3)],
+    )
+    # per site bucket B, its support spans cell blocks {B, B+1}:
+    # assemble the 2x2x2 block cube of phi per bucket via zero-padded
+    # STATIC slices (plain copies; high-edge out-of-range neighbors
+    # read zeros, which the one-hot weights never select anyway)
+    nbx, nby, nbz = nb
+    W = 2 * blk  # cube edge in cells
+    tp6 = jnp.pad(
+        padp.reshape(nbx, blk, nby, blk, nbz, blk)
+        .transpose(0, 2, 4, 1, 3, 5),
+        ((0, 1), (0, 1), (0, 1), (0, 0), (0, 0), (0, 0)),
+    )  # [nbx+1, nby+1, nbz+1, blk, blk, blk]
+    views = [
+        tp6[dx:dx + nbx, dy:dy + nby, dz:dz + nbz]
+        for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)
+    ]
+    cube_all = (
+        jnp.stack(views, axis=3)
+        .reshape(nbx, nby, nbz, 2, 2, 2, blk, blk, blk)
+        .transpose(0, 1, 2, 3, 6, 4, 7, 5, 8)
+        .reshape(nb_tot, W, W, W)
+    )
+    rows_all = table.reshape(nb_tot, cap, table.shape[1])
+    nb_pad = -(-nb_tot // chunk) * chunk
+    if nb_pad != nb_tot:
+        cube_all = jnp.pad(
+            cube_all, ((0, nb_pad - nb_tot), (0, 0), (0, 0), (0, 0))
+        )
+        rows_all = jnp.pad(
+            rows_all, ((0, nb_pad - nb_tot), (0, 0), (0, 0))
+        )
+    cube_all = cube_all.reshape(-1, chunk, W, W, W)
+    rows_all = rows_all.reshape(-1, chunk, cap, rows_all.shape[-1])
+
+    def chunk_fn(args):
+        cube, rows = args
+        db = rows[:, :, 0:3]
+        wqs = rows[:, :, 3]
+        w3f = rows[:, :, 4:4 + 3 * p]
+        dw3f = rows[:, :, 4 + 3 * p:4 + 6 * p]
+        zero_off = jnp.zeros((cap,), jnp.int32)
+
+        def axis_w(ax, cols):
+            return _axis_weights(
+                db[:, :, ax], zero_off, cols, p, W, dtype
+            )  # [C, cap, W] over the 2-block cube (origin = bucket B)
+
+        wx = axis_w(0, w3f[:, :, 0:p])
+        wy = axis_w(1, w3f[:, :, p:2 * p])
+        wz = axis_w(2, w3f[:, :, 2 * p:3 * p])
+        dwx = axis_w(0, dw3f[:, :, 0:p])
+        dwy = axis_w(1, dw3f[:, :, p:2 * p])
+        dwz = axis_w(2, dw3f[:, :, 2 * p:3 * p])
+        # separable contractions: z then y then x
+        tz = jnp.einsum("cxyz,csz->csxy", cube, wz,
+                        preferred_element_type=dtype)
+        tdz = jnp.einsum("cxyz,csz->csxy", cube, dwz,
+                         preferred_element_type=dtype)
+        ty_w = jnp.einsum("csxy,csy->csx", tz, wy,
+                          preferred_element_type=dtype)
+        ty_dy = jnp.einsum("csxy,csy->csx", tz, dwy,
+                           preferred_element_type=dtype)
+        ty_dz = jnp.einsum("csxy,csy->csx", tdz, wy,
+                           preferred_element_type=dtype)
+        fx = jnp.einsum("csx,csx->cs", ty_w, dwx)
+        fy = jnp.einsum("csx,csx->cs", ty_dy, wx)
+        fz = jnp.einsum("csx,csx->cs", ty_dz, wx)
+        F = jnp.stack([fx, fy, fz], -1) * (-wqs[..., None])
+        return F  # [C, cap, 3]
+
+    Fb = jax.lax.map(chunk_fn, (cube_all, rows_all)).reshape(
+        nb_pad * cap, 3
+    )[: nb_tot * cap]
+    # route back to site order via the bucket builder's slot map
+    F_s = Fb[slot_of] * ok_site[:, None].astype(dtype)
+    return F_s, overflow
+
+
 def _recip_kernel(box, grid, alpha, dtype):
     """G(k) * |b1 b2 b3|^2 on the FFT mesh (numpy, trace-time const)."""
     box = np.asarray(box, float)
@@ -402,14 +697,23 @@ class PMESolver:
     corrections (applied here, like EwaldSolver)."""
 
     def __init__(self, box, params: PMEParams, dtype=jnp.float64,
-                 gather_mode: str = "sorted"):
+                 gather_mode: str = "blocked",
+                 spread_mode: str = "blocked"):
         self.params = params
         self.box = tuple(float(b) for b in np.asarray(box))
-        # 'sorted': gather-free force interpolation (_gather_sorted,
-        # the transpose of the sorted spread); 'direct': plain [NS,p^3]
-        # mesh gather (kept for A/B measurement and as the oracle for
-        # the sorted path's regression test)
+        # 'blocked' (default): block-bucketed separable spread/gather
+        # -- no scatters, no data-dependent gathers in the hot loop
+        # (the sorted paths' per-offset O(ngp) segment sums cost 19 s /
+        # 12 s at N=1e6, G=256^3 on v5e -- PME_PHASES.json);
+        # 'sorted': segment-sum spread + its transpose gather;
+        # 'direct': plain [NS, p^3] mesh gather (A/B + oracle).
+        # Blocked-spread overflow (a block bucket over capacity)
+        # POISONS the energy with NaN so the driver watchdog aborts
+        # loudly instead of silently dropping charge.
+        if params.order > 8:
+            gather_mode = spread_mode = "sorted"
         self.gather_mode = gather_mode
+        self.spread_mode = spread_mode
         self.kern = jnp.asarray(
             _full_kernel(self.box, params.grid, params.alpha, params.order,
                          np.float64),
@@ -424,10 +728,23 @@ class PMESolver:
         dtype = rs.dtype
         giw = _grid_indices_weights(
             rs, wq, self.box, grid, p, dtype, with_derivs=True,
-            products=self.gather_mode != "sorted",
+            products=self.gather_mode == "direct",
         )
         ng = int(np.prod(grid))
-        Q = _spread_sorted(giw["bw"], giw["w3"], wq, grid, p, dtype)
+        ovf = None
+        # sharded callers concentrate their local sites in ~1/ndev of
+        # the volume; global_share carries ndev for bucket sizing
+        cap_scale = (
+            max(1, int(round(1.0 / global_share)))
+            if psum is not None else 1
+        )
+        if self.spread_mode == "blocked":
+            Q, ovf = _spread_blocked(
+                giw["bw"], giw["w3"], wq, grid, p, dtype,
+                cap_scale=cap_scale,
+            )
+        else:
+            Q = _spread_sorted(giw["bw"], giw["w3"], wq, grid, p, dtype)
         if psum is not None:
             Q = psum(Q)
         Qh = jnp.fft.fftn(Q)
@@ -437,8 +754,19 @@ class PMESolver:
         # 1/2 sum_k kern |Qh|^2 (jnp.fft.ifftn divides by ng).
         phi = jnp.real(jnp.fft.ifftn(conv)).astype(dtype) * ng
         u = 0.5 * jnp.sum(Q * phi) * jnp.asarray(global_share, dtype)
+        if ovf is not None:
+            # bucket overflow would silently drop charge: poison the
+            # energy so the NaN watchdog aborts with a visible failure
+            u = u + jnp.where(ovf, jnp.asarray(jnp.nan, dtype),
+                              jnp.asarray(0.0, dtype))
         # force: F_d = -q * sum_support dW_d * phi
         phi_flat = phi.reshape(-1)
+        if self.gather_mode == "blocked":
+            F, _ovf2 = _gather_blocked(
+                giw["bw"], giw["w3"], giw["dw3"], giw["scale"], wq,
+                phi_flat, grid, p, dtype, cap_scale=cap_scale,
+            )
+            return u, F
         if self.gather_mode == "sorted":
             return u, _gather_sorted(
                 giw["bw"], giw["w3"], giw["dw3"], giw["scale"], wq,

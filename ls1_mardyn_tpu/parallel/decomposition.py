@@ -214,9 +214,15 @@ class SlabSimulation:
         pp: PairParams,
         mesh: Optional[Mesh] = None,
         extra_force_fns: Tuple = (),
+        fmm=None,
     ):
         self.cfg = cfg
         self.pp = pp
+        # sharded solid-harmonics FMM (ops/fmm.FMMElectrostatics):
+        # owns ALL Coulomb work when set (the pair kernel then runs
+        # LJ-only); evaluated inside the shard_map via its psum'd
+        # global-leaf-table scheme
+        self._fmm = fmm
         # siteWiseForces plugin contributions (pure (mol, pp) ->
         # (u, F, M)), evaluated per device on local molecules; their
         # energies ride the uX psum
@@ -544,8 +550,18 @@ class SlabSimulation:
         recv_from_below = jax.lax.ppermute(buf_up, AXIS, perm_up)
         recv_from_above = jax.lax.ppermute(buf_dn, AXIS, perm_dn)
 
-        # drop the leavers locally
-        keep = mol.valid & ~(go_up | go_down)
+        # drop exactly the SENT leavers locally.  Leavers beyond
+        # migrate_cap were NOT packed into the payload -- they must
+        # stay valid here (binned into the nearest edge row, so their
+        # forces are near-correct for the one window until the
+        # overflow flag triggers the driver's lossless re-spec) rather
+        # than vanish: a whole lattice plane sitting exactly on a slab
+        # boundary can legitimately cross in one step, and dropping
+        # the overflow tail silently deleted molecules.
+        sent = jnp.zeros(mol.valid.shape, bool)
+        sent = sent.at[up_idx].max(up_ok)
+        sent = sent.at[dn_idx].max(dn_ok)
+        keep = mol.valid & ~sent
         # merge: concat local + received, validity-sort, truncate
         rr, rv, rq, rL, rcid, rmid, rvalid, rrc, rvc = _unpack_payload(
             jnp.concatenate([recv_from_below, recv_from_above], axis=0)
@@ -862,7 +878,14 @@ class SlabSimulation:
         # GammaWriter/pressure-profile plugins exact under --parallel
         # (src/io/GammaWriter.cpp reads _Vi per molecule)
         Vi = got[:, 6:9]
-        if self._pme is not None:
+        if self._fmm is not None:
+            u_f, F_f, M_f = self._fmm.sharded(
+                mol, self.pp, AXIS, cfg.n_devices
+            )
+            F = F + F_f
+            M = M + M_f
+            uX = uX + u_f
+        elif self._pme is not None:
             u_ew, F_ew, M_ew = self._pme(
                 mol,
                 self.pp,

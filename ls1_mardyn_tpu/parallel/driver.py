@@ -137,14 +137,12 @@ class ParallelMDSimulation:
         if n_devices is None:
             n_devices = jax.device_count()
         self.n_devices = n_devices
-        if getattr(config, "ewald_method", "auto") == "fmm":
-            # the solid-harmonics FMM solver is single-chip; the
-            # sharded path runs its k-space twin (sharded Ewald)
-            global_log.warning(
-                "FMM electrostatics is single-chip; --parallel runs "
-                "Ewald/SPME instead"
-            )
-            config = _dc.replace(config, ewald_method="auto")
+        # ewald_method == "fmm" is supported on the slab decomposition:
+        # the sharded FMM runs the reference's duplicated-global-levels
+        # scheme (one psum of leaf moments + replicated tree,
+        # UniformPseudoParticleContainer.h:95-135).  The 3-D mesh
+        # decomposition (chosen only when devices > z rows) still
+        # refuses it below.
 
         # reuse the single-chip scene construction (readers, tables,
         # thermostats, LRC) -- but not its engine, its plugins (we own
@@ -152,7 +150,7 @@ class ParallelMDSimulation:
         # row payoff is single-chip; un-swapping every gathered access
         # would tax all plugin traffic)
         cfg_base = _dc.replace(config, output_plugins=[], plugins=[])
-        base = MDSimulation(cfg_base, dtype=dtype, force_mode="cells",
+        base = MDSimulation(cfg_base, dtype=dtype, force_mode="scene",
                             cell_cap=cell_cap, allow_axis_swap=False,
                             phase_space_data=phase_space_data)
         self.config = config
@@ -365,12 +363,23 @@ class ParallelMDSimulation:
         ewald_alpha = 0.0
         pme_grid = ()
         pme_order = 4
+        self._fmm = None
         if base.ewald is not None:
-            ewald_alpha = float(base.ewald.params.alpha)
-            if hasattr(base.ewald.params, "grid"):
+            from ls1_mardyn_tpu.ops.fmm import FMMElectrostatics
+
+            if isinstance(base.ewald, FMMElectrostatics):
+                # FMM owns ALL Coulomb work; the sharded pair kernel
+                # runs LJ-only on the charge-stripped table
+                # (Simulation.cpp:781-797 parity) with no erfc
+                # screening
+                self._fmm = base.ewald
+                screen_alpha = 0.0
+            elif hasattr(base.ewald.params, "grid"):
+                ewald_alpha = float(base.ewald.params.alpha)
                 pme_grid = tuple(base.ewald.params.grid)
                 pme_order = int(base.ewald.params.order)
             else:
+                ewald_alpha = float(base.ewald.params.alpha)
                 ewald_kmax = int(base.ewald.params.kmax)
         common = dict(
             cap=cap,
@@ -387,7 +396,9 @@ class ParallelMDSimulation:
             interpret=interpret,
             upot_corr=float(getattr(base.lrc, "upot_corr", 0.0)),
             virial_corr=float(getattr(base.lrc, "virial_corr", 0.0)),
-            ms_meta=None if is_1clj else _MSMeta(self.table),
+            ms_meta=None if is_1clj else _MSMeta(
+                base._table_pair if self._fmm is not None else self.table
+            ),
             rc2_lj=float(self.table.lj_cutoff**2),
             screen_alpha=screen_alpha,
             ewald_kmax=ewald_kmax,
@@ -402,6 +413,14 @@ class ParallelMDSimulation:
                 Mesh3DConfig,
                 Mesh3DSimulation,
             )
+
+            if self._fmm is not None:
+                raise ValueError(
+                    "FMM electrostatics under --parallel requires the "
+                    "slab decomposition (z cell rows >= devices); this "
+                    "scene selects the 3-D mesh. Use Ewald/SPME "
+                    "(<method>auto</method>) or fewer devices."
+                )
 
             grid3 = _factor3(n_devices, dims)
             if grid3 is None:
@@ -493,7 +512,8 @@ class ParallelMDSimulation:
                 **common,
             )
             self.sim = SlabSimulation(
-                slab_cfg, self.pp, extra_force_fns=self._site_force_fns
+                slab_cfg, self.pp, extra_force_fns=self._site_force_fns,
+                fmm=self._fmm,
             )
             self.kind = "slab"
             self.global_spec = _dc.replace(
@@ -589,7 +609,12 @@ class ParallelMDSimulation:
             if self._mol_dirty
             else self.sim.gather_global(self.mol_sharded)
         )
-        self.sim = klass(cfg, self.pp, extra_force_fns=self._site_force_fns)
+        kw0 = {}
+        if klass is SlabSimulation:
+            kw0["fmm"] = getattr(self, "_fmm", None)
+        self.sim = klass(
+            cfg, self.pp, extra_force_fns=self._site_force_fns, **kw0
+        )
         kw = {}
         if self.kind == "slab" and getattr(self, "z_edges", None) is not None:
             kw["z_edges"] = self.z_edges

@@ -401,7 +401,15 @@ class Mesh3DSimulation:
             perm_dn = [(i, (i - 1) % Pn) for i in range(Pn)]
             rx_below = jax.lax.ppermute(buf_up, axname, perm_up)
             rx_above = jax.lax.ppermute(buf_dn, axname, perm_dn)
-            keep = mol.valid & ~(go_up | go_down)
+            # drop only SENT leavers: the overflow tail beyond
+            # migrate_cap stays valid locally until the driver's
+            # lossless re-spec (same fix as the slab _migrate -- a
+            # boundary-aligned plane crossing in one step must not
+            # silently delete molecules)
+            sent = jnp.zeros(mol.valid.shape, bool)
+            sent = sent.at[up_idx].max(up_ok)
+            sent = sent.at[dn_idx].max(dn_ok)
+            keep = mol.valid & ~sent
             rr, rv, rq, rL, rcid, rmid, rvalid, _rc, _vc = _unpack_payload(
                 jnp.concatenate([rx_below, rx_above], axis=0)
             )

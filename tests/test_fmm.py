@@ -241,3 +241,30 @@ def test_fmm_valid_mask_and_overflow():
     )
     with pytest.raises(RuntimeError, match="capacity"):
         s2.compute(r_cram, q)
+
+
+def test_f32_periodic_lattice_scaling():
+    """float32 periodic FMM: the lattice-recursion operators must stay
+    finite (raw A_k entries grow like (3^k box)^n and overflow f32 by
+    scale ~8 -- the scaled-units construction keeps them O(3^-n)) and
+    the NaCl Madelung constant must come out at interpolation accuracy.
+    Regression for the NaN forces first seen on the TPU A/B run."""
+    n_side = 4
+    idx = np.arange(n_side)
+    g = np.stack(np.meshgrid(idx, idx, idx, indexing="ij"), -1).reshape(-1, 3)
+    r = (g + 0.5).astype(float)
+    q = np.where(g.sum(1) % 2 == 0, 1.0, -1.0).astype(float)
+    solver = FMMSolver(box=float(n_side), depth=2, order=8, cap=16,
+                       dtype=jnp.float32, periodic=True)
+    for A in solver._lat_m2m:
+        assert np.isfinite(A).all()
+    for T in solver._lat_m2l:
+        assert np.isfinite(T).all()
+    U, F, _phi, ovf = solver._jit_compute(
+        jnp.asarray(r), jnp.asarray(q), jnp.ones(len(r), bool),
+        jnp.arange(len(r), dtype=jnp.int32),
+    )
+    assert not bool(ovf)
+    assert np.isfinite(np.asarray(F)).all()
+    mad = -float(U) * 2 / len(r)
+    assert abs(mad - 1.7475646) < 2e-4, mad

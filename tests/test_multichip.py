@@ -313,3 +313,34 @@ def test_single_device_slab_is_closed():
         mol_sh, FM, gv, overflow = sim._step_sharded(mol_sh, FM)
     assert not bool(overflow)
     assert int(float(gv.n)) == n
+
+
+def test_migrate_overflow_is_lossless():
+    """When more molecules cross a slab boundary in one step than
+    migrate_cap can carry (a lattice plane sitting exactly on the
+    boundary can do this), the overflow TAIL must stay valid locally
+    -- the step flags overflow for the driver's re-spec, but NO
+    molecule may vanish (regression: the tail used to be silently
+    deleted along with the sent leavers)."""
+    mol, pp, table, box, rc, n, T = _scene()
+    sim = _slab_sim(mol, pp, table, box, rc, n, T, (4, 4, 8),
+                    thermostat=False)
+    # shrink migrate_cap so a mass crossing overflows
+    cfg2 = dataclasses.replace(sim.cfg, migrate_cap=2)
+    sim2 = SlabSimulation(cfg2, pp, mesh=sim.mesh)
+    mol_sh = sim2.distribute(mol)
+    v = np.array(mol_sh.v)
+    v[:, 2] = 20.0  # dz = 0.04/step: every boundary-layer molecule crosses
+    mol_sh = dataclasses.replace(
+        mol_sh, v=jax.device_put(jnp.asarray(v), mol_sh.v.sharding)
+    )
+    FM, _, _, _, _ = sim2._force_sharded(mol_sh)
+    ids_before = set(
+        np.asarray(mol_sh.mid)[np.asarray(mol_sh.valid)].tolist()
+    )
+    mol_sh, FM, gv, overflow = sim2._step_sharded(mol_sh, FM)
+    assert bool(overflow)  # the cap is tiny; the flag must fire
+    valid = np.asarray(mol_sh.valid)
+    ids_after = np.asarray(mol_sh.mid)[valid]
+    assert len(ids_after) == len(ids_before)
+    assert set(ids_after.tolist()) == ids_before

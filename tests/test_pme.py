@@ -114,3 +114,69 @@ def test_pme_sorted_gather_matches_direct():
         assert float(abs(ua - ub)) < 1e-10
         err = float(jnp.max(jnp.abs(Fa - Fb)) / jnp.max(jnp.abs(Fa)))
         assert err < 1e-12, (n, grid, p, err)
+
+
+def test_blocked_spread_gather_match_sorted():
+    """The blocked (no-scatter, no-data-dependent-gather) spread and
+    force interpolation must reproduce the sorted paths to summation-
+    order precision -- they are the production default on TPU, where
+    the sorted paths' per-offset O(ngp) segment sums cost 19 s / 12 s
+    at N=1e6, G=256^3 (PME_PHASES.json)."""
+    import numpy as np
+
+    from ls1_mardyn_tpu.ops.pme import (
+        _gather_blocked,
+        _gather_sorted,
+        _grid_indices_weights,
+        _spread_blocked,
+        _spread_sorted,
+    )
+
+    rng = np.random.default_rng(0)
+    N, box, grid, p = 3000, (11.0, 9.5, 10.2), (32, 16, 32), 4
+    rs = jnp.asarray(rng.uniform(0, 1, (N, 3)) * np.asarray(box))
+    wq = jnp.asarray(rng.normal(size=N))
+    giw = _grid_indices_weights(
+        rs, wq, box, grid, p, jnp.float64, with_derivs=True,
+        products=False,
+    )
+    Q0 = _spread_sorted(giw["bw"], giw["w3"], wq, grid, p, jnp.float64)
+    Q1, ovf = _spread_blocked(
+        giw["bw"], giw["w3"], wq, grid, p, jnp.float64
+    )
+    assert not bool(ovf)
+    np.testing.assert_allclose(np.asarray(Q1), np.asarray(Q0),
+                               atol=1e-13)
+    phi = jnp.asarray(rng.normal(size=int(np.prod(grid))))
+    F0 = _gather_sorted(
+        giw["bw"], giw["w3"], giw["dw3"], giw["scale"], wq, phi, grid,
+        p, jnp.float64,
+    )
+    F1, ovf2 = _gather_blocked(
+        giw["bw"], giw["w3"], giw["dw3"], giw["scale"], wq, phi, grid,
+        p, jnp.float64,
+    )
+    assert not bool(ovf2)
+    np.testing.assert_allclose(np.asarray(F1), np.asarray(F0),
+                               atol=1e-12)
+
+
+def test_blocked_spread_overflow_flags():
+    """All sites in one block must overflow the bucket capacity and
+    raise the flag (the solver then poisons the energy with NaN so the
+    watchdog aborts instead of silently dropping charge)."""
+    import numpy as np
+
+    from ls1_mardyn_tpu.ops.pme import (
+        _grid_indices_weights,
+        _spread_blocked,
+    )
+
+    N, box, grid, p = 4096, (16.0, 16.0, 16.0), (16, 16, 16), 4
+    rs = jnp.ones((N, 3), jnp.float64) * 0.5  # one cell
+    wq = jnp.ones((N,), jnp.float64)
+    giw = _grid_indices_weights(rs, wq, box, grid, p, jnp.float64,
+                                with_derivs=False, products=False)
+    _Q, ovf = _spread_blocked(giw["bw"], giw["w3"], wq, grid, p,
+                              jnp.float64)
+    assert bool(ovf)

@@ -73,8 +73,11 @@ def main():
     p = params.order
     grid = params.grid
     ng = int(np.prod(grid))
-    solver_d = PMESolver(box, params, dtype=dtype, gather_mode="direct")
-    solver_s = PMESolver(box, params, dtype=dtype, gather_mode="sorted")
+    solver_d = PMESolver(box, params, dtype=dtype, gather_mode="direct",
+                         spread_mode="sorted")
+    solver_s = PMESolver(box, params, dtype=dtype, gather_mode="sorted",
+                         spread_mode="sorted")
+    solver_b = PMESolver(box, params, dtype=dtype)  # blocked (default)
 
     @jax.jit
     def phase_spread(rs, wq):
@@ -112,6 +115,33 @@ def main():
         return jnp.sum(F)
 
     @jax.jit
+    def phase_spread_blocked(rs, wq):
+        from ls1_mardyn_tpu.ops.pme import _spread_blocked
+
+        giw = _grid_indices_weights(rs, wq, box, grid, p, dtype,
+                                    products=False)
+        Q, _ovf = _spread_blocked(giw["bw"], giw["w3"], wq, grid, p,
+                                  dtype)
+        return jnp.sum(Q)
+
+    @jax.jit
+    def phase_gather_blocked(rs, wq, phi_flat):
+        from ls1_mardyn_tpu.ops.pme import _gather_blocked
+
+        giw = _grid_indices_weights(
+            rs, wq, box, grid, p, dtype, with_derivs=True, products=False
+        )
+        F, _ovf = _gather_blocked(giw["bw"], giw["w3"], giw["dw3"],
+                                  giw["scale"], wq, phi_flat, grid, p,
+                                  dtype)
+        return jnp.sum(F)
+
+    @jax.jit
+    def full_blocked(rs, wq):
+        u, F = solver_b.mesh_energy_forces(rs, wq)
+        return u + jnp.sum(F)
+
+    @jax.jit
     def full_direct(rs, wq):
         u, F = solver_d.mesh_energy_forces(rs, wq)
         return u + jnp.sum(F)
@@ -133,8 +163,11 @@ def main():
         "fft_s": _timeit(phase_fft, Q0),
         "gather_direct_s": _timeit(phase_gather_direct, rs, wq, phi0),
         "gather_sorted_s": _timeit(phase_gather_sorted, rs, wq, phi0),
+        "spread_blocked_s": _timeit(phase_spread_blocked, rs, wq),
+        "gather_blocked_s": _timeit(phase_gather_blocked, rs, wq, phi0),
         "full_direct_s": _timeit(full_direct, rs, wq),
         "full_sorted_s": _timeit(full_sorted, rs, wq),
+        "full_blocked_s": _timeit(full_blocked, rs, wq),
     }
     print(json.dumps(out))
 
