@@ -640,9 +640,25 @@ class FMMSolver:
             )
             return jnp.sum(phi_c, 1), jnp.sum(f, 1)
 
-        phi_n_c, F_n_c = jax.vmap(cell_near)(
-            rc_, qc, w, rj, qj, gid_own, gid_nb
+        # chunk the per-cell near field: a plain vmap materializes
+        # [cells, cap, 27cap, 3] pair tensors -- at depth 5 / cap ~128
+        # that is >100 GB and kills the TPU worker.  lax.map over cell
+        # chunks bounds the live pair tensor to ~[chunk, cap, 27cap].
+        ncell_t = rc_.shape[0]
+        chunk = max(
+            1, min(ncell_t, int(2**24 // max(self.cap * self.cap * 27, 1)))
         )
+        while ncell_t % chunk:
+            chunk -= 1
+        phi_n_c, F_n_c = jax.lax.map(
+            lambda a: jax.vmap(cell_near)(*a),
+            tuple(
+                a.reshape((ncell_t // chunk, chunk) + a.shape[1:])
+                for a in (rc_, qc, w, rj, qj, gid_own, gid_nb)
+            ),
+        )
+        phi_n_c = phi_n_c.reshape(ncell_t, self.cap)
+        F_n_c = F_n_c.reshape(ncell_t, self.cap, 3)
         # scatter back per particle
         phi_near = jnp.zeros_like(phi)
         F_near = jnp.zeros_like(F_far)
@@ -691,7 +707,8 @@ class FMMSolver:
         ids = (nb[..., 0] * nl + nb[..., 1]) * nl + nb[..., 2]
         return jnp.asarray(np.where(ok, ids, -1).astype(np.int32))
 
-    def compute_sharded(self, r, q, valid, gid, axis_name, n_dev: int):
+    def compute_sharded(self, r, q, valid, gid, axis_name, n_dev: int,
+                        rank=None):
         """Multi-chip FMM evaluation -- call INSIDE a shard_map over
         `axis_name` with this device's local (padded) site arrays in
         GLOBAL coordinates.
@@ -743,8 +760,12 @@ class FMMSolver:
             .at[jnp.minimum(cell, ncell - 1)]
             .add((cell < ncell).astype(jnp.int32))
         )
-        ax = jax.lax.axis_index(axis_name)
+        # rank: this device's flat index matching all_gather's axis
+        # flattening (callers on multi-axis meshes pass it explicitly;
+        # single-axis callers can omit it)
+        ax = jax.lax.axis_index(axis_name) if rank is None else rank
         counts_all = jax.lax.all_gather(counts, axis_name)  # [ndev, ncell]
+        counts_all = counts_all.reshape(n_dev, -1)
         below = (jnp.arange(n_dev) < ax).astype(jnp.int32)
         off = jnp.sum(counts_all * below[:, None], axis=0)  # [ncell]
         overflow = jnp.any(jnp.sum(counts_all, axis=0) > cap)
@@ -847,9 +868,21 @@ class FMMSolver:
             )
             return jnp.sum(phi_c, 1), jnp.sum(f, 1)
 
-        phi_nc, F_nc = jax.vmap(cell_near_v)(
-            ri_s, qi_s, wi_s, rj, qj, gi_s, gj
+        # chunked like the single-chip near field: bound the live
+        # [chunk, cap, 27cap] pair tensors (a plain vmap at depth >= 5
+        # materializes 10s of GB and kills the worker)
+        chnk = max(1, min(csl, int(2**24 // max(cap * cap * 27, 1))))
+        while csl % chnk:
+            chnk -= 1
+        phi_nc, F_nc = jax.lax.map(
+            lambda a: jax.vmap(cell_near_v)(*a),
+            tuple(
+                x.reshape((csl // chnk, chnk) + x.shape[1:])
+                for x in (ri_s, qi_s, wi_s, rj, qj, gi_s, gj)
+            ),
         )
+        phi_nc = phi_nc.reshape(csl, cap)
+        F_nc = F_nc.reshape(csl, cap, 3)
         if not sliced:
             keep = (ax == 0).astype(dt)
             phi_nc = phi_nc * keep
@@ -987,7 +1020,7 @@ class FMMElectrostatics:
         u, F, M, _overflow = self._call(mol, pp)
         return u, F, M
 
-    def sharded(self, mol, pp, axis_name, n_dev: int):
+    def sharded(self, mol, pp, axis_name, n_dev: int, rank=None):
         """Extra-force hook for the sharded drivers: call inside the
         shard_map with this device's LOCAL molecules.  The exclusion
         group is the GLOBAL molecule id (mol.mid) -- local indices
@@ -1005,7 +1038,7 @@ class FMMElectrostatics:
         mids = jnp.repeat(mol.mid.astype(jnp.int32), sites.shape[1])
         valid_s = qs != 0.0
         U, F_s, _phi, _overflow = self.solver.compute_sharded(
-            rs, qs, valid_s, mids, axis_name, n_dev
+            rs, qs, valid_s, mids, axis_name, n_dev, rank=rank
         )
         f = F_s.reshape(n, -1, 3)
         F = jnp.sum(f, axis=1)

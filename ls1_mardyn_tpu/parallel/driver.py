@@ -137,12 +137,12 @@ class ParallelMDSimulation:
         if n_devices is None:
             n_devices = jax.device_count()
         self.n_devices = n_devices
-        # ewald_method == "fmm" is supported on the slab decomposition:
+        # ewald_method == "fmm" is supported on BOTH decompositions:
         # the sharded FMM runs the reference's duplicated-global-levels
         # scheme (one psum of leaf moments + replicated tree,
-        # UniformPseudoParticleContainer.h:95-135).  The 3-D mesh
-        # decomposition (chosen only when devices > z rows) still
-        # refuses it below.
+        # UniformPseudoParticleContainer.h:95-135); the 3-D mesh passes
+        # its flat device rank so the collision-free leaf-table slots
+        # and the near-field cell slices stay consistent.
 
         # reuse the single-chip scene construction (readers, tables,
         # thermostats, LRC) -- but not its engine, its plugins (we own
@@ -414,13 +414,6 @@ class ParallelMDSimulation:
                 Mesh3DSimulation,
             )
 
-            if self._fmm is not None:
-                raise ValueError(
-                    "FMM electrostatics under --parallel requires the "
-                    "slab decomposition (z cell rows >= devices); this "
-                    "scene selects the 3-D mesh. Use Ewald/SPME "
-                    "(<method>auto</method>) or fewer devices."
-                )
 
             grid3 = _factor3(n_devices, dims)
             if grid3 is None:
@@ -456,7 +449,8 @@ class ParallelMDSimulation:
                    "n_local_cap": 2 * max(n, 1) // n_devices + 256},
             )
             self.sim = Mesh3DSimulation(
-                mcfg, self.pp, extra_force_fns=self._site_force_fns
+                mcfg, self.pp, extra_force_fns=self._site_force_fns,
+                fmm=self._fmm,
             )
             self.kind = "mesh3d"
             self.global_spec = _dc.replace(
@@ -609,9 +603,7 @@ class ParallelMDSimulation:
             if self._mol_dirty
             else self.sim.gather_global(self.mol_sharded)
         )
-        kw0 = {}
-        if klass is SlabSimulation:
-            kw0["fmm"] = getattr(self, "_fmm", None)
+        kw0 = {"fmm": getattr(self, "_fmm", None)}
         self.sim = klass(
             cfg, self.pp, extra_force_fns=self._site_force_fns, **kw0
         )

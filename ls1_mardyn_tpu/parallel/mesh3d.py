@@ -125,12 +125,16 @@ class Mesh3DSimulation:
         pp: PairParams,
         mesh: Optional[Mesh] = None,
         extra_force_fns: Tuple = (),
+        fmm=None,
     ):
         self.cfg = cfg
         self.pp = pp
         # siteWiseForces plugin contributions, per device on local
         # molecules (see SlabSimulation)
         self.extra_force_fns = tuple(extra_force_fns)
+        # sharded solid-harmonics FMM (owns ALL Coulomb when set; the
+        # pair kernel then runs LJ-only on the charge-stripped table)
+        self._fmm = fmm
         if mesh is None:
             devs = np.array(jax.devices()[: cfg.n_devices]).reshape(cfg.grid)
             mesh = Mesh(devs, AX)
@@ -633,7 +637,17 @@ class Mesh3DSimulation:
         F, M = got[:, 0:3], got[:, 3:6]
         # per-molecule per-axis virial (see SlabSimulation._device_forces)
         Vi = got[:, 6:9]
-        if self._pme is not None:
+        if self._fmm is not None:
+            ix, iy, iz = (jax.lax.axis_index(a) for a in AX)
+            gx, gy, gz = cfg.grid
+            rank = (ix * gy + iy) * gz + iz
+            u_f, F_f, M_f = self._fmm.sharded(
+                mol, self.pp, AX, cfg.n_devices, rank=rank
+            )
+            F = F + F_f
+            M = M + M_f
+            uX = uX + u_f
+        elif self._pme is not None:
             u_ew, F_ew, M_ew = self._pme(
                 mol,
                 self.pp,

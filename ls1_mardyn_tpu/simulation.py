@@ -150,6 +150,17 @@ class SingleChipSimulation:
                 virial=macro.virial,
                 my_rf=macro.my_rf,
             )
+        # fold the long-range correction exactly like _step does, so
+        # prepare_start's macro matches the in-loop values
+        # (Simulation.cpp folds _UpotCorr in prepare_start too,
+        # Domain.cpp:179-182)
+        cfg = self.config
+        macro = Macroscopic(
+            upot6lj=macro.upot6lj,
+            upot_xpoles=macro.upot_xpoles + cfg.upot_corr,
+            virial=macro.virial + cfg.virial_corr,
+            my_rf=macro.my_rf,
+        )
         return mol, forces, macro, overflow
 
     def _step(

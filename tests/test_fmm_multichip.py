@@ -162,3 +162,36 @@ def test_parallel_driver_fmm_matches_single_chip(tmp_path, monkeypatch):
     np.testing.assert_allclose(
         float(par_gv.temperature), float(seq_gv.temperature), rtol=1e-9
     )
+
+
+def test_mesh3d_driver_fmm_matches_single_chip(tmp_path, monkeypatch):
+    """ewald_method='fmm' on the 3-D mesh decomposition (devices > z
+    rows forces mesh3d): SEQ-vs-PAR parity like the slab case, with
+    the flat mesh rank feeding the sharded FMM's leaf-table offsets."""
+    import os
+
+    from ls1_mardyn_tpu.driver import MDSimulation
+    from ls1_mardyn_tpu.ops.fmm import FMMElectrostatics
+    from ls1_mardyn_tpu.parallel.driver import ParallelMDSimulation
+    from tests.test_ewald_driver import _molten_salt_config
+
+    _mesh()
+    os.chdir(tmp_path)
+    # box = 16 * 1.1 = 17.6, rc 2.5 -> 7 z rows < 8 devices -> mesh3d
+    cfg, data = _molten_salt_config(n_side=16, d=1.1)
+    cfg.ewald_method = "fmm"
+    cfg.fmm_order = 6
+    monkeypatch.setattr(
+        MDSimulation, "_load_phasespace", lambda self, c: data
+    )
+    seq = MDSimulation(cfg, dtype=jnp.float64)
+    assert isinstance(seq.ewald, FMMElectrostatics)
+    seq_gv = seq.run(steps=3, print_every=0)
+
+    par = ParallelMDSimulation(cfg, n_devices=NDEV, dtype=jnp.float64)
+    assert par.kind == "mesh3d"
+    assert par._fmm is not None
+    par_gv = par.run(steps=3, print_every=0)
+    np.testing.assert_allclose(
+        float(par_gv.upot), float(seq_gv.upot), rtol=1e-9
+    )
