@@ -721,6 +721,27 @@ class MDSimulation:
                 "rebin_every %d", dims_r, cap_r, rebin_every,
             )
         if self.engine is None:
+            # compile-size guard: a Pallas multi-site kernel plus a big
+            # SPME/Ewald k-space program in ONE fused step exceeds the
+            # remote compile helper at production sizes (measured: the
+            # N=1e6 h2o step fails to compile fused; the same program
+            # split compiles and chains async, costing no extra sync)
+            split = False
+            if extra is not None and force_fn is not None:
+                from ls1_mardyn_tpu.ops.pallas_ms_path import (
+                    PallasMultiSitePath as _MSP,
+                )
+
+                if isinstance(force_fn, _MSP) and not force_fn.interpret:
+                    ncells_k = force_fn.spec.n_cells * force_fn.spec.cap
+                    split = ncells_k >= 2**20
+            if split:
+                sim_cfg = _dc.replace(sim_cfg, split_kspace=True)
+                global_log.info(
+                    "step compiled SPLIT (pair / k-space / integrator "
+                    "tail): fused program would exceed the compile "
+                    "helper at this scale"
+                )
             self.engine = SingleChipSimulation(
                 self.mol, self.pp, self.box, sim_cfg, force_fn=force_fn,
                 extra_force_fn=extra,

@@ -72,6 +72,12 @@ class SimConfig:
     # non-uniform z rows (ALL tensor-mesh analogue; ops/cells.py):
     # tuple of nz+1 edges, or None for a uniform grid
     z_edges: Optional[Tuple[float, ...]] = None
+    # compile the pair step, the k-space extra force, and the
+    # integrator tail as three chained programs instead of one fused
+    # step: a Pallas multi-site kernel + a large SPME mesh in one XLA
+    # program exceeds the remote compile helper at production sizes
+    # (dispatches chain asynchronously, so the split costs no sync)
+    split_kspace: bool = False
 
 
 class SingleChipSimulation:
@@ -122,6 +128,21 @@ class SingleChipSimulation:
         # step time); state is small relative to HBM anyway.
         self._step_jit = jax.jit(self._step)
         self._init_jit = jax.jit(self._init_forces)
+        # split mode: the pair step, the k-space extra force, and the
+        # integrator tail compile as three chained (async-dispatched)
+        # programs; selected by the driver when one fused program would
+        # exceed the compile helper (Pallas kernel + big SPME mesh)
+        self._split = bool(getattr(config, "split_kspace", False)) and (
+            extra_force_fn is not None
+        )
+        if self._split:
+            self._step_pre_jit = jax.jit(self._step_pre)
+            self._extra_jit = jax.jit(
+                lambda m: self._extra_force_fn(m, self.pp)
+            )
+            self._step_post_jit = jax.jit(self._step_post)
+            self._init_pre_jit = jax.jit(self._init_pre)
+            self._init_post_jit = jax.jit(self._init_post)
 
     # -- jitted bodies ----------------------------------------------------
     def _cell_forces(self, mol: MoleculeState):
@@ -138,11 +159,22 @@ class SingleChipSimulation:
         )
         return forces, macro, bins.overflow
 
-    def _init_forces(self, mol: MoleculeState):
+    def _init_pre(self, mol: MoleculeState):
         mol = dataclasses.replace(mol, r=wrap_positions(mol.r, self.box))
         forces, macro, overflow = self._force_fn(mol)
-        if self._extra_force_fn is not None:
-            u_x, F_x, M_x = self._extra_force_fn(mol, self.pp)
+        return mol, forces, macro, overflow
+
+    def _init_forces(self, mol: MoleculeState):
+        mol, forces, macro, overflow = self._init_pre(mol)
+        extra = (
+            self._extra_force_fn(mol, self.pp)
+            if self._extra_force_fn is not None else None
+        )
+        return self._init_post(mol, forces, macro, extra, overflow)
+
+    def _init_post(self, mol, forces, macro, extra, overflow):
+        if extra is not None:
+            u_x, F_x, M_x = extra
             forces = Forces(F=forces.F + F_x, M=forces.M + M_x, Vi=forces.Vi)
             macro = Macroscopic(
                 upot6lj=macro.upot6lj,
@@ -163,9 +195,12 @@ class SingleChipSimulation:
         )
         return mol, forces, macro, overflow
 
-    def _step(
-        self, mol: MoleculeState, forces: Forces, step: jnp.ndarray
-    ) -> Tuple[MoleculeState, Forces, Macroscopic, GlobalValues, jnp.ndarray]:
+    def _step_pre(self, mol: MoleculeState, forces: Forces):
+        """Half-kick + drift + wrap + pair-force traversal (the part
+        of the step before the long-range extra force).  Factored out
+        so split mode can compile it separately -- a Pallas multi-site
+        kernel plus a large SPME mesh in ONE XLA program exceeds the
+        remote compile helper's limits at production sizes."""
         cfg = self.config
         # 1. first half-kick + drift (Leapfrog transition 3->1->2)
         mol = upd_pre_force(mol, forces, self.pp, cfg.dt)
@@ -173,11 +208,25 @@ class SingleChipSimulation:
         mol = dataclasses.replace(mol, r=wrap_positions(mol.r, self.box))
         # 3+4. container update + force traversal
         forces, macro, overflow = self._force_fn(mol)
-        if self._extra_force_fn is not None:
+        return mol, forces, macro, overflow
+
+    def _step(
+        self, mol: MoleculeState, forces: Forces, step: jnp.ndarray
+    ) -> Tuple[MoleculeState, Forces, Macroscopic, GlobalValues, jnp.ndarray]:
+        mol, forces, macro, overflow = self._step_pre(mol, forces)
+        extra = (
+            self._extra_force_fn(mol, self.pp)
+            if self._extra_force_fn is not None else None
+        )
+        return self._step_post(mol, forces, macro, extra, step, overflow)
+
+    def _step_post(self, mol, forces, macro, extra, step, overflow):
+        cfg = self.config
+        if extra is not None:
             # long-range electrostatics (reciprocal space); the role of
             # FastMultipoleMethod::computeElectrostatics
             # (Simulation.cpp:1070-1073)
-            u_x, F_x, M_x = self._extra_force_fn(mol, self.pp)
+            u_x, F_x, M_x = extra
             forces = Forces(F=forces.F + F_x, M=forces.M + M_x, Vi=forces.Vi)
             macro = Macroscopic(
                 upot6lj=macro.upot6lj,
@@ -293,7 +342,15 @@ class SingleChipSimulation:
     def prepare_start(self):
         """Initial force evaluation (Simulation::prepare_start,
         Simulation.cpp:764-918)."""
-        self.mol, self.forces, self.macro, _overflow = self._init_jit(self.mol)
+        if self._split:
+            mol2, fpair, macro_p, ovf = self._init_pre_jit(self.mol)
+            extra = self._extra_jit(mol2)
+            self.mol, self.forces, self.macro, _overflow = \
+                self._init_post_jit(mol2, fpair, macro_p, extra, ovf)
+        else:
+            self.mol, self.forces, self.macro, _overflow = self._init_jit(
+                self.mol
+            )
 
     @property
     def started(self) -> bool:
@@ -309,9 +366,19 @@ class SingleChipSimulation:
         RMMEngine implements the same signature (need_macro gates its
         Upot/virial kernel passes; ignored here)."""
         self._step_count += 1
-        self.mol, self.forces, self.macro, gv, overflow = self._step_jit(
-            self.mol, self.forces, jnp.asarray(self._step_count, jnp.int32)
-        )
+        step_arr = jnp.asarray(self._step_count, jnp.int32)
+        if self._split:
+            mol2, fpair, macro_p, ovf = self._step_pre_jit(
+                self.mol, self.forces
+            )
+            extra = self._extra_jit(mol2)
+            (self.mol, self.forces, self.macro, gv,
+             overflow) = self._step_post_jit(
+                mol2, fpair, macro_p, extra, step_arr, ovf
+            )
+        else:
+            self.mol, self.forces, self.macro, gv, overflow = \
+                self._step_jit(self.mol, self.forces, step_arr)
         return gv, overflow
 
     def run(self, steps: int, callback=None, check_overflow_every: int = 0):

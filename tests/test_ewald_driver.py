@@ -126,3 +126,36 @@ def test_driver_fmm_matches_ewald(tmp_path, monkeypatch):
         assert np.isfinite(float(gv.upot))
     scale = abs(u0["direct"])
     assert abs(u0["fmm"] - u0["direct"]) / scale < 2e-3, u0
+
+
+def test_split_kspace_matches_fused(tmp_path, monkeypatch):
+    """split_kspace compiles the pair step, the k-space extra force,
+    and the integrator tail as three chained programs (compile-size
+    guard for Pallas kernel + big SPME mesh); the trajectory must be
+    IDENTICAL to the fused step."""
+    import dataclasses
+
+    from ls1_mardyn_tpu.simulation import SingleChipSimulation
+
+    os.chdir(tmp_path)
+    cfg, data = _molten_salt_config(n_side=8, d=1.05)
+    monkeypatch.setattr(
+        MDSimulation, "_load_phasespace", lambda self, c: data
+    )
+    sim = MDSimulation(cfg, dtype=jnp.float64)
+    g1 = sim.run(steps=3, print_every=0)
+    eng = sim.engine
+    cfg2 = dataclasses.replace(eng.config, split_kspace=True)
+    eng2 = SingleChipSimulation(
+        sim.mol, sim.pp, sim.box, cfg2,
+        force_fn=(eng._force_fn
+                  if eng._force_fn != eng._cell_forces else None),
+        extra_force_fn=eng._extra_force_fn,
+    )
+    assert eng2._split
+    eng2.prepare_start()
+    gv = eng2.run(3)
+    np.testing.assert_allclose(float(gv.upot), float(g1.upot), rtol=0)
+    np.testing.assert_allclose(
+        float(gv.temperature), float(g1.temperature), rtol=0
+    )
