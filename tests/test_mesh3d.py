@@ -162,3 +162,35 @@ def test_mesh3d_pme_matches_single_chip():
         )
     uX_ref = float(m_pair.upot_xpoles) + float(u_ew)
     np.testing.assert_allclose(float(uX), uX_ref, rtol=1e-10)
+
+
+def test_mesh3d_migrate_overflow_is_lossless():
+    """Mesh3d twin of the slab regression: when more molecules cross a
+    device boundary in one step than migrate_cap can carry, the unsent
+    tail must stay valid locally (overflow flagged, nothing deleted)."""
+    import dataclasses
+
+    mol, pp, table, box, rc, n, T = _scene()
+    sim = _mesh_sim(mol, pp, table, box, rc, n, T, (4, 4, 4))
+    cfg2 = dataclasses.replace(sim.cfg, migrate_cap=2, thermostat=False)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(GRID), AX)
+    sim2 = Mesh3DSimulation(cfg2, pp, mesh=mesh)
+    mol_sh = sim2.distribute(mol)
+    v = np.array(mol_sh.v)
+    v[:, :] = 200.0  # dz=0.4/step: ~5 crossers per face > cap 2
+    mol_sh = dataclasses.replace(
+        mol_sh, v=jax.device_put(jnp.asarray(v), mol_sh.v.sharding)
+    )
+    FM = sim2._force_sharded(mol_sh)[0]
+    ids_before = set(
+        np.asarray(mol_sh.mid)[np.asarray(mol_sh.valid)].tolist()
+    )
+    out = sim2._step_sharded(
+        mol_sh, FM, jnp.asarray(1, jnp.int32), sim2._bounds_default
+    )
+    mol_sh, overflow = out[0], out[4]
+    assert bool(np.any(np.asarray(overflow)))
+    valid = np.asarray(mol_sh.valid)
+    ids_after = np.asarray(mol_sh.mid)[valid]
+    assert len(ids_after) == len(ids_before)
+    assert set(ids_after.tolist()) == ids_before
