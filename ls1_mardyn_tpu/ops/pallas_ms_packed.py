@@ -1,0 +1,599 @@
+"""Occupancy-packed Pallas TPU kernel for rigid multi-site molecules.
+
+The dense row kernel (ops/pallas_multisite.py) spends cap^2 pair lanes
+per cell pair regardless of occupancy: at the CO2 production geometry
+(cap 128, mean cell occupancy ~70) that wastes (128/70)^2 ~ 3.3x of the
+VPU issue slots on empty-slot lanes, and at ~750 f32 slots per
+pair-lane the multi-site kernel is squarely VPU-issue-bound
+(BENCH_MS_CO2.json roofline).  This kernel removes the cap quantization
+from the lane geometry entirely:
+
+  - every (z, y) x-row of cells is COMPACTED: its valid molecules are
+    packed contiguously in cell order (cell index rides along as an
+    extra plane), so i-tiles are 128 dense occupied lanes instead of
+    cap-padded cells;
+  - the j side is the same packed row plus packed periodic-wrap halo
+    sections, laid out so the row's own molecules sit at a fixed +cap
+    offset (left halo at [cap-occ_last, cap), row at [cap, cap+cnt),
+    right halo after) -- self-pair exclusion stays one integer
+    comparison;
+  - each i-tile derives its covering cell range [c_lo, c_hi] from the
+    (authoritative, binning-produced) cell plane via a lane min/max,
+    then walks a DYNAMIC number of 128-lane j chunks covering cells
+    [c_lo-1, c_hi+1] of each of the 9 (dz,dy) neighbor rows, using a
+    per-row packed cell-start table passed via scalar prefetch.
+    Chunk windows are 128-aligned; alignment slop lanes hold real
+    molecules from cells >= 2 away, which the cutoff mask eliminates
+    exactly (cell edge >= rc).
+
+Pair-lane count drops from n_cells*cap^2*9*(tx+2) to roughly
+sum_tiles 9 * 128 * (128 + 2*occ_per_cell + alignment slop) -- ~2x
+fewer lanes at the CO2 geometry (the occupancy lever the round-4
+verdict names as the one remaining structural lever; reference role:
+/root/reference/src/particleContainer/adapter/
+VectorizedCellProcessor.cpp:797 _calculatePairs).
+
+Physics bodies are shared with the dense kernel (_pair_physics).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ls1_mardyn_tpu.models.interaction import site_offsets  # noqa: F401
+from ls1_mardyn_tpu.ops.cells import CellGridSpec, bin_particles
+from ls1_mardyn_tpu.ops.pallas_lj import _CENTER, _OFFS, HX
+from ls1_mardyn_tpu.ops.pallas_multisite import (
+    NOUT,
+    _MSMeta,
+    _dot,
+    _pair_physics,
+    plane_layout,
+)
+from ls1_mardyn_tpu.ops.pallas_ms_path import PallasMultiSitePath
+from ls1_mardyn_tpu.state import Forces, Macroscopic, MoleculeState
+
+TI = 128  # i-tile lanes (one VPU lane tile)
+JW = 128  # j-chunk lanes
+
+
+def _ms_packed_kernel(
+    tbl_ref,  # scalar prefetch: [nz, ny, nx+3] int32 packed cell starts
+    i_ref,
+    *refs,
+    tables,
+    masks,
+    layout,
+    srep,
+    szero,
+    P: int,
+    K: int,
+    NL: int,
+    NC: int,
+    ND: int,
+    NQ: int,
+    nx: int,
+    cap: int,
+    ny: int,
+    nz: int,
+    Wp: int,
+    Wjp: int,
+    cell_plane: int,
+    box: Tuple[float, float, float],
+    rc2: float,
+    rc2_lj: float,
+    screen_alpha: float,
+    interpret: bool,
+    out_dtype,
+):
+    row_refs = refs[:9]
+    f_ref = refs[9]
+    _bx, by, bz = box
+    n_tiles_max = Wp // TI
+
+    pz = pl.program_id(0)
+    py = pl.program_id(1)
+
+    # identity for MXU transposes
+    ii = jax.lax.broadcasted_iota(jnp.int32, (TI, TI), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (TI, TI), 1)
+    ident = (ii == jj).astype(out_dtype)
+
+    laneP = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    ohc = [(laneP == c).astype(out_dtype) for c in range(P)]
+    subP = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    ohr = [(subP == c).astype(out_dtype) for c in range(P)]
+
+    ilc = jax.lax.broadcasted_iota(jnp.int32, (TI, JW), 0)
+    jlc = jax.lax.broadcasted_iota(jnp.int32, (TI, JW), 1)
+
+    lane_out = jax.lax.broadcasted_iota(jnp.int32, (1, TI), 1)
+    sub_out = jax.lax.broadcasted_iota(jnp.int32, (NOUT, 1), 0)
+    ohr_out = [(sub_out == c).astype(out_dtype) for c in range(NOUT)]
+    lane_oh = [(lane_out == c).astype(out_dtype) for c in range(4)]
+
+    cut2 = jnp.asarray(rc2, out_dtype)
+    cut2lj = jnp.asarray(rc2_lj, out_dtype)
+    same_cut = rc2 == rc2_lj
+    kvals = list(range(K))
+
+    # dead tiles are skipped, so their output lanes (incl. the scalar
+    # one-hot lanes the wrapper sums) must be zero, not garbage
+    f_ref[0, 0, :, :] = jnp.zeros((NOUT, Wp), out_dtype)
+
+    # own row's molecule count: tbl[pz, py, nx+1] = cap + row_cnt
+    row_cnt = tbl_ref[pz, py, nx + 1] - cap
+    n_tiles = (row_cnt + TI - 1) // TI
+
+    def tile(t, _):
+        @pl.when(t < n_tiles)
+        def _do():
+            off = pl.multiple_of(t * TI, TI)
+            ti = i_ref[0, 0, :, pl.ds(off, TI)]  # [P, TI]
+            G = jax.lax.dot_general(
+                ident, ti, (((1,), (1,)), ((), ())),
+                preferred_element_type=out_dtype,
+            )  # [TI, P]
+
+            def col(c):
+                return jnp.sum(G * ohc[c], axis=1, keepdims=True)  # [TI,1]
+
+            xi, yi, zi, wi = col(0), col(1), col(2), col(3)
+            if K > 1:
+                cidi = col(4)
+                ohi_cols = [
+                    (jnp.abs(cidi - k) < 0.5).astype(out_dtype)
+                    for k in kvals
+                ]
+
+            # covering cell range of this tile from the binning's own
+            # cell-index plane (exact -- no float re-derivation)
+            ci = col(cell_plane)
+            big = jnp.asarray(float(nx + 1), out_dtype)
+            c_lo = jnp.min(jnp.where(wi > 0.5, ci, big)).astype(jnp.int32)
+            c_hi = jnp.max(jnp.where(wi > 0.5, ci, -1.0)).astype(jnp.int32)
+            # window in packed-j index space covers cells
+            # [c_lo-1, c_hi+1]; tbl[c+1] = start(c)
+            lo_idx = c_lo  # tbl index of start(c_lo - 1)
+            hi_idx = c_hi + 3  # tbl index of end(c_hi + 1)
+
+            L = layout
+            icache = {}
+
+            def iread(base):
+                if base not in icache:
+                    icache[base] = (col(base), col(base + 1), col(base + 2))
+                return icache[base]
+
+            def ikey(cat, s):
+                if szero[(cat, s)]:
+                    return None
+                rcat, rs = srep[(cat, s)]
+                return L[rcat] + 3 * rs
+
+            def iget(cat, s):
+                b = ikey(cat, s)
+                return None if b is None else iread(b)
+
+            for cat, ns in (("lj", NL), ("charge", NC), ("dip", ND),
+                            ("quad", NQ)):
+                for s in range(ns):
+                    iget(cat, s)
+            for cat, ns in (("dip_e", ND), ("quad_e", NQ)):
+                for s in range(ns):
+                    iread(L[cat] + 3 * s)
+
+            def chunk(k, is_center, jb, sy, sz):
+                """One [TI, JW] slab against neighbor row k at packed-j
+                offset jb; returns lane-reduced cols + 3 scalars."""
+                H = row_refs[k][0, 0, :, pl.ds(jb, JW)]  # [P, JW]
+
+                def row(c):
+                    return jnp.sum(H * ohr[c], axis=0, keepdims=True)
+
+                xj = row(0)
+                yj = row(1) + sy
+                zj = row(2) + sz
+                wj = row(3)
+                if K > 1:
+                    cidj = row(4)
+                    ohj_rows = [
+                        (jnp.abs(cidj - kk) < 0.5).astype(out_dtype)
+                        for kk in kvals
+                    ]
+
+                jcache = {}
+
+                def jread(base):
+                    if base not in jcache:
+                        jcache[base] = (
+                            row(base), row(base + 1), row(base + 2)
+                        )
+                    return jcache[base]
+
+                def jget(cat, s):
+                    b = ikey(cat, s)
+                    return None if b is None else jread(b)
+
+                drm = (xi - xj, yi - yj, zi - zj)  # [TI, JW]
+                com2 = _dot(drm, drm)
+                ok = (wi * wj > 0.5).astype(out_dtype)
+                if is_center:
+                    # own row rides at +cap in the packed-j space
+                    ok = ok * (jb + jlc != off + ilc + cap).astype(
+                        out_dtype
+                    )
+                mlj = jnp.where(com2 < cut2lj, ok, 0.0)
+                mel = mlj if same_cut else jnp.where(com2 < cut2, ok, 0.0)
+
+                if K == 1:
+                    def coupling(tbl, sa, sb):
+                        return float(tbl[0, 0, sa, sb])
+                else:
+                    oh2 = {}
+
+                    def coupling(tbl, sa, sb):
+                        acc = None
+                        for a in range(K):
+                            for b in range(K):
+                                cc = float(tbl[a, b, sa, sb])
+                                if cc == 0.0:
+                                    continue
+                                if (a, b) not in oh2:
+                                    oh2[(a, b)] = ohi_cols[a] * ohj_rows[b]
+                                term = cc * oh2[(a, b)]
+                                acc = term if acc is None else acc + term
+                        if acc is None:
+                            return 0.0
+                        return acc
+
+                geom = {}
+
+                def pair_geom(cat_i, si, cat_j, sj):
+                    kij = (ikey(cat_i, si), ikey(cat_j, sj))
+                    if kij not in geom:
+                        dia, djb = iget(cat_i, si), jget(cat_j, sj)
+                        if dia is None and djb is None:
+                            geom[kij] = (drm, com2)
+                        else:
+                            dr = drm
+                            if dia is not None:
+                                dr = tuple(
+                                    dr[d] + dia[d] for d in range(3)
+                                )
+                            if djb is not None:
+                                dr = tuple(
+                                    dr[d] - djb[d] for d in range(3)
+                                )
+                            geom[kij] = (dr, _dot(dr, dr))
+                    return kij, geom[kij]
+
+                (Fx, Fy, Fz, Mx, My, Mz, Vx, Vy, Vz,
+                 u6_t, uX_t, rf_t) = _pair_physics(
+                    drm=drm, mlj=mlj, mel=mel, same_cut=same_cut,
+                    iget=iget, iread=iread, jget=jget, jread=jread,
+                    pair_geom=pair_geom, coupling=coupling,
+                    tables=tables, masks=masks, L=L,
+                    NL=NL, NC=NC, ND=ND, NQ=NQ,
+                    screen_alpha=screen_alpha, interpret=interpret,
+                )
+
+                zero2 = jnp.zeros((TI, JW), out_dtype)
+
+                def red(a):
+                    return jnp.sum(a + zero2, axis=1, keepdims=True)
+
+                return (
+                    red(Fx), red(Fy), red(Fz), red(Mx), red(My), red(Mz),
+                    red(Vx), red(Vy), red(Vz),
+                    u6_t + jnp.zeros((), out_dtype),
+                    uX_t + jnp.zeros((), out_dtype),
+                    rf_t + jnp.zeros((), out_dtype),
+                )
+
+            zcol = jnp.zeros((TI, 1), out_dtype)
+            zs = jnp.zeros((), out_dtype)
+            acc = (zcol,) * 9 + (zs,) * 3
+            for k, (dz, dy) in enumerate(_OFFS):
+                zk = jax.lax.rem(pz + jnp.int32(dz + nz), jnp.int32(nz))
+                yk = jax.lax.rem(py + jnp.int32(dy + ny), jnp.int32(ny))
+                sy = jnp.where(
+                    py + dy < 0, -by, jnp.where(py + dy >= ny, by, 0.0)
+                ).astype(out_dtype)
+                sz = jnp.where(
+                    pz + dz < 0, -bz, jnp.where(pz + dz >= nz, bz, 0.0)
+                ).astype(out_dtype)
+                start_w = tbl_ref[zk, yk, lo_idx]
+                end_w = tbl_ref[zk, yk, hi_idx]
+                base = (start_w // JW) * JW
+                nch = (end_w - base + JW - 1) // JW
+
+                def body(c, carry, _k=k, _base=base, _sy=sy, _sz=sz):
+                    jb = pl.multiple_of(_base + c * JW, JW)
+                    vals = chunk(_k, _k == _CENTER, jb, _sy, _sz)
+                    return tuple(a + v for a, v in zip(carry, vals))
+
+                acc = jax.lax.fori_loop(0, nch, body, acc)
+
+            cols = acc[:9]
+            u6_t, uX_t, rf_t = acc[9], acc[10], acc[11]
+
+            def to_lane(v):
+                return jax.lax.dot_general(
+                    v, ident, (((0,), (0,)), ((), ())),
+                    preferred_element_type=out_dtype,
+                )
+
+            scal = (
+                0.5 * u6_t * lane_oh[0]
+                + 0.5 * uX_t * lane_oh[1]
+                + 0.5 * rf_t * lane_oh[2]
+            )
+            out = scal * ohr_out[9]
+            for c, v in enumerate(cols):
+                out = out + ohr_out[c] * to_lane(v)
+            f_ref[0, 0, :, pl.ds(off, TI)] = out
+
+        return _
+
+    jax.lax.fori_loop(0, n_tiles_max, tile, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nx", "ny", "nz", "cap", "Wp", "Wjp", "cell_plane", "box",
+        "rc2", "rc2_lj", "screen_alpha", "interpret", "meta",
+    ),
+)
+def multisite_cell_forces_packed(
+    tbl: jnp.ndarray,  # [nz, ny, nx+3] int32 packed cell starts
+    r_i: jnp.ndarray,  # [nz, ny, P, Wp] packed rows
+    r_j: jnp.ndarray,  # [nz, ny, P, Wjp] packed rows + wrap halos
+    *,
+    nx: int,
+    ny: int,
+    nz: int,
+    cap: int,
+    Wp: int,
+    Wjp: int,
+    cell_plane: int,
+    box,
+    rc2: float,
+    rc2_lj: float,
+    screen_alpha: float,
+    meta,
+    interpret: bool = False,
+):
+    P = r_i.shape[2]
+    assert r_i.shape == (nz, ny, P, Wp), r_i.shape
+    assert r_j.shape == (nz, ny, P, Wjp), r_j.shape
+    assert Wp % TI == 0 and Wjp % JW == 0, (Wp, Wjp)
+    out_dtype = r_i.dtype
+
+    # NB index maps under PrefetchScalarGridSpec receive the scalar
+    # prefetch ref(s) as trailing arguments -- absorb them
+    i_spec = pl.BlockSpec(
+        (1, 1, P, Wp), lambda z, y, *_: (z, y, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    # every program may touch all 9 neighbor rows; pass the j buffer
+    # whole 9 times with per-offset wrapped index maps (same scheme as
+    # the dense kernel)
+    def jmap(z, y, *_, dz, dy):
+        return ((z + dz) % nz, (y + dy) % ny, 0, 0)
+
+    j_specs = [
+        pl.BlockSpec(
+            (1, 1, P, Wjp),
+            functools.partial(jmap, dz=dz, dy=dy),
+            memory_space=pltpu.VMEM,
+        )
+        for dz, dy in _OFFS
+    ]
+    out_spec = pl.BlockSpec(
+        (1, 1, NOUT, Wp), lambda z, y, *_: (z, y, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kernel = functools.partial(
+        _ms_packed_kernel,
+        tables=meta.tables,
+        masks=meta.masks,
+        layout=meta.layout,
+        srep=meta.site_rep,
+        szero=meta.site_zero,
+        P=P,
+        K=meta.K,
+        NL=meta.NL,
+        NC=meta.NC,
+        ND=meta.ND,
+        NQ=meta.NQ,
+        nx=nx,
+        cap=cap,
+        ny=ny,
+        nz=nz,
+        Wp=Wp,
+        Wjp=Wjp,
+        cell_plane=cell_plane,
+        box=box,
+        rc2=rc2,
+        rc2_lj=rc2_lj,
+        screen_alpha=screen_alpha,
+        interpret=interpret,
+        out_dtype=out_dtype,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nz, ny),
+        in_specs=[i_spec] + j_specs,
+        out_specs=out_spec,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nz, ny, NOUT, Wp), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(tbl, r_i, *([r_j] * 9))
+    scal = out[:, :, 9, :].reshape(nz, ny, Wp // TI, TI)
+    u6 = jnp.sum(scal[..., 0])
+    uX = jnp.sum(scal[..., 1])
+    my_rf = jnp.sum(scal[..., 2])
+    return out, u6, uX, my_rf
+
+
+class PallasMultiSitePackedPath(PallasMultiSitePath):
+    """force_fn: the occupancy-packed variant of PallasMultiSitePath.
+
+    Same construction interface; cap only sizes the binning slot table
+    (no tx*cap%128 lane-alignment constraint -- the packed kernel's
+    lane geometry is occupancy-driven).
+    """
+
+    packed = True
+
+    def __init__(self, table, spec: CellGridSpec, tx: int = 0,
+                 interpret: bool = False, screen_alpha: float = 0.0):
+        super().__init__(table, spec, tx=1 if spec.dims[0] % 1 else 1,
+                         interpret=interpret, screen_alpha=screen_alpha)
+        # packed-plane layout: one extra (float) cell-index plane in
+        # the pad region (or an extra 8-sublane tile when full)
+        p_used = 5 + 3 * (self.meta.NL + self.meta.NC) \
+            + 6 * (self.meta.ND + self.meta.NQ)
+        self.cell_plane = p_used
+        self.Pb = max(self.meta.P, -(-(p_used + 1) // 8) * 8)
+        nx, ny, nz = spec.dims
+        self.Wp = -(-(nx * spec.cap) // TI) * TI
+        self.Wjp = -(-((nx + 2 * HX) * spec.cap) // JW) * JW
+
+    def __call__(self, mol: MoleculeState):
+        spec = self.spec
+        nx, ny, nz = spec.dims
+        cap = spec.cap
+        n = mol.capacity
+        dtype = mol.r.dtype
+        Lx = spec.box[0]
+        Pb = self.Pb
+        W = nx * cap
+        Wp, Wjp = self.Wp, self.Wjp
+
+        bins = bin_particles(mol.r, mol.valid, spec)
+        slots_row = bins.slots.reshape(nz * ny, W)
+        filled = slots_row >= 0
+        occ = filled.reshape(nz * ny, nx, cap).sum(-1).astype(jnp.int32)
+        cs = jnp.cumsum(occ, axis=1)
+        prefix = cs - occ  # exclusive
+        row_cnt = cs[:, -1]
+
+        # packed source positions per row: sort pushes empty slots to
+        # the tail while keeping cell order (slot order within a cell)
+        row_pos = jnp.arange(W, dtype=jnp.int32)
+        key = jnp.where(filled, row_pos, W)
+        src = jnp.sort(key, axis=-1)  # [rows, W]
+        ok_p = src < W
+        srcc = jnp.minimum(src, W - 1)
+        msrc = jnp.take_along_axis(slots_row, srcc, axis=1)  # [rows, W]
+        ok_p = ok_p & (msrc >= 0)
+        msafe = jnp.clip(msrc, 0, n - 1)
+
+        packed = self._pack_planes(mol)  # [N, P_dense]
+        if packed.shape[1] < Pb:
+            packed = jnp.concatenate(
+                [packed,
+                 jnp.zeros((n, Pb - packed.shape[1]), dtype)], axis=1)
+        g = jnp.where(ok_p[..., None], packed[msafe], 0.0)  # [rows,W,Pb]
+        cellidx = jnp.where(ok_p, srcc // cap, 0)
+        g = g.at[:, :, self.cell_plane].set(cellidx.astype(dtype))
+        if Wp > W:
+            g = jnp.concatenate(
+                [g, jnp.zeros((g.shape[0], Wp - W, Pb), dtype)], axis=1)
+
+        # packed j rows: [left-wrap halo | row at +cap | right-wrap]
+        occ_last = occ[:, -1]
+        occ_first = occ[:, 0]
+        jpos = jnp.arange(Wjp, dtype=jnp.int32)[None, :]  # [1, Wjp]
+        rcb = row_cnt[:, None]
+        in_left = jpos < cap
+        in_mid = (jpos >= cap) & (jpos < cap + rcb)
+        jsrc = jnp.where(
+            in_left, jpos - cap + rcb,
+            jnp.where(in_mid, jpos - cap, jpos - cap - rcb),
+        )
+        jvalid = jnp.where(
+            in_left, jpos >= cap - occ_last[:, None],
+            jnp.where(in_mid, True,
+                      jpos - cap - rcb < occ_first[:, None]),
+        )
+        jvalid = jvalid & (jsrc >= 0) & (jsrc < Wp)
+        jsafe = jnp.clip(jsrc, 0, Wp - 1)
+        gj = jnp.where(
+            jvalid[..., None],
+            jnp.take_along_axis(
+                g, jsafe[..., None].astype(jnp.int32), axis=1
+            ),
+            0.0,
+        )
+        shift = jnp.where(in_left, -Lx, jnp.where(in_mid, 0.0, Lx))
+        shift = jnp.where(jvalid, shift, 0.0).astype(dtype)
+        gj = gj.at[:, :, 0].add(shift)
+
+        # packed cell-start table: tbl[c+1] = start(c) in j space for
+        # cells -1 .. nx+1 (wrap halos at the ends)
+        tbl = jnp.concatenate(
+            [
+                (cap - occ_last)[:, None],
+                cap + prefix,
+                (cap + row_cnt)[:, None],
+                (cap + row_cnt + occ_first)[:, None],
+            ],
+            axis=1,
+        ).astype(jnp.int32)
+
+        r_i = jnp.moveaxis(g.reshape(nz, ny, Wp, Pb), -1, 2)
+        r_j = jnp.moveaxis(gj.reshape(nz, ny, Wjp, Pb), -1, 2)
+        tbl = tbl.reshape(nz, ny, nx + 3)
+
+        out, u6, uX, my_rf = multisite_cell_forces_packed(
+            tbl,
+            r_i,
+            r_j,
+            nx=nx,
+            ny=ny,
+            nz=nz,
+            cap=cap,
+            Wp=Wp,
+            Wjp=Wjp,
+            cell_plane=self.cell_plane,
+            box=spec.box,
+            rc2=self.rc2,
+            rc2_lj=self.rc2_lj,
+            screen_alpha=self.screen_alpha,
+            meta=self.meta,
+            interpret=self.interpret,
+        )
+
+        # unpack: molecule's packed position = prefix[row, x] + rank
+        flat = jnp.moveaxis(out, 2, -1).reshape(-1, NOUT)  # [rows*Wp,]
+        slot_of = bins.slot_of  # cell*cap + rank (dense flat)
+        cell = jnp.minimum(slot_of // cap, nz * ny * nx - 1)
+        rank = slot_of % cap
+        rowf = cell // nx
+        x = cell % nx
+        ppos = prefix[jnp.clip(rowf, 0, nz * ny - 1),
+                      jnp.clip(x, 0, nx - 1)] + rank
+        src_out = jnp.clip(rowf * Wp + ppos, 0, flat.shape[0] - 1)
+        got = jnp.where(mol.valid[:, None], flat[src_out], 0.0)
+        forces = Forces(F=got[:, 0:3], M=got[:, 3:6], Vi=got[:, 6:9])
+        vir = jnp.sum(out[:, :, 6:9, :])
+        macro = Macroscopic(upot6lj=u6, upot_xpoles=uX, virial=vir,
+                            my_rf=my_rf)
+        return forces, macro, bins.overflow

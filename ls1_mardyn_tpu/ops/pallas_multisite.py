@@ -58,6 +58,247 @@ from ls1_mardyn_tpu.ops.pallas_lj import _CENTER, _OFFS, HX
 NOUT = 10  # fx fy fz mx my mz vix viy viz scalars
 
 
+def _pair_physics(
+    *,
+    drm,
+    mlj,
+    mel,
+    same_cut,
+    iget,
+    iread,
+    jget,
+    jread,
+    pair_geom,
+    coupling,
+    tables,
+    masks,
+    L,
+    NL,
+    NC,
+    ND,
+    NQ,
+    screen_alpha,
+    interpret,
+):
+    """All seven interaction loop bodies over one pair tile.
+
+    Shared by the dense row kernel and the packed-row kernel: given the
+    COM separations `drm` ([ti, tj] per component), the cutoff masks,
+    and the plane accessors, accumulates forces/torques/virials per
+    i-lane pair tile plus the three energy scalars.  The physics is the
+    component-form transcription of potforce.h (same as
+    ops/cellforce_lanes.py).  Returns the 12-tuple
+    (Fx, Fy, Fz, Mx, My, Mz, Vx, Vy, Vz, u6_t, uX_t, rf_t) where the
+    first nine are [ti, tj] arrays and the last three scalars.
+    """
+    import numpy as np
+
+    Fx = Fy = Fz = 0.0
+    Mx = My = Mz = 0.0
+    Vx = Vy = Vz = 0.0
+    u6_t = uX_t = rf_t = 0.0
+
+    def safe_inv(dr2, m):
+        return m / jnp.where(m > 0, dr2, 1.0)
+
+    invc = {}
+
+    def inv_of(kij, dr2, lj_mask):
+        mk = "lj" if (lj_mask or same_cut) else "el"
+        kk = (kij, mk)
+        if kk not in invc:
+            invc[kk] = safe_inv(dr2, mlj if mk == "lj" else mel)
+        return invc[kk]
+
+    # LJ
+    for sa in range(NL):
+        dia = iget("lj", sa)
+        for sb in range(NL):
+            if not masks["lj"][sa, sb]:
+                continue
+            kij, (dr, dr2) = pair_geom("lj", sa, "lj", sb)
+            inv = inv_of(kij, dr2, True)
+            e24 = coupling(tables["eps24"], sa, sb)
+            s2 = coupling(tables["sig2"], sa, sb)
+            sh6 = coupling(tables["shift6"], sa, sb)
+            lj6 = s2 * inv
+            lj6 = lj6 * lj6 * lj6
+            lj12 = lj6 * lj6
+            lj12m6 = lj12 - lj6
+            u6_t = u6_t + jnp.sum(e24 * lj12m6 + sh6 * mlj)
+            fac = e24 * (lj12 + lj12m6) * inv
+            f = tuple(fac * dr[d] for d in range(3))
+            Fx, Fy, Fz = Fx + f[0], Fy + f[1], Fz + f[2]
+            if dia is not None:
+                m = _cross(dia, f)
+                Mx, My, Mz = Mx + m[0], My + m[1], Mz + m[2]
+            Vx = Vx + 0.5 * drm[0] * f[0]
+            Vy = Vy + 0.5 * drm[1] * f[1]
+            Vz = Vz + 0.5 * drm[2] * f[2]
+
+    def add_block(f, m_extra, u, dia):
+        nonlocal Fx, Fy, Fz, Mx, My, Mz, Vx, Vy, Vz, uX_t
+        Fx, Fy, Fz = Fx + f[0], Fy + f[1], Fz + f[2]
+        if dia is not None:
+            m = _cross(dia, f)
+            Mx, My, Mz = Mx + m[0], My + m[1], Mz + m[2]
+        if m_extra is not None:
+            Mx, My, Mz = Mx + m_extra[0], My + m_extra[1], Mz + m_extra[2]
+        Vx = Vx + 0.5 * drm[0] * f[0]
+        Vy = Vy + 0.5 * drm[1] * f[1]
+        Vz = Vz + 0.5 * drm[2] * f[2]
+        uX_t = uX_t + jnp.sum(u)
+
+    # charge-charge
+    for sa in range(NC):
+        dia = iget("charge", sa)
+        for sb in range(NC):
+            if not masks["cc"][sa, sb]:
+                continue
+            kij, (dr, dr2) = pair_geom("charge", sa, "charge", sb)
+            inv = inv_of(kij, dr2, False)
+            invd = jnp.sqrt(inv)
+            qq = coupling(tables["qq"], sa, sb)
+            if screen_alpha:
+                # exp(-(alpha r)^2) is shared between the erfc
+                # approximation and the screened force term
+                e = jnp.exp(-(screen_alpha * screen_alpha) * dr2)
+                r = dr2 * invd
+                erfc = _erfc(screen_alpha * r, interpret, e=e) * mel
+                u = qq * erfc * invd
+                tap = 2.0 * screen_alpha / np.sqrt(np.pi)
+                fac = (u + qq * tap * e * mel) * inv
+            else:
+                u = qq * invd
+                fac = u * inv
+            f = tuple(fac * dr[d] for d in range(3))
+            add_block(f, None, u, dia)
+
+    # charge_i x quad_j
+    for sa in range(NC):
+        dia = iget("charge", sa)
+        for sb in range(NQ):
+            if not masks["cq"][sa, sb]:
+                continue
+            ej = jread(L["quad_e"] + 3 * sb)
+            kij, (dr, dr2) = pair_geom("charge", sa, "quad", sb)
+            f, _m2, u = _charge_quad(
+                dr, ej, coupling(tables["qQ05"], sa, sb), mel,
+                safe_inv, geom=(dr2, inv_of(kij, dr2, False)),
+            )
+            add_block(f, None, u, dia)
+
+    # charge_i x dip_j
+    for sa in range(NC):
+        dia = iget("charge", sa)
+        for sb in range(ND):
+            if not masks["cd"][sa, sb]:
+                continue
+            ej = jread(L["dip_e"] + 3 * sb)
+            kij, (dr, dr2) = pair_geom("charge", sa, "dip", sb)
+            f, _m2, u = _charge_dip(
+                dr, ej, coupling(tables["minus_qmy"], sa, sb), mel,
+                safe_inv, geom=(dr2, inv_of(kij, dr2, False)),
+            )
+            add_block(f, None, u, dia)
+
+    # quad_i x charge_j (dr = charge - quad; i gets -f + m2)
+    for sa in range(NQ):
+        dia = iget("quad", sa)
+        ei = iread(L["quad_e"] + 3 * sa)
+        for sb in range(NC):
+            if not masks["qc"][sa, sb]:
+                continue
+            kij, (drf, dr2) = pair_geom("quad", sa, "charge", sb)
+            dr = tuple(-drf[d] for d in range(3))
+            f, m_i, u = _charge_quad(
+                dr, ei, coupling(tables["Qq05"], sa, sb), mel,
+                safe_inv, geom=(dr2, inv_of(kij, dr2, False)),
+            )
+            add_block(tuple(-f[d] for d in range(3)), m_i, u, dia)
+
+    # quad_i x quad_j
+    for sa in range(NQ):
+        dia = iget("quad", sa)
+        ei = iread(L["quad_e"] + 3 * sa)
+        for sb in range(NQ):
+            if not masks["qq"][sa, sb]:
+                continue
+            ej = jread(L["quad_e"] + 3 * sb)
+            kij, (dr, dr2) = pair_geom("quad", sa, "quad", sb)
+            f, m1, _m2, u = _quad_quad(
+                dr, ei, ej, coupling(tables["QQ075"], sa, sb), mel,
+                safe_inv, geom=(dr2, inv_of(kij, dr2, False)),
+            )
+            add_block(f, m1, u, dia)
+
+    # quad_i x dip_j (dr = dip - quad; i gets -f + m_quad)
+    for sa in range(NQ):
+        dia = iget("quad", sa)
+        ei = iread(L["quad_e"] + 3 * sa)
+        for sb in range(ND):
+            if not masks["qd"][sa, sb]:
+                continue
+            ej = jread(L["dip_e"] + 3 * sb)
+            kij, (drf, dr2) = pair_geom("quad", sa, "dip", sb)
+            dr = tuple(-drf[d] for d in range(3))
+            f, _m_dip, m_quad, u = _dip_quad(
+                dr, ej, ei, coupling(tables["Qmy15"], sa, sb), mel,
+                safe_inv, geom=(dr2, inv_of(kij, dr2, False)),
+            )
+            add_block(tuple(-f[d] for d in range(3)), m_quad, u, dia)
+
+    # dip_i x charge_j (dr = charge - dip; i gets -f + m_dip)
+    for sa in range(ND):
+        dia = iget("dip", sa)
+        ei = iread(L["dip_e"] + 3 * sa)
+        for sb in range(NC):
+            if not masks["dc"][sa, sb]:
+                continue
+            kij, (drf, dr2) = pair_geom("dip", sa, "charge", sb)
+            dr = tuple(-drf[d] for d in range(3))
+            f, m_i, u = _charge_dip(
+                dr, ei, coupling(tables["minus_myq"], sa, sb), mel,
+                safe_inv, geom=(dr2, inv_of(kij, dr2, False)),
+            )
+            add_block(tuple(-f[d] for d in range(3)), m_i, u, dia)
+
+    # dip_i x quad_j
+    for sa in range(ND):
+        dia = iget("dip", sa)
+        ei = iread(L["dip_e"] + 3 * sa)
+        for sb in range(NQ):
+            if not masks["dq"][sa, sb]:
+                continue
+            ej = jread(L["quad_e"] + 3 * sb)
+            kij, (dr, dr2) = pair_geom("dip", sa, "quad", sb)
+            f, m1, _m2, u = _dip_quad(
+                dr, ei, ej, coupling(tables["myQ15"], sa, sb), mel,
+                safe_inv, geom=(dr2, inv_of(kij, dr2, False)),
+            )
+            add_block(f, m1, u, dia)
+
+    # dip_i x dip_j
+    for sa in range(ND):
+        dia = iget("dip", sa)
+        ei = iread(L["dip_e"] + 3 * sa)
+        for sb in range(ND):
+            if not masks["dd"][sa, sb]:
+                continue
+            ej = jread(L["dip_e"] + 3 * sb)
+            kij, (dr, dr2) = pair_geom("dip", sa, "dip", sb)
+            f, m1, _m2, u, rf = _dip_dip(
+                dr, ei, ej,
+                coupling(tables["my2"], sa, sb),
+                coupling(tables["rffac"], sa, sb),
+                mel, safe_inv, geom=(dr2, inv_of(kij, dr2, False)),
+            )
+            rf_t = rf_t + jnp.sum(rf)
+            add_block(f, m1, u, dia)
+
+    return Fx, Fy, Fz, Mx, My, Mz, Vx, Vy, Vz, u6_t, uX_t, rf_t
+
+
 def _erfc(x, interpret: bool, e=None):
     """erfc for the screened-Coulomb path.  Mosaic has no erfc
     primitive, so the compiled kernel uses the Abramowitz & Stegun
@@ -264,11 +505,6 @@ def _ms_row_kernel(
             mlj = jnp.where(com2 < cut2lj, ok, 0.0)
             mel = mlj if same_cut else jnp.where(com2 < cut2, ok, 0.0)
 
-            Fx = Fy = Fz = 0.0
-            Mx = My = Mz = 0.0
-            Vx = Vy = Vz = 0.0
-            u6_t = uX_t = rf_t = 0.0
-
             if K == 1:
                 def coupling(tbl, sa, sb):
                     # single component: the pair coefficient is one
@@ -298,15 +534,10 @@ def _ms_row_kernel(
                         return 0.0
                     return acc
 
-            def safe_inv(dr2, m):
-                return m / jnp.where(m > 0, dr2, 1.0)
-
-            # geometry caches: site-pair separation (dr, dr2) keyed by
-            # the representative plane bases (None = COM), and the
-            # masked 1/r^2 keyed additionally by which cutoff mask
-            # applies.  Bodies over co-located site sets (LJ + charges
-            # at the same atoms, the CO2/ion pattern) compute each
-            # distance exactly once.
+            # geometry cache: site-pair separation (dr, dr2) keyed by
+            # the representative plane bases (None = COM).  Bodies over
+            # co-located site sets (LJ + charges at the same atoms, the
+            # CO2/ion pattern) compute each distance exactly once.
             geom = {}
 
             def pair_geom(cat_i, si, cat_j, sj):
@@ -324,200 +555,15 @@ def _ms_row_kernel(
                         geom[kij] = (dr, _dot(dr, dr))
                 return kij, geom[kij]
 
-            invc = {}
-
-            def inv_of(kij, dr2, lj_mask):
-                mk = "lj" if (lj_mask or same_cut) else "el"
-                kk = (kij, mk)
-                if kk not in invc:
-                    invc[kk] = safe_inv(dr2, mlj if mk == "lj" else mel)
-                return invc[kk]
-
-            # LJ
-            for sa in range(NL):
-                dia = iget("lj", sa)
-                for sb in range(NL):
-                    if not masks["lj"][sa, sb]:
-                        continue
-                    kij, (dr, dr2) = pair_geom("lj", sa, "lj", sb)
-                    inv = inv_of(kij, dr2, True)
-                    e24 = coupling(tables["eps24"], sa, sb)
-                    s2 = coupling(tables["sig2"], sa, sb)
-                    sh6 = coupling(tables["shift6"], sa, sb)
-                    lj6 = s2 * inv
-                    lj6 = lj6 * lj6 * lj6
-                    lj12 = lj6 * lj6
-                    lj12m6 = lj12 - lj6
-                    u6_t = u6_t + jnp.sum(e24 * lj12m6 + sh6 * mlj)
-                    fac = e24 * (lj12 + lj12m6) * inv
-                    f = tuple(fac * dr[d] for d in range(3))
-                    Fx, Fy, Fz = Fx + f[0], Fy + f[1], Fz + f[2]
-                    if dia is not None:
-                        m = _cross(dia, f)
-                        Mx, My, Mz = Mx + m[0], My + m[1], Mz + m[2]
-                    Vx = Vx + 0.5 * drm[0] * f[0]
-                    Vy = Vy + 0.5 * drm[1] * f[1]
-                    Vz = Vz + 0.5 * drm[2] * f[2]
-
-            def add_block(f, m_extra, u, dia):
-                nonlocal Fx, Fy, Fz, Mx, My, Mz, Vx, Vy, Vz, uX_t
-                Fx, Fy, Fz = Fx + f[0], Fy + f[1], Fz + f[2]
-                if dia is not None:
-                    m = _cross(dia, f)
-                    Mx, My, Mz = Mx + m[0], My + m[1], Mz + m[2]
-                if m_extra is not None:
-                    Mx, My, Mz = Mx + m_extra[0], My + m_extra[1], Mz + m_extra[2]
-                Vx = Vx + 0.5 * drm[0] * f[0]
-                Vy = Vy + 0.5 * drm[1] * f[1]
-                Vz = Vz + 0.5 * drm[2] * f[2]
-                uX_t = uX_t + jnp.sum(u)
-
-            # charge-charge
-            for sa in range(NC):
-                dia = iget("charge", sa)
-                for sb in range(NC):
-                    if not masks["cc"][sa, sb]:
-                        continue
-                    kij, (dr, dr2) = pair_geom("charge", sa, "charge", sb)
-                    inv = inv_of(kij, dr2, False)
-                    invd = jnp.sqrt(inv)
-                    qq = coupling(tables["qq"], sa, sb)
-                    if screen_alpha:
-                        # exp(-(alpha r)^2) is shared between the erfc
-                        # approximation and the screened force term
-                        e = jnp.exp(-(screen_alpha * screen_alpha) * dr2)
-                        r = dr2 * invd
-                        erfc = _erfc(screen_alpha * r, interpret, e=e) * mel
-                        u = qq * erfc * invd
-                        tap = 2.0 * screen_alpha / np.sqrt(np.pi)
-                        fac = (u + qq * tap * e * mel) * inv
-                    else:
-                        u = qq * invd
-                        fac = u * inv
-                    f = tuple(fac * dr[d] for d in range(3))
-                    add_block(f, None, u, dia)
-
-            # charge_i x quad_j
-            for sa in range(NC):
-                dia = iget("charge", sa)
-                for sb in range(NQ):
-                    if not masks["cq"][sa, sb]:
-                        continue
-                    ej = jread(L["quad_e"] + 3 * sb)
-                    kij, (dr, dr2) = pair_geom("charge", sa, "quad", sb)
-                    f, _m2, u = _charge_quad(
-                        dr, ej, coupling(tables["qQ05"], sa, sb), mel,
-                        safe_inv, geom=(dr2, inv_of(kij, dr2, False)),
-                    )
-                    add_block(f, None, u, dia)
-
-            # charge_i x dip_j
-            for sa in range(NC):
-                dia = iget("charge", sa)
-                for sb in range(ND):
-                    if not masks["cd"][sa, sb]:
-                        continue
-                    ej = jread(L["dip_e"] + 3 * sb)
-                    kij, (dr, dr2) = pair_geom("charge", sa, "dip", sb)
-                    f, _m2, u = _charge_dip(
-                        dr, ej, coupling(tables["minus_qmy"], sa, sb), mel,
-                        safe_inv, geom=(dr2, inv_of(kij, dr2, False)),
-                    )
-                    add_block(f, None, u, dia)
-
-            # quad_i x charge_j (dr = charge - quad; i gets -f + m2)
-            for sa in range(NQ):
-                dia = iget("quad", sa)
-                ei = iread(L["quad_e"] + 3 * sa)
-                for sb in range(NC):
-                    if not masks["qc"][sa, sb]:
-                        continue
-                    kij, (drf, dr2) = pair_geom("quad", sa, "charge", sb)
-                    dr = tuple(-drf[d] for d in range(3))
-                    f, m_i, u = _charge_quad(
-                        dr, ei, coupling(tables["Qq05"], sa, sb), mel,
-                        safe_inv, geom=(dr2, inv_of(kij, dr2, False)),
-                    )
-                    add_block(tuple(-f[d] for d in range(3)), m_i, u, dia)
-
-            # quad_i x quad_j
-            for sa in range(NQ):
-                dia = iget("quad", sa)
-                ei = iread(L["quad_e"] + 3 * sa)
-                for sb in range(NQ):
-                    if not masks["qq"][sa, sb]:
-                        continue
-                    ej = jread(L["quad_e"] + 3 * sb)
-                    kij, (dr, dr2) = pair_geom("quad", sa, "quad", sb)
-                    f, m1, _m2, u = _quad_quad(
-                        dr, ei, ej, coupling(tables["QQ075"], sa, sb), mel,
-                        safe_inv, geom=(dr2, inv_of(kij, dr2, False)),
-                    )
-                    add_block(f, m1, u, dia)
-
-            # quad_i x dip_j (dr = dip - quad; i gets -f + m_quad)
-            for sa in range(NQ):
-                dia = iget("quad", sa)
-                ei = iread(L["quad_e"] + 3 * sa)
-                for sb in range(ND):
-                    if not masks["qd"][sa, sb]:
-                        continue
-                    ej = jread(L["dip_e"] + 3 * sb)
-                    kij, (drf, dr2) = pair_geom("quad", sa, "dip", sb)
-                    dr = tuple(-drf[d] for d in range(3))
-                    f, _m_dip, m_quad, u = _dip_quad(
-                        dr, ej, ei, coupling(tables["Qmy15"], sa, sb), mel,
-                        safe_inv, geom=(dr2, inv_of(kij, dr2, False)),
-                    )
-                    add_block(tuple(-f[d] for d in range(3)), m_quad, u, dia)
-
-            # dip_i x charge_j (dr = charge - dip; i gets -f + m_dip)
-            for sa in range(ND):
-                dia = iget("dip", sa)
-                ei = iread(L["dip_e"] + 3 * sa)
-                for sb in range(NC):
-                    if not masks["dc"][sa, sb]:
-                        continue
-                    kij, (drf, dr2) = pair_geom("dip", sa, "charge", sb)
-                    dr = tuple(-drf[d] for d in range(3))
-                    f, m_i, u = _charge_dip(
-                        dr, ei, coupling(tables["minus_myq"], sa, sb), mel,
-                        safe_inv, geom=(dr2, inv_of(kij, dr2, False)),
-                    )
-                    add_block(tuple(-f[d] for d in range(3)), m_i, u, dia)
-
-            # dip_i x quad_j
-            for sa in range(ND):
-                dia = iget("dip", sa)
-                ei = iread(L["dip_e"] + 3 * sa)
-                for sb in range(NQ):
-                    if not masks["dq"][sa, sb]:
-                        continue
-                    ej = jread(L["quad_e"] + 3 * sb)
-                    kij, (dr, dr2) = pair_geom("dip", sa, "quad", sb)
-                    f, m1, _m2, u = _dip_quad(
-                        dr, ei, ej, coupling(tables["myQ15"], sa, sb), mel,
-                        safe_inv, geom=(dr2, inv_of(kij, dr2, False)),
-                    )
-                    add_block(f, m1, u, dia)
-
-            # dip_i x dip_j
-            for sa in range(ND):
-                dia = iget("dip", sa)
-                ei = iread(L["dip_e"] + 3 * sa)
-                for sb in range(ND):
-                    if not masks["dd"][sa, sb]:
-                        continue
-                    ej = jread(L["dip_e"] + 3 * sb)
-                    kij, (dr, dr2) = pair_geom("dip", sa, "dip", sb)
-                    f, m1, _m2, u, rf = _dip_dip(
-                        dr, ei, ej,
-                        coupling(tables["my2"], sa, sb),
-                        coupling(tables["rffac"], sa, sb),
-                        mel, safe_inv, geom=(dr2, inv_of(kij, dr2, False)),
-                    )
-                    rf_t = rf_t + jnp.sum(rf)
-                    add_block(f, m1, u, dia)
+            (Fx, Fy, Fz, Mx, My, Mz, Vx, Vy, Vz,
+             u6_t, uX_t, rf_t) = _pair_physics(
+                drm=drm, mlj=mlj, mel=mel, same_cut=same_cut,
+                iget=iget, iread=iread, jget=jget, jread=jread,
+                pair_geom=pair_geom, coupling=coupling,
+                tables=tables, masks=masks, L=L,
+                NL=NL, NC=NC, ND=ND, NQ=NQ,
+                screen_alpha=screen_alpha, interpret=interpret,
+            )
 
             # lane-reduce this chunk's contributions
             zero2 = jnp.zeros((txc, jwc), out_dtype)

@@ -1,0 +1,176 @@
+"""Golden tests: occupancy-packed multi-site kernel vs the N^2 oracle
+and vs the dense row kernel (interpret mode, f64) -- the
+VectorizedCellProcessorTest harness applied to the packed variant
+(/root/reference/src/particleContainer/adapter/tests/
+VectorizedCellProcessorTest.cpp:136-215)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ls1_mardyn_tpu.io.ascii_reader import read_inp
+from ls1_mardyn_tpu.models.oracle import compute_forces_n2_jit
+from ls1_mardyn_tpu.ops.cells import CellGridSpec
+from ls1_mardyn_tpu.ops.pallas_ms_packed import PallasMultiSitePackedPath
+from ls1_mardyn_tpu.ops.pallas_ms_path import PallasMultiSitePath
+from ls1_mardyn_tpu.scene import build_scene
+
+CUTOFF = 35.0
+
+SCENES = [
+    "VectorizationLennardJones.inp",
+    "VectorizationCharge.inp",
+    "VectorizationDipole.inp",
+    "VectorizationQuadrupole.inp",
+    "VectorizationWater.inp",
+    "VectorizationMultiComponentMultiPotentials_50_molecules.inp",
+]
+
+
+def _load(ref_input_dir, scene, n_max=60):
+    data = read_inp(f"{ref_input_dir}/{scene}")
+    n = min(len(data.mid), n_max)
+    for f in ("mid", "cid", "r", "v", "q", "L"):
+        setattr(data, f, getattr(data, f)[:n])
+    return build_scene(data, cutoff=CUTOFF)
+
+
+@pytest.mark.parametrize("scene", SCENES)
+def test_packed_matches_oracle(ref_input_dir, scene):
+    mol, pp, table, box = _load(ref_input_dir, scene)
+    f_ref, m_ref = compute_forces_n2_jit(mol, pp, box)
+
+    spec = CellGridSpec.create(np.asarray(box), CUTOFF, cap=64)
+    path = PallasMultiSitePackedPath(table, spec, interpret=True)
+    f_k, m_k, ovf = jax.jit(path.__call__)(mol)
+    assert not bool(ovf)
+
+    scale = np.abs(np.asarray(f_ref.F)).max() + 1e-30
+    np.testing.assert_allclose(
+        np.asarray(f_k.F) / scale, np.asarray(f_ref.F) / scale,
+        atol=1e-11,
+    )
+    mscale = np.abs(np.asarray(f_ref.M)).max() + 1e-30
+    np.testing.assert_allclose(
+        np.asarray(f_k.M) / mscale, np.asarray(f_ref.M) / mscale,
+        atol=1e-11,
+    )
+    np.testing.assert_allclose(
+        float(m_k.upot), float(m_ref.upot), rtol=1e-9, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        float(m_k.total_virial), float(m_ref.total_virial), rtol=1e-9,
+        atol=1e-12,
+    )
+
+
+
+
+def _psdata(comps, L, r, q):
+    from ls1_mardyn_tpu.io.ascii_reader import PhaseSpaceData
+
+    N = len(r)
+    K = len(comps)
+    return PhaseSpaceData(
+        components=comps,
+        mixing_xi=np.ones((K, K)),
+        mixing_eta=np.ones((K, K)),
+        eps_rf=1.0e10,
+        box=np.array([L, L, L], float),
+        temperature=1.0,
+        current_time=0.0,
+        mid=np.arange(1, N + 1),
+        cid=(np.arange(N) % K).astype(np.int32),
+        r=np.asarray(r, float),
+        v=np.zeros((N, 3)),
+        q=np.asarray(q, float),
+        L=np.zeros((N, 3)),
+    )
+
+def test_packed_matches_dense_inhomogeneous():
+    """Random inhomogeneous liquid (uneven occupancy, several cells per
+    axis) through both kernels: identical forces, torques, virials, and
+    energy scalars.  This exercises multi-tile rows, dynamic window
+    chunk counts, and wrap halos -- the paths the uniform Vectorization
+    scenes barely touch."""
+    from ls1_mardyn_tpu.models.components import Component
+
+    rng = np.random.default_rng(11)
+    N, L, rc = 700, 16.0, 3.0
+    comps = []
+    for sign in (1.0, -1.0):
+        c = Component(cid=len(comps))
+        c.add_ljcenter(0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 0.0, False)
+        c.add_charge(0.1, 0.0, 0.0, 0.01, sign * 0.5)
+        c.add_charge(-0.1, 0.0, 0.0, 0.01, -sign * 0.5)
+        comps.append(c)
+    # clustered: half in one octant -> strongly uneven cell occupancy
+    r = np.concatenate([
+        rng.uniform(0, L / 2, (N // 2, 3)),
+        rng.uniform(0, L, (N - N // 2, 3)),
+    ])
+    q = rng.normal(size=(N, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+    data = _psdata(comps, L, r, q)
+    mol, pp, table, box = build_scene(data, cutoff=rc)
+
+    spec = CellGridSpec.create(np.asarray(box), rc, cap=64)
+    dense = PallasMultiSitePath(table, spec, interpret=True)
+    packd = PallasMultiSitePackedPath(table, spec, interpret=True)
+    f_d, m_d, _ = jax.jit(dense.__call__)(mol)
+    f_p, m_p, ovf = jax.jit(packd.__call__)(mol)
+    assert not bool(ovf)
+
+    scale = np.abs(np.asarray(f_d.F)).max() + 1e-30
+    np.testing.assert_allclose(
+        np.asarray(f_p.F) / scale, np.asarray(f_d.F) / scale, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(f_p.M), np.asarray(f_d.M), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(f_p.Vi), np.asarray(f_d.Vi), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        float(m_p.upot), float(m_d.upot), rtol=1e-12, atol=1e-14
+    )
+    np.testing.assert_allclose(
+        float(m_p.total_virial), float(m_d.total_virial), rtol=1e-12,
+        atol=1e-14,
+    )
+
+
+def test_packed_screened_matches_dense():
+    """Ewald real-space screening (the H2O/molten-salt production path)
+    through the packed kernel."""
+    from ls1_mardyn_tpu.models.components import Component
+    rng = np.random.default_rng(5)
+    N, L, rc = 300, 12.0, 3.0
+    comps = []
+    for sign in (1.0, -1.0):
+        c = Component(cid=len(comps))
+        c.add_ljcenter(0.0, 0.0, 0.0, 1.0, 0.4, 1.0, 0.0, False)
+        c.add_charge(0.0, 0.0, 0.0, 0.0, sign)
+        comps.append(c)
+    data = _psdata(comps, L, rng.uniform(0, L, (N, 3)),
+                   np.tile(np.array([1.0, 0, 0, 0]), (N, 1)))
+    mol, pp, table, box = build_scene(data, cutoff=rc)
+    alpha = 0.9
+
+    spec = CellGridSpec.create(np.asarray(box), rc, cap=64)
+    dense = PallasMultiSitePath(table, spec, interpret=True,
+                                screen_alpha=alpha)
+    packd = PallasMultiSitePackedPath(table, spec, interpret=True,
+                                      screen_alpha=alpha)
+    f_d, m_d, _ = jax.jit(dense.__call__)(mol)
+    f_p, m_p, _ = jax.jit(packd.__call__)(mol)
+
+    scale = np.abs(np.asarray(f_d.F)).max() + 1e-30
+    np.testing.assert_allclose(
+        np.asarray(f_p.F) / scale, np.asarray(f_d.F) / scale, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        float(m_p.upot), float(m_d.upot), rtol=1e-12, atol=1e-14
+    )

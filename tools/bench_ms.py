@@ -222,8 +222,8 @@ def main():
             out.append({"metric": s, "error": repr(e)[:500]})
         print(json.dumps(out[-1]), flush=True)
     if args.json:
-        with open(args.json, "w") as f:
-            json.dump(out, f, indent=1)
+        from tools.artifact import merge_artifact
+        merge_artifact(args.json, out)
 
 
 if __name__ == "__main__":

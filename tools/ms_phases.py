@@ -152,8 +152,9 @@ def main():
     out["pair_lanes_per_step"] = pair_lanes
     print(json.dumps(out), flush=True)
     if args.json:
-        with open(args.json, "w") as f:
-            json.dump(out, f, indent=1)
+        from tools.artifact import merge_artifact
+        out.setdefault("metric", "multi-site phase breakdown")
+        merge_artifact(args.json, [out])
 
 
 if __name__ == "__main__":

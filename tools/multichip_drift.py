@@ -166,9 +166,12 @@ def main():
             "1e-4 line"
         ),
     }
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
-    print("wrote", path, json.dumps({k: out[k] for k in out
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from tools.artifact import merge_artifact
+    out.setdefault("metric", "multichip energy drift (10k steps)")
+    merge_artifact(path, [out])
+    print("wrote (merged)", path, json.dumps({k: out[k] for k in out
           if k.startswith("drift")}))
 
 

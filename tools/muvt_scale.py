@@ -194,10 +194,12 @@ def main():
     }
     print(json.dumps(out))
     if backend == "tpu":
+        from tools.artifact import merge_artifact
         name = "MUVT_EVAP.json" if scene == "evap" else "MUVT_SCALE.json"
-        with open(os.path.join(REPO, name), "w") as f:
-            json.dump(out, f, indent=1)
-        print("wrote", name)
+        out = dict(out)
+        out.setdefault("metric", "muvt at-scale run (scene=%s)" % scene)
+        merge_artifact(os.path.join(REPO, name), [out])
+        print("wrote (merged)", name)
     else:
         print("(not on TPU: artifact not written)")
 
