@@ -82,7 +82,8 @@ class MDSimulation:
         self,
         config: XMLConfig,
         dtype=jnp.float32,
-        force_mode: str = "auto",  # auto | pallas | cells | scene
+        # auto | pallas | cells | scene | rmm | ms_packed | ms_dense
+        force_mode: str = "auto",
         # "scene": construction-only base (tables/solvers/readers; the
         # force path is the internal cells fallback and never runs) --
         # what ParallelMDSimulation builds its own engines from
@@ -463,7 +464,7 @@ class MDSimulation:
             sim_cfg = _dc.replace(sim_cfg, screen_alpha=screen_alpha)
 
         force_fn = None
-        if force_mode in ("auto", "pallas"):
+        if force_mode in ("auto", "pallas", "ms_packed", "ms_dense"):
             import jax
 
             spec = CellGridSpec.create(
@@ -535,12 +536,17 @@ class MDSimulation:
                             spec.dims,
                         )
                     else:
+                        from ls1_mardyn_tpu.ops.pallas_ms_packed import (
+                            PallasMultiSitePackedPath,
+                            pick_ms_grid_packed,
+                        )
                         from ls1_mardyn_tpu.ops.pallas_ms_path import (
                             PallasMultiSitePath,
                             pick_ms_grid,
                         )
 
                         ms_tx = 0
+                        use_packed = force_mode == "ms_packed"
                         if (not interpret and not self._z_edges and n
                                 and not self._cap_forced):
                             # cost-based grid/cap/tx for the dense
@@ -553,18 +559,52 @@ class MDSimulation:
                                 data.r, self.box,
                                 config.lj_cutoff / config.cells_in_cutoff,
                             )
+                            dense_lanes = None
                             if pick is not None:
                                 dims_p, cap_p, ms_tx = pick
+                                dense_lanes = (
+                                    float(np.prod(dims_p)) * cap_p * cap_p
+                                    * 9 * (ms_tx + 2)
+                                )
+                            # occupancy-packed variant (cap off the lane
+                            # geometry): pick it when its measured-
+                            # occupancy lane estimate beats the dense
+                            # chooser's (CO2 N=1M: 1.83x measured,
+                            # tools/ab_mspack.py 2026-08-21)
+                            if force_mode != "ms_dense":
+                                ppick = pick_ms_grid_packed(
+                                    data.r, self.box,
+                                    config.lj_cutoff
+                                    / config.cells_in_cutoff,
+                                )
+                                if ppick is not None and (
+                                        dense_lanes is None
+                                        or ppick[2] < dense_lanes
+                                        or use_packed):
+                                    use_packed = True
+                                    spec = _dc.replace(
+                                        spec, dims=ppick[0],
+                                        cap=ppick[1])
+                            if not use_packed and pick is not None:
                                 spec = _dc.replace(
                                     spec, dims=dims_p, cap=cap_p)
-                        force_fn = PallasMultiSitePath(
-                            self._table_pair, spec, tx=ms_tx,
-                            interpret=interpret,
-                            screen_alpha=screen_alpha,
-                        )
+                        if use_packed:
+                            force_fn = PallasMultiSitePackedPath(
+                                self._table_pair, spec,
+                                interpret=interpret,
+                                screen_alpha=screen_alpha,
+                            )
+                        else:
+                            force_fn = PallasMultiSitePath(
+                                self._table_pair, spec, tx=ms_tx,
+                                interpret=interpret,
+                                screen_alpha=screen_alpha,
+                            )
                         global_log.info(
-                            "force path: Pallas multi-site kernel, grid %s, "
-                            "cap %d, tx %d, %d planes",
+                            "force path: Pallas multi-site kernel "
+                            "(%s), grid %s, cap %d, tx %d, %d planes",
+                            "occupancy-packed" if use_packed
+                            else "dense",
                             spec.dims, spec.cap, force_fn.tx,
                             force_fn.meta.P,
                         )

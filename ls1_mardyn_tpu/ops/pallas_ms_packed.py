@@ -64,6 +64,71 @@ TI = 128  # i-tile lanes (one VPU lane tile)
 JW = 128  # j-chunk lanes
 
 
+def packed_lane_estimate(occ3, cap, sample_rows: int = 2048):
+    """Pair-lane count the packed kernel will execute for the cell
+    occupancies occ3 [nz, ny, nx] at binning capacity cap: per (z,y)
+    row, sum over i tiles of 9 * TI * chunks(128-aligned window over
+    cells [c_lo-1, c_hi+1]).  The window table mirrors the kernel's
+    packed-j layout exactly.  Rows are subsampled beyond sample_rows
+    (estimate scaled back up)."""
+    occ3 = np.asarray(occ3)
+    nz, ny, nx = occ3.shape
+    rows = occ3.reshape(nz * ny, nx)
+    n_rows = rows.shape[0]
+    step = max(1, n_rows // sample_rows)
+    lanes = 0.0
+    used = 0
+    for ri in range(0, n_rows, step):
+        o = rows[ri]
+        prefix = np.concatenate([[0], np.cumsum(o)])
+        cnt = int(prefix[-1])
+        if cnt == 0:
+            used += 1
+            continue
+        start = np.concatenate(
+            [[cap - o[-1]], cap + prefix, [cap + cnt + o[0]]])
+        ntiles = -(-cnt // TI)
+        for t in range(ntiles):
+            lo = int(np.searchsorted(prefix, t * TI, "right") - 1)
+            hi = int(np.searchsorted(
+                prefix, min((t + 1) * TI, cnt) - 1, "right") - 1)
+            sw = start[lo]
+            ew = start[min(hi + 3, len(start) - 1)]
+            base = (sw // JW) * JW
+            nch = -(-(ew - base) // JW)
+            lanes += 9 * TI * JW * nch
+        used += 1
+    return lanes * (n_rows / max(used, 1))
+
+
+def pick_ms_grid_packed(r, box, cutoff, cap_min: int = 16,
+                        headroom: float = 1.3):
+    """Grid/cap choice for the packed kernel.  Packing removes the
+    tx*cap%128 lane-alignment constraint, so cap follows the measured
+    max occupancy directly (8-quantized for layout), and the FINEST
+    admissible grid (cell edge >= cutoff) minimizes j-window length --
+    i-tile count is occupancy-driven and grid-independent.
+
+    Returns (dims, cap, lanes_estimate) or None."""
+    r = np.asarray(r, np.float64)
+    box = np.asarray(box, np.float64)
+    dims = tuple(int(np.floor(b / cutoff)) for b in box)
+    if min(dims) < 3:  # wrap-halo correctness needs >= 3 cells per axis
+        return None
+    idx = tuple(
+        np.minimum((r[:, a] * (dims[a] / box[a])).astype(np.int64),
+                   dims[a] - 1)
+        for a in range(3)
+    )
+    lin = (idx[2] * dims[1] + idx[1]) * dims[0] + idx[0]
+    occ = np.bincount(lin, minlength=int(np.prod(dims)))
+    cap = max(cap_min,
+              int(-(-np.ceil(headroom * occ.max()) // 8) * 8))
+    occ3 = occ.reshape(dims[2], dims[1], dims[0])
+    lanes = packed_lane_estimate(occ3, cap)
+    return dims, cap, lanes
+
+
 def _ms_packed_kernel(
     tbl_ref,  # scalar prefetch: [nz, ny, nx+3] int32 packed cell starts
     i_ref,

@@ -12,6 +12,9 @@ from ls1_mardyn_tpu.plugins.base import PluginBase, PluginFactory  # noqa: F401
 from ls1_mardyn_tpu.plugins import writers  # noqa: F401  (registers defaults)
 from ls1_mardyn_tpu.plugins import rdf  # noqa: F401
 from ls1_mardyn_tpu.plugins import nemd  # noqa: F401
+from ls1_mardyn_tpu.plugins import profiles  # noqa: F401
+from ls1_mardyn_tpu.plugins import region_sampling  # noqa: F401
+from ls1_mardyn_tpu.plugins import mettdeamon  # noqa: F401
 from ls1_mardyn_tpu.plugins import writers2  # noqa: F401
 from ls1_mardyn_tpu.plugins import widom  # noqa: F401
 from ls1_mardyn_tpu.plugins import diagnostics  # noqa: F401
@@ -23,11 +26,6 @@ from ls1_mardyn_tpu.ensemble import cavity  # noqa: F401  (CavityWriter)
 from ls1_mardyn_tpu.plugins import extra  # noqa: F401
 from ls1_mardyn_tpu.plugins import steereo  # noqa: F401
 
-# RegionSampling (NEMD/RegionSampling.h) maps onto the SpatialProfile
-# sampler; register the reference name as an alias.
-PluginFactory._registry.setdefault(
-    "RegionSampling", PluginFactory._registry.get("SpatialProfile")
-)
 # Legacy "DomainProfiles" configs map onto the profile writer exactly
 # as the reference does (PluginFactory.cpp:181 forwards it to
 # DensityProfileWriter); the Adsorption example uses this name.

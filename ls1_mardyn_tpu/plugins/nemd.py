@@ -2,7 +2,7 @@
 
 Re-creations of the reference's physics plugin set
 (/root/reference/src/plugins/: Mirror.cpp, WallPotential.cpp,
-FixRegion.cpp, COMaligner.cpp, SpatialProfile + profiles/,
+FixRegion.cpp, COMaligner.cpp,
 InMemoryCheckpointing.h).  Each mutates or observes device state from
 the host loop; the heavy lifting stays jitted.
 """
@@ -371,81 +371,6 @@ class COMaligner(PluginBase):
 
         r = wrap_positions(mol.r + shift[None, :], tuple(sim.box))
         _replace_mol(sim, r=r)
-
-
-@PluginFactory.register("SpatialProfile")
-class SpatialProfile(PluginBase):
-    """1-D spatial profiles (src/plugins/SpatialProfile.cpp +
-    plugins/profiles/): density / temperature / velocity per slab
-    along an axis, written periodically."""
-
-    def __init__(self, params=None):
-        super().__init__(params)
-        self.axis = {"x": 0, "y": 1, "z": 2}.get(
-            str(self.params.get("axis", "y")).lower(), 1
-        )
-        self.nbins = int(float(self.params.get("bins", 100)))
-        self.sampling_frequency = int(float(self.params.get("samplefrequency", 10)))
-
-    def init(self, sim):
-        self._rho = np.zeros(self.nbins)
-        self._t = np.zeros(self.nbins)
-        self._vy = np.zeros((self.nbins, 3))
-        self._samples = 0
-        self._written = 0
-
-    def end_step(self, sim, step):
-        if step % self.sampling_frequency == 0:
-            mol = sim.engine.mol
-            valid = np.asarray(mol.valid)
-            y = np.asarray(mol.r)[valid, self.axis]
-            v = np.asarray(mol.v)[valid]
-            mass = np.asarray(sim.pp.mass)[np.asarray(mol.cid)[valid]]
-            L = sim.box[self.axis]
-            b = np.clip((y / (L / self.nbins)).astype(int), 0, self.nbins - 1)
-            cnt = np.bincount(b, minlength=self.nbins)
-            self._rho += cnt
-            mv2 = mass * (v ** 2).sum(1)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                self._t += np.where(
-                    cnt > 0,
-                    np.bincount(b, weights=mv2, minlength=self.nbins)
-                    / np.maximum(3 * cnt, 1),
-                    0.0,
-                )
-            for d in range(3):
-                self._vy[:, d] += np.where(
-                    cnt > 0,
-                    np.bincount(b, weights=v[:, d], minlength=self.nbins)
-                    / np.maximum(cnt, 1),
-                    0.0,
-                )
-            self._samples += 1
-        if step % self.write_frequency == 0 and self._samples:
-            self._write(sim, step)
-
-    def _write(self, sim, step):
-        L = sim.box[self.axis]
-        dz = L / self.nbins
-        vol = sim.volume / self.nbins
-        with open(f"{self.output_prefix}_{self._written:04d}.profile", "w") as f:
-            f.write(f"# spatial profile, step {step}, samples {self._samples}\n")
-            f.write("# y\trho\tT\tvx\tvy\tvz\n")
-            for i in range(self.nbins):
-                f.write(
-                    f"{(i + 0.5) * dz:.6f}\t"
-                    f"{self._rho[i] / self._samples / vol:.8f}\t"
-                    f"{self._t[i] / self._samples:.8f}\t"
-                    + "\t".join(
-                        f"{self._vy[i, d] / self._samples:.8f}" for d in range(3)
-                    )
-                    + "\n"
-                )
-        self._written += 1
-
-    def finish(self, sim):
-        if self._samples:
-            self._write(sim, sim.step)
 
 
 @PluginFactory.register("InMemoryCheckpointing")

@@ -199,65 +199,3 @@ class ExtractPhase(PluginBase):
         self.done = True
 
 
-@PluginFactory.register("MettDeamon")
-class MettDeamon(PluginBase):
-    """Simplified steady-state evaporation feeder (MettDeamon.cpp):
-    every `interval` steps, insert `feed_rate` molecules uniformly in
-    the feed region y in [0, feed_width) with Maxwell velocities at
-    temperature T, and delete molecules past the sink plane
-    y > sink_pos (molecules that evaporated through the film)."""
-
-    def __init__(self, params=None):
-        super().__init__(params)
-        p = self.params
-        self.interval = int(float(p.get("interval", 100)))
-        self.feed_rate = int(float(p.get("feedrate", 1)))
-        self.feed_width = float(p.get("feedwidth", 2.0))
-        self.sink_pos = float(p.get("sinkpos", 1e30))
-        self.component = int(float(p.get("cid", 1))) - 1
-        self.inserted = 0
-        self.deleted = 0
-        self._rng = np.random.default_rng(int(float(p.get("seed", 42))))
-
-    def after_forces(self, sim, step):
-        if step % self.interval:
-            return
-        import jax.numpy as jnp
-
-        mol = sim.engine.mol
-        valid = np.array(mol.valid)
-        r = np.array(mol.r)
-        v = np.array(mol.v)
-        cid_arr = np.array(mol.cid)
-        mid = np.array(mol.mid)
-        # sink: delete molecules past the plane
-        gone = valid & (r[:, 1] > self.sink_pos)
-        if gone.any():
-            valid[gone] = False
-            self.deleted += int(gone.sum())
-        # feed: insert molecules in the feed region
-        T = float(sim.config.temperature) or 1.0
-        mass = float(np.asarray(sim.pp.mass)[self.component])
-        free = np.where(~valid)[0]
-        n_ins = min(self.feed_rate, len(free))
-        box = np.asarray(sim.box, float)
-        for i in range(n_ins):
-            idx = free[i]
-            r[idx] = self._rng.uniform(0, 1, 3) * np.array(
-                [box[0], self.feed_width, box[2]]
-            )
-            v[idx] = self._rng.normal(0, np.sqrt(T / mass), 3)
-            v[idx, 1] = abs(v[idx, 1])  # stream into the domain
-            cid_arr[idx] = self.component
-            mid[idx] = mid.max() + 1
-            valid[idx] = True
-            self.inserted += 1
-        dtype = mol.r.dtype
-        _replace_mol(
-            sim,
-            r=jnp.asarray(r, dtype),
-            v=jnp.asarray(v, dtype),
-            cid=jnp.asarray(cid_arr, jnp.int32),
-            mid=jnp.asarray(mid, jnp.int32),
-            valid=jnp.asarray(valid),
-        )

@@ -143,26 +143,111 @@ def test_extractphase(tmp_path, monkeypatch):
     assert ((y >= 10.0) & (y <= 20.0)).all()
 
 
-def test_mettdeamon_feed_and_sink(tmp_path, monkeypatch):
+def _mett_config(plugins=()):
+    """Two-component scene (component 2 = frozen variant of 1) with a
+    liquid slab at the bottom serving as the in-memory reservoir."""
+    Lx = Lz = 8.0
+    Ly = 30.0
+    T = 0.8
+    comps = []
+    for k in range(2):
+        c = Component(cid=k)
+        c.add_ljcenter(0, 0, 0, 1.0, 1.0, 1.0)
+        comps.append(c)
+    rng = np.random.default_rng(12)
+    n = 400
+    r = rng.uniform(0, 1, (n, 3)) * np.array([Lx, 8.0, Lz])
+    v = rng.normal(0, np.sqrt(T), (n, 3))
+    box = np.array([Lx, Ly, Lz])
+    cfg = XMLConfig(
+        timestep=0.002, temperature=T, box=box, cutoff=2.5,
+        lj_cutoff=2.5, components=comps,
+        mixing_xi=np.ones((2, 2)), mixing_eta=np.ones((2, 2)),
+        plugins=[PluginSpec(nm, dict(pr)) for nm, pr in plugins],
+    )
+    data = PhaseSpaceData(
+        components=comps, mixing_xi=np.ones((2, 2)),
+        mixing_eta=np.ones((2, 2)),
+        eps_rf=1.0, box=box, temperature=T, current_time=0.0,
+        mid=np.arange(1, n + 1, dtype=np.int64),
+        cid=np.zeros(n, np.int32), r=r, v=v,
+        q=np.tile([1.0, 0, 0, 0], (n, 1)), L=np.zeros_like(r),
+    )
+    return cfg, data, n
+
+
+def test_mettdeamon_reservoir_feed_and_release(tmp_path, monkeypatch):
+    """Reference reservoir-slab semantics (MettDeamon.cpp): feed sum
+    crossing one bin width inserts the active reservoir bin as FROZEN
+    component-2 molecules at the feed boundary; frozen molecules ride
+    with the feed; crossing the transition plane (2 bin widths)
+    releases them back to component 1."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
     os.chdir(tmp_path)
-    cfg, data, n = _slab_config(plugins=[
-        ("MettDeamon", {"interval": "1", "feedrate": "5",
-                        "feedwidth": "2.0", "sinkpos": "25.0", "cid": "1"}),
+    cfg, data, n = _mett_config(plugins=[
+        ("MettDeamon", {
+            "control": {"updatefreq": "10",
+                        "feed": {"init": "1.1", "direction": "1",
+                                 "method": "4",
+                                 "release_velo": {"method": "1"}}},
+            "reservoir": {"width": "4.0", "binwidth": "2.0",
+                          "ins_percent": "1.0"},
+            "changes": {"change": {"from": "1", "to": "2"}},
+            "writefrequency": "1",
+        }),
     ])
-    # one molecule already past the sink, and free capacity for feeds
-    data.r = np.vstack([data.r, [[1.0, 27.0, 1.0]]])
-    data.v = np.vstack([data.v, np.zeros((1, 3))])
-    data.q = np.vstack([data.q, [[1.0, 0, 0, 0]]])
-    data.L = np.vstack([data.L, np.zeros((1, 3))])
-    data.cid = np.concatenate([data.cid, [0]])
-    data.mid = np.concatenate([data.mid, [n + 1]])
     sim = _sim(cfg, data, monkeypatch)
     md = sim._plugins[0]
-    md.after_forces(sim, 0)  # interval hits at step 0
-    assert md.deleted == 1
-    assert md.inserted == 1  # only one free slot (the deleted one)
+    assert md.bins and len(md.bins) == 2
+    assert md.transition_y == 4.0
+
+    # free some capacity (molecules deleted by an evaporation sink)
+    mol = sim.engine.mol
+    valid = np.asarray(mol.valid).copy()
+    kill = np.flatnonzero(valid)[:120]
+    valid[kill] = False
+    sim.engine.mol = dc.replace(mol, valid=jnp.asarray(valid))
+
+    md.before_event_new_timestep(sim, 1)
+    md.before_forces(sim, 1)  # feed_sum = 1.1 < binwidth: no insert
+    assert md.inserted == 0
+    md.before_event_new_timestep(sim, 2)
+    md.before_forces(sim, 2)  # feed_sum = 2.2 >= 2.0: insert bin 0
+    assert md.inserted > 0
     mol = sim.engine.mol
     valid = np.asarray(mol.valid)
-    y = np.asarray(mol.r)[valid, 1]
-    assert (y <= 25.0).all()
-    assert (y < 2.0).any()  # fed molecule near the feed boundary
+    cid = np.asarray(mol.cid)
+    frozen = valid & (cid == 1)
+    assert frozen.sum() == md.inserted
+    y_frozen = np.asarray(mol.r)[frozen, 1]
+    # inserted at the feed boundary: y in [feed_sum - bin, feed_sum)
+    assert (y_frozen < 2.0 + 0.21).all()
+    assert md.active_bin == 1
+
+    # frozen molecules ride with the feed
+    y0 = np.asarray(mol.r)[frozen, 1].copy()
+    md.before_event_new_timestep(sim, 3)
+    md.before_forces(sim, 3)
+    mol = sim.engine.mol
+    y1 = np.asarray(mol.r)[np.asarray(mol.valid)
+                           & (np.asarray(mol.cid) == 1), 1]
+    assert len(y1) >= len(y0)
+
+    # teleport one frozen molecule past the transition plane: released
+    mol = sim.engine.mol
+    cid = np.asarray(mol.cid)
+    valid = np.asarray(mol.valid)
+    fi = np.flatnonzero(valid & (cid == 1))[0]
+    r = np.array(mol.r)
+    r[fi, 1] = md.transition_y + 0.5
+    sim.engine.mol = dc.replace(mol, r=jnp.asarray(r, mol.r.dtype))
+    md.before_event_new_timestep(sim, 4)
+    md.before_forces(sim, 4)
+    assert md.released >= 1
+    assert int(np.asarray(sim.engine.mol.cid)[fi]) == 0
+    # feed log written
+    md.after_forces(sim, 4)
+    assert os.path.exists("MettDeamon_feed.dat")

@@ -155,6 +155,8 @@ def test_com_aligner(tmp_path):
 
 
 def test_spatial_profile_writes(tmp_path):
+    """Legacy 1-D shorthand (<axis>/<bins>) through the full profile
+    system: reference-format .NDpr/.Temppr/... files appear."""
     os.chdir(tmp_path)
     cfg = _cfg(plugins=[("SpatialProfile", {"axis": "y", "bins": "20",
                                             "samplefrequency": "2",
@@ -163,9 +165,21 @@ def test_spatial_profile_writes(tmp_path):
     sim = MDSimulation(cfg)
     sim.run(steps=10, print_every=0)
     files = [f for f in os.listdir(".") if f.startswith("prof")]
-    assert files
-    txt = open(files[0]).read()
-    assert "rho" in txt and len(txt.splitlines()) >= 22
+    assert any(f.endswith(".NDpr") for f in files), files
+    assert any(f.endswith(".Temppr") for f in files), files
+    nd = next(f for f in files if f.endswith(".NDpr"))
+    txt = open(nd).read()
+    assert "number density" in txt
+    # header (4) + z-label line + 20 y rows
+    assert len(txt.splitlines()) >= 24
+    # density column sums to overall density
+    import numpy as _np
+
+    rows = [ln.split() for ln in txt.splitlines()[6:]]
+    dens = _np.array([[float(x) for x in row[1:]] for row in rows])
+    vol_bin = float(sim.volume) / 20
+    n_est = dens.sum() * vol_bin
+    _np.testing.assert_allclose(n_est, 216, rtol=1e-6)
 
 
 def test_in_memory_checkpoint_restore(tmp_path):

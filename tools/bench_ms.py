@@ -155,6 +155,8 @@ def measure(name, data, cfg_kw, steps, windows, budget):
             jw=fp.jw,
             pair_lanes=float(nzs * nys * nxs * cap * cap * 9 * (tx + 2 * HX)),
             bodies=int(sum(int(m.sum()) for m in fp.meta.masks.values())),
+            kernel=("occupancy-packed" if getattr(fp, "packed", False)
+                    else "dense"),
         )
     log("%s: driver built in %.1fs; %s" % (
         name, time.perf_counter() - t0, info or type(sim.engine).__name__))
