@@ -130,7 +130,7 @@ def pick_ms_grid_packed(r, box, cutoff, cap_min: int = 16,
 
 
 def _ms_packed_kernel(
-    tbl_ref,  # scalar prefetch: [nz, ny, nx+3] int32 packed cell starts
+    tbl_ref,  # scalar prefetch: [nzj, ny, nx+3] int32 packed cell starts
     i_ref,
     *refs,
     tables,
@@ -155,6 +155,7 @@ def _ms_packed_kernel(
     rc2: float,
     rc2_lj: float,
     screen_alpha: float,
+    z_halo: bool,
     interpret: bool,
     out_dtype,
 ):
@@ -367,13 +368,21 @@ def _ms_packed_kernel(
             zs = jnp.zeros((), out_dtype)
             acc = (zcol,) * 9 + (zs,) * 3
             for k, (dz, dy) in enumerate(_OFFS):
-                zk = jax.lax.rem(pz + jnp.int32(dz + nz), jnp.int32(nz))
+                if z_halo:
+                    # explicit halo rows from the slab exchange carry
+                    # any global-z periodic shift already
+                    zk = pz + jnp.int32(dz + 1)
+                    sz = jnp.zeros((), out_dtype)
+                else:
+                    zk = jax.lax.rem(pz + jnp.int32(dz + nz),
+                                     jnp.int32(nz))
+                    sz = jnp.where(
+                        pz + dz < 0, -bz,
+                        jnp.where(pz + dz >= nz, bz, 0.0)
+                    ).astype(out_dtype)
                 yk = jax.lax.rem(py + jnp.int32(dy + ny), jnp.int32(ny))
                 sy = jnp.where(
                     py + dy < 0, -by, jnp.where(py + dy >= ny, by, 0.0)
-                ).astype(out_dtype)
-                sz = jnp.where(
-                    pz + dz < 0, -bz, jnp.where(pz + dz >= nz, bz, 0.0)
                 ).astype(out_dtype)
                 start_w = tbl_ref[zk, yk, lo_idx]
                 end_w = tbl_ref[zk, yk, hi_idx]
@@ -415,13 +424,13 @@ def _ms_packed_kernel(
     jax.jit,
     static_argnames=(
         "nx", "ny", "nz", "cap", "Wp", "Wjp", "cell_plane", "box",
-        "rc2", "rc2_lj", "screen_alpha", "interpret", "meta",
+        "rc2", "rc2_lj", "screen_alpha", "z_halo", "interpret", "meta",
     ),
 )
 def multisite_cell_forces_packed(
-    tbl: jnp.ndarray,  # [nz, ny, nx+3] int32 packed cell starts
+    tbl: jnp.ndarray,  # [nzj, ny, nx+3] int32 packed cell starts
     r_i: jnp.ndarray,  # [nz, ny, P, Wp] packed rows
-    r_j: jnp.ndarray,  # [nz, ny, P, Wjp] packed rows + wrap halos
+    r_j: jnp.ndarray,  # [nzj, ny, P, Wjp] packed rows + wrap halos
     *,
     nx: int,
     ny: int,
@@ -435,11 +444,17 @@ def multisite_cell_forces_packed(
     rc2_lj: float,
     screen_alpha: float,
     meta,
+    z_halo: bool = False,
     interpret: bool = False,
 ):
+    """z_halo=True: r_j and tbl carry nz+2 z rows (explicit halo rows
+    from a slab exchange, global-z shifts pre-applied); periodic z
+    wrap is disabled in-kernel."""
     P = r_i.shape[2]
+    nzj = nz + 2 if z_halo else nz
     assert r_i.shape == (nz, ny, P, Wp), r_i.shape
-    assert r_j.shape == (nz, ny, P, Wjp), r_j.shape
+    assert r_j.shape == (nzj, ny, P, Wjp), r_j.shape
+    assert tbl.shape == (nzj, ny, nx + 3), tbl.shape
     assert Wp % TI == 0 and Wjp % JW == 0, (Wp, Wjp)
     out_dtype = r_i.dtype
 
@@ -453,7 +468,8 @@ def multisite_cell_forces_packed(
     # whole 9 times with per-offset wrapped index maps (same scheme as
     # the dense kernel)
     def jmap(z, y, *_, dz, dy):
-        return ((z + dz) % nz, (y + dy) % ny, 0, 0)
+        zi = (z + dz + 1) if z_halo else (z + dz) % nz
+        return (zi, (y + dy) % ny, 0, 0)
 
     j_specs = [
         pl.BlockSpec(
@@ -491,6 +507,7 @@ def multisite_cell_forces_packed(
         rc2=rc2,
         rc2_lj=rc2_lj,
         screen_alpha=screen_alpha,
+        z_halo=z_halo,
         interpret=interpret,
         out_dtype=out_dtype,
     )
@@ -514,6 +531,80 @@ def multisite_cell_forces_packed(
     uX = jnp.sum(scal[..., 1])
     my_rf = jnp.sum(scal[..., 2])
     return out, u6, uX, my_rf
+
+
+def pack_dense_rows(g, nx: int, cap: int, Lx: float, cell_plane: int,
+                    Wp: int, Wjp: int, make_j: bool = True):
+    """Compact dense slot-layout rows into the packed kernel's layout.
+
+    g: [R, W=nx*cap, P] dense rows (validity plane at index 3, slot
+    order = cell-major).  Everything is derived from the validity
+    plane, so rows received from a halo exchange pack exactly like
+    local rows.  Returns (gi [R, Wp, P], gj [R, Wjp, P] or None,
+    tbl [R, nx+3] int32, prefix [R, nx] int32)."""
+    R, W, P = g.shape
+    dtype = g.dtype
+    filled = g[:, :, 3] > 0.5
+    occ = filled.reshape(R, nx, cap).sum(-1).astype(jnp.int32)
+    cs = jnp.cumsum(occ, axis=1)
+    prefix = cs - occ
+    row_cnt = cs[:, -1]
+
+    row_pos = jnp.arange(W, dtype=jnp.int32)
+    key = jnp.where(filled, row_pos, W)
+    src = jnp.sort(key, axis=-1)
+    ok = src < W
+    srcc = jnp.minimum(src, W - 1)
+    gi = jnp.where(
+        ok[..., None],
+        jnp.take_along_axis(g, srcc[..., None], axis=1),
+        0.0,
+    )
+    cellidx = jnp.where(ok, srcc // cap, 0)
+    gi = gi.at[:, :, cell_plane].set(cellidx.astype(dtype))
+    if Wp > W:
+        gi = jnp.concatenate(
+            [gi, jnp.zeros((R, Wp - W, P), dtype)], axis=1)
+
+    occ_last = occ[:, -1]
+    occ_first = occ[:, 0]
+    tbl = jnp.concatenate(
+        [
+            (cap - occ_last)[:, None],
+            cap + prefix,
+            (cap + row_cnt)[:, None],
+            (cap + row_cnt + occ_first)[:, None],
+        ],
+        axis=1,
+    ).astype(jnp.int32)
+
+    gj = None
+    if make_j:
+        jpos = jnp.arange(Wjp, dtype=jnp.int32)[None, :]
+        rcb = row_cnt[:, None]
+        in_left = jpos < cap
+        in_mid = (jpos >= cap) & (jpos < cap + rcb)
+        jsrc = jnp.where(
+            in_left, jpos - cap + rcb,
+            jnp.where(in_mid, jpos - cap, jpos - cap - rcb),
+        )
+        jvalid = jnp.where(
+            in_left, jpos >= cap - occ_last[:, None],
+            jnp.where(in_mid, True,
+                      jpos - cap - rcb < occ_first[:, None]),
+        )
+        jvalid = jvalid & (jsrc >= 0) & (jsrc < Wp)
+        jsafe = jnp.clip(jsrc, 0, Wp - 1)
+        gj = jnp.where(
+            jvalid[..., None],
+            jnp.take_along_axis(
+                gi, jsafe[..., None].astype(jnp.int32), axis=1),
+            0.0,
+        )
+        shift = jnp.where(in_left, -Lx, jnp.where(in_mid, 0.0, Lx))
+        shift = jnp.where(jvalid, shift, 0.0).astype(dtype)
+        gj = gj.at[:, :, 0].add(shift)
+    return gi, gj, tbl, prefix
 
 
 class PallasMultiSitePackedPath(PallasMultiSitePath):

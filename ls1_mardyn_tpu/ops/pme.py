@@ -405,12 +405,21 @@ def _auto_cap(n: int, grid, blk: int) -> int:
     """Bucket capacity from the mean over OCCUPIABLE blocks (base
     cells lie in [0, G), so the padded-margin blocks never receive
     sites -- sizing over all blocks undercounts partial-edge blocks
-    and overflows on dense lattices), with 4x clustering headroom."""
+    and overflows on dense lattices).
+
+    Headroom is statistical (mean + 6 sqrt(mean) + 16, rounded to 64):
+    the former flat 4x-mean power-of-2 sizing made cap 512 at the
+    H2O/N=1e6/G=256^3 geometry (mean 92), whose [nb_tot, 8*cap, W]
+    spread view was the 25 GB-over OOM that masqueraded as the r4
+    'compile-helper HTTP 500' failure.  Occupancy beyond the 6-sigma
+    band is caught by the overflow watchdog (NaN-poisoned energy)."""
     occ = 1
     for G in grid:
         occ *= -(-G // blk)
     mean = max(1.0, n / max(occ, 1))
-    return int(max(16, 2 ** int(np.ceil(np.log2(4.0 * mean)))))
+    need = mean + 6.0 * np.sqrt(mean) + 16.0
+    return int(max(16, -(-int(np.ceil(need)) // 64) * 64
+                   if need > 64 else 2 ** int(np.ceil(np.log2(need)))))
 
 
 def _build_site_blocks(bw, w3, dw3, wq, grid, p: int, blk: int, cap: int):
@@ -456,39 +465,6 @@ def _build_site_blocks(bw, w3, dw3, wq, grid, p: int, blk: int, cap: int):
     return table, overflow, slot_of, ok_site
 
 
-def _neighbor_rows(table, nb, cap):
-    """[nb_tot, 8*cap, W] view: for every block O, the rows of the 8
-    source buckets {O-1, O}^3 in (dx, dy, dz) raster order.  Built
-    from zero-padded STATIC slices (plain copies -- no gathers; the
-    out-of-range low-edge neighbors read the zero padding)."""
-    nbx, nby, nbz = nb
-    Wr = table.shape[1]
-    tb = table.reshape(nbx, nby, nbz, cap, Wr)
-    tp = jnp.pad(tb, ((1, 0), (1, 0), (1, 0), (0, 0), (0, 0)))
-    views = [
-        tp[dx:dx + nbx, dy:dy + nby, dz:dz + nbz]
-        for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)
-    ]
-    src = jnp.concatenate(views, axis=3)  # [nbx, nby, nbz, 8cap, W]
-    return src.reshape(nbx * nby * nbz, 8 * cap, Wr)
-
-
-def _neighbor_dbl(cap, blk):
-    """Static per-axis source-minus-target block origins (in cells)
-    matching _neighbor_rows' raster order, each [8*cap] int32."""
-    d = []
-    for ax in range(3):
-        v = np.zeros((8, cap), np.int32)
-        k = 0
-        for dx in (0, 1):
-            for dy in (0, 1):
-                for dz in (0, 1):
-                    v[k, :] = ((dx, dy, dz)[ax] - 1) * blk
-                    k += 1
-        d.append(jnp.asarray(v.reshape(-1)))
-    return d
-
-
 def _axis_weights(db_ax, dbl_ax, wcols, p: int, blk: int, dtype):
     """W(s, c) for c = 0..blk-1 on one axis: spline index
     j = db + (p-1) + dbl - c; one-hot select from the p weight
@@ -522,40 +498,76 @@ def _spread_blocked(bw, w3, wq, grid, p: int, dtype, blk: int = 8,
     table, overflow, _slot, _ok = _build_site_blocks(
         bw, w3, None, wq, grid, p, blk, cap
     )
-    src = _neighbor_rows(table, nb, cap)  # [nb_tot, 8cap, W]
-    dbl = _neighbor_dbl(cap, blk)
+    # SOURCE-bucket formulation: in the (p-1)-padded cell space a site
+    # at base cell b covers cells [b, b+p-1], so bucket B's sites
+    # spread onto the 2x2x2-block cube ANCHORED AT B (blocks {B, B+1},
+    # the exact transpose of the gather's cube) -- computed chunk-wise
+    # from the bucket rows alone; the cubes overlap-add into the
+    # padded grid afterwards.  (The former TARGET-centric version
+    # materialized the full [nb_tot, 8*cap, W] neighbor view as a loop
+    # constant -- 8x the bucket table, 25 GB over HBM at the H2O
+    # N=1e6 geometry.)
+    assert p <= blk, (p, blk)
+    Wr = table.shape[1]
+    rows_all = table[: nb_tot * cap].reshape(nb_tot, cap, Wr)
     nb_pad = -(-nb_tot // chunk) * chunk
     if nb_pad != nb_tot:
-        src = jnp.pad(src, ((0, nb_pad - nb_tot), (0, 0), (0, 0)))
-    src = src.reshape(-1, chunk, 8 * cap, src.shape[-1])
+        rows_all = jnp.pad(rows_all, ((0, nb_pad - nb_tot), (0, 0),
+                                      (0, 0)))
+    rows_all = rows_all.reshape(-1, chunk, cap, Wr)
+    W2 = 2 * blk
+    # cube cell c = padded cell B*blk + c: spline index
+    # j = db + (p-1) - c, i.e. _axis_weights with dbl = 0 (the same
+    # zero offset the gather's cube uses)
+    dbl_src = jnp.zeros((cap,), jnp.int32)
 
     def chunk_fn(rows):
         db = rows[:, :, 0:3]
         wqs = rows[:, :, 3]
         w3f = rows[:, :, 4:4 + 3 * p]
-        wx = _axis_weights(db[:, :, 0], dbl[0], w3f[:, :, 0:p], p, blk,
+        wx = _axis_weights(db[:, :, 0], dbl_src, w3f[:, :, 0:p], p, W2,
                            dtype)
-        wy = _axis_weights(db[:, :, 1], dbl[1], w3f[:, :, p:2 * p], p,
-                           blk, dtype)
-        wz = _axis_weights(db[:, :, 2], dbl[2], w3f[:, :, 2 * p:3 * p],
-                           p, blk, dtype)
-        A = wqs[:, :, None] * wx                     # [C, S, bx]
-        B = A[:, :, :, None] * wy[:, :, None, :]     # [C, S, bx, by]
+        wy = _axis_weights(db[:, :, 1], dbl_src, w3f[:, :, p:2 * p], p,
+                           W2, dtype)
+        wz = _axis_weights(db[:, :, 2], dbl_src, w3f[:, :, 2 * p:3 * p],
+                           p, W2, dtype)
+        A = wqs[:, :, None] * wx                     # [C, S, cx]
+        B = A[:, :, :, None] * wy[:, :, None, :]     # [C, S, cx, cy]
         out = jnp.einsum(
             "csxy,csz->cxyz", B, wz,
             preferred_element_type=dtype,
         )
-        return out  # [C, blk, blk, blk]
+        return out  # [C, W2, W2, W2]
 
-    blocks = jax.lax.map(chunk_fn, src)  # [nchunks, C, blk, blk, blk]
-    blocks = blocks.reshape(nb_pad, blk, blk, blk)[:nb_tot]
-    full = (
-        blocks.reshape(nb[0], nb[1], nb[2], blk, blk, blk)
-        .transpose(0, 3, 1, 4, 2, 5)
-        .reshape(nb[0] * blk, nb[1] * blk, nb[2] * blk)
-    )
+    cubes = jax.lax.map(chunk_fn, rows_all)  # [nchunks, C, W2,W2,W2]
+    cubes = cubes.reshape(nb_pad, W2, W2, W2)[:nb_tot]
+    cube6 = cubes.reshape(nb[0], nb[1], nb[2], W2, W2, W2)
+    # overlap-add: octant (ox,oy,oz) of bucket B's cube lands on block
+    # B+o of the grid; with a one-block trailing margin the adds are
+    # eight static-offset updates
+    big = jnp.zeros(tuple((nbd + 1) * blk for nbd in nb), dtype)
+    for ox in (0, 1):
+        for oy in (0, 1):
+            for oz in (0, 1):
+                oct_ = cube6[
+                    :, :, :,
+                    ox * blk:(ox + 1) * blk,
+                    oy * blk:(oy + 1) * blk,
+                    oz * blk:(oz + 1) * blk,
+                ]
+                g = (
+                    oct_.transpose(0, 3, 1, 4, 2, 5)
+                    .reshape(nb[0] * blk, nb[1] * blk, nb[2] * blk)
+                )
+                big = jax.lax.dynamic_update_slice(
+                    big,
+                    jax.lax.dynamic_slice(
+                        big, (ox * blk, oy * blk, oz * blk), g.shape
+                    ) + g,
+                    (ox * blk, oy * blk, oz * blk),
+                )
     Gp = tuple(G + p - 1 for G in grid)
-    pad = full[: Gp[0], : Gp[1], : Gp[2]]
+    pad = big[: Gp[0], : Gp[1], : Gp[2]]
     return _fold_padded(pad, grid, p), overflow
 
 

@@ -101,6 +101,10 @@ class SlabConfig:
     # multi-site mode: hashable kernel metadata (ops/pallas_multisite
     # _MSMeta); None selects the 1CLJ kernel
     ms_meta: object = None
+    # occupancy-packed multi-site kernel (ops/pallas_ms_packed) instead
+    # of the dense row kernel: rows compacted after the halo exchange,
+    # dynamic 128-aligned j windows (2x on the CO2 class single-chip)
+    ms_packed: bool = False
     rc2_lj: float = 0.0
     screen_alpha: float = 0.0
     # Ewald k-space (sharded over molecules, psum of structure factors);
@@ -690,6 +694,94 @@ class SlabSimulation:
         r_i = jnp.moveaxis(g, -1, 2)
         return r_i, r_j, bins
 
+    def _local_views_ms_packed(self, mol: MoleculeState,
+                               z_edges: jnp.ndarray):
+        """Packed-row kernel views for the multi-site slab path: bin
+        locally, ppermute RAW dense z rows (global-z shift applied on
+        the wrapping link), then compact every row -- local and halo
+        alike -- with pack_dense_rows (the packing derives from the
+        validity plane, so exchanged rows pack exactly like local
+        ones)."""
+        from ls1_mardyn_tpu.ops.pallas_ms_packed import (
+            JW,
+            TI,
+            pack_dense_rows,
+        )
+
+        cfg = self.cfg
+        spec = cfg.local_spec
+        rank = self._rank()
+        Pn = cfg.n_devices
+        dtype = mol.r.dtype
+        nx, ny, nzl, cap = cfg.nx, cfg.ny, cfg.nz_local, cfg.cap
+        local_edges = jax.lax.dynamic_slice(
+            z_edges, (rank * nzl,), (nzl + 1,)
+        ).astype(dtype)
+        clx = jnp.asarray(cfg.box[0] / nx, dtype)
+        cly = jnp.asarray(cfg.box[1] / ny, dtype)
+        cx = jnp.clip(
+            jnp.floor(mol.r[:, 0] / clx).astype(jnp.int32), 0, nx - 1
+        )
+        cy = jnp.clip(
+            jnp.floor(mol.r[:, 1] / cly).astype(jnp.int32), 0, ny - 1
+        )
+        cz = jnp.clip(
+            jnp.searchsorted(
+                local_edges[1:-1], mol.r[:, 2], side="right"
+            ).astype(jnp.int32),
+            0, nzl - 1,
+        )
+        from ls1_mardyn_tpu.ops.cells import bin_by_id
+
+        cell = (cz * ny + cy) * nx + cx
+        bins = bin_by_id(cell, mol.valid, spec)
+        W = nx * cap
+        idx = bins.slots.reshape(nzl, ny, W)
+        safe = jnp.clip(idx, 0, mol.capacity - 1)
+        ok = (idx >= 0) & mol.valid[safe]
+        pack = self._pack_planes(mol)
+        # one spare plane for the packed kernel's cell index
+        meta = cfg.ms_meta
+        p_used = 5 + 3 * (meta.NL + meta.NC) + 6 * (meta.ND + meta.NQ)
+        Pb = max(meta.P, -(-(p_used + 1) // 8) * 8)
+        if pack.shape[1] < Pb:
+            pack = jnp.concatenate(
+                [pack,
+                 jnp.zeros((mol.capacity, Pb - pack.shape[1]), dtype)],
+                axis=1)
+        g = jnp.where(ok[..., None], pack[safe], 0.0)  # [nzl,ny,W,Pb]
+
+        # raw z-halo rows (global periodic shift on the wrapping link)
+        Lz = cfg.box[2]
+        zshift = jnp.zeros((Pb,), dtype).at[2].set(Lz)
+        perm_up = [(i, (i + 1) % Pn) for i in range(Pn)]
+        perm_dn = [(i, (i - 1) % Pn) for i in range(Pn)]
+        halo_below = jax.lax.ppermute(g[-1:], AXIS, perm_up)
+        halo_above = jax.lax.ppermute(g[:1], AXIS, perm_dn)
+        halo_below = jnp.where(
+            (rank == 0) & (halo_below[..., 3:4] > 0.5),
+            halo_below - zshift, halo_below,
+        )
+        halo_above = jnp.where(
+            (rank == Pn - 1) & (halo_above[..., 3:4] > 0.5),
+            halo_above + zshift, halo_above,
+        )
+        g_all = jnp.concatenate([halo_below, g, halo_above], axis=0)
+
+        Wp = -(-W // TI) * TI
+        Wjp = -(-((nx + 2) * cap) // JW) * JW
+        R = (nzl + 2) * ny
+        gi_all, gj_all, tbl, prefix = pack_dense_rows(
+            g_all.reshape(R, W, Pb), nx, cap, float(cfg.box[0]),
+            p_used, Wp, Wjp,
+        )
+        r_i = jnp.moveaxis(
+            gi_all.reshape(nzl + 2, ny, Wp, Pb)[1:-1], -1, 2)
+        r_j = jnp.moveaxis(gj_all.reshape(nzl + 2, ny, Wjp, Pb), -1, 2)
+        tbl = tbl.reshape(nzl + 2, ny, nx + 3)
+        prefix_local = prefix.reshape(nzl + 2, ny, nx)[1:-1]
+        return r_i, r_j, tbl, prefix_local, Wp, p_used, bins
+
     def _local_views_cw(self, mol: MoleculeState, z_edges: jnp.ndarray):
         """Cell-LOCAL kernel views for the cell-window 1CLJ path.
 
@@ -818,6 +910,8 @@ class SlabSimulation:
                 M = M + M_x
                 uX = uX + u_x
             return F, M, Vi, (u6, uX, zero, vir), bins.overflow
+        if cfg.ms_meta is not None and cfg.ms_packed:
+            return self._forces_ms_packed(mol, z_edges, zero)
         r_i, r_j, bins = self._local_views(mol, z_edges)
         if cfg.ms_meta is None:
             f, u6, vir = lj_cell_forces_pallas(
@@ -878,6 +972,95 @@ class SlabSimulation:
         # GammaWriter/pressure-profile plugins exact under --parallel
         # (src/io/GammaWriter.cpp reads _Vi per molecule)
         Vi = got[:, 6:9]
+        if self._fmm is not None:
+            u_f, F_f, M_f = self._fmm.sharded(
+                mol, self.pp, AXIS, cfg.n_devices
+            )
+            F = F + F_f
+            M = M + M_f
+            uX = uX + u_f
+        elif self._pme is not None:
+            u_ew, F_ew, M_ew = self._pme(
+                mol,
+                self.pp,
+                psum=lambda t: jax.lax.psum(t, AXIS),
+                global_share=1.0 / cfg.n_devices,
+            )
+            F = F + F_ew
+            M = M + M_ew
+            uX = uX + u_ew
+        elif self._ewald_k is not None:
+            from ls1_mardyn_tpu.ops.ewald import reciprocal_energy_forces
+
+            kvec, coeff = self._ewald_k
+            u_ew, F_ew, M_ew = reciprocal_energy_forces(
+                mol,
+                self.pp,
+                kvec.astype(dtype),
+                coeff.astype(dtype),
+                cfg.ewald_alpha,
+                psum=lambda t: jax.lax.psum(t, AXIS),
+                global_share=1.0 / cfg.n_devices,
+            )
+            F = F + F_ew
+            M = M + M_ew
+            uX = uX + u_ew
+        for fn in self.extra_force_fns:
+            u_x, F_x, M_x = fn(mol, self.pp)
+            F = F + F_x
+            M = M + M_x
+            uX = uX + u_x
+        return F, M, Vi, (u6, uX, my_rf, vir), bins.overflow
+
+    def _forces_ms_packed(self, mol: MoleculeState, z_edges, zero):
+        """Multi-site pair forces through the occupancy-packed kernel
+        (ops/pallas_ms_packed, z_halo mode) -- the sharded twin of the
+        single-chip PallasMultiSitePackedPath, 2x the dense row kernel
+        on the CO2 class."""
+        from ls1_mardyn_tpu.ops.pallas_ms_packed import (
+            multisite_cell_forces_packed,
+        )
+
+        cfg = self.cfg
+        dtype = mol.r.dtype
+        nx, ny, nzl, cap = cfg.nx, cfg.ny, cfg.nz_local, cfg.cap
+        (r_i, r_j, tbl, prefix_local, Wp, cell_plane,
+         bins) = self._local_views_ms_packed(mol, z_edges)
+        Wjp = r_j.shape[-1]
+        out, u6, uX, my_rf = multisite_cell_forces_packed(
+            tbl,
+            r_i,
+            r_j,
+            nx=nx,
+            ny=ny,
+            nz=nzl,
+            cap=cap,
+            Wp=Wp,
+            Wjp=Wjp,
+            cell_plane=cell_plane,
+            box=cfg.box,
+            rc2=cfg.rc2,
+            rc2_lj=cfg.rc2_lj or cfg.rc2,
+            screen_alpha=cfg.screen_alpha,
+            meta=cfg.ms_meta,
+            z_halo=True,
+            interpret=cfg.interpret,
+        )
+        # unpack: molecule's packed position = prefix[row, x] + rank
+        flat = jnp.moveaxis(out, 2, -1).reshape(-1, out.shape[2])
+        slot_of = bins.slot_of
+        cell = jnp.minimum(slot_of // cap, nzl * ny * nx - 1)
+        rank = slot_of % cap
+        rowf = cell // nx
+        x = cell % nx
+        ppos = prefix_local.reshape(-1, nx)[
+            jnp.clip(rowf, 0, nzl * ny - 1),
+            jnp.clip(x, 0, nx - 1),
+        ] + rank
+        src = jnp.clip(rowf * Wp + ppos, 0, flat.shape[0] - 1)
+        got = jnp.where(mol.valid[:, None], flat[src], 0.0)
+        vir = jnp.sum(out[:, :, 6:9, :])
+        F, M, Vi = got[:, 0:3], got[:, 3:6], got[:, 6:9]
         if self._fmm is not None:
             u_f, F_f, M_f = self._fmm.sharded(
                 mol, self.pp, AXIS, cfg.n_devices

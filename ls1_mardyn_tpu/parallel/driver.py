@@ -125,7 +125,8 @@ class ParallelMDSimulation:
 
     def __init__(self, config, n_devices: Optional[int] = None,
                  dtype=None, cell_cap: int = 0,
-                 phase_space_data=None):
+                 phase_space_data=None, ms_packed: bool = False):
+        self._ms_packed = bool(ms_packed)
         import jax
         import jax.numpy as jnp
 
@@ -492,6 +493,11 @@ class ParallelMDSimulation:
                         "per-molecule Vi consumers present: slab 1CLJ "
                         "scene routed onto the multi-site kernel"
                     )
+            ms_packed = self._ms_packed
+            if ms_packed and common.get("ms_meta") is None:
+                global_log.warning(
+                    "ms_packed requested but the scene runs the 1CLJ "
+                    "kernel; flag ignored")
             slab_cfg = SlabConfig(
                 n_devices=n_devices,
                 nz_local=nz // n_devices,
@@ -500,6 +506,8 @@ class ParallelMDSimulation:
                 tx=tx,
                 cw_eligible=cw_ok,
                 compute_vi=compute_vi,
+                ms_packed=bool(ms_packed
+                               and common.get("ms_meta") is not None),
                 temp_control_regions=tuple(
                     base.engine.config.temp_control_regions
                 ),

@@ -174,3 +174,78 @@ def test_packed_screened_matches_dense():
     np.testing.assert_allclose(
         float(m_p.upot), float(m_d.upot), rtol=1e-12, atol=1e-14
     )
+
+
+def test_slab_packed_matches_dense(tmp_path):
+    """Multi-chip slab decomposition with ms_packed=True (z_halo packed
+    kernel) vs the dense slab path and the single-chip driver: same
+    multi-site scene, 4 virtual devices, f64 parity."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    if len(jax.devices()) < 4:
+        import pytest as _pytest
+
+        _pytest.skip("needs 4 virtual devices")
+    os.chdir(tmp_path)
+    from ls1_mardyn_tpu.driver import MDSimulation
+    from ls1_mardyn_tpu.io.xml_config import PluginSpec, XMLConfig
+    from ls1_mardyn_tpu.parallel.driver import ParallelMDSimulation
+
+    rng = np.random.default_rng(9)
+    n, L, T = 600, 14.0, 1.0
+
+    def cfg():
+        return XMLConfig(
+            timestep=0.002, temperature=T, box=np.array([L, L, L]),
+            cutoff=2.5, lj_cutoff=2.5,
+            generator=PluginSpec("CubicGridGenerator",
+                                 {"numMolecules": str(n)}),
+            components=None,
+        )
+
+    # force the multi-site kernel with a 2-site molecule via the
+    # generator's component table: simplest is a single-LJ component
+    # PLUS a charge so ms_meta engages; patch the scene by hand instead
+    from ls1_mardyn_tpu.io.generators import cubic_grid
+    from ls1_mardyn_tpu.models.components import Component
+
+    comps = [Component(cid=0)]
+    comps[0].add_ljcenter(0.1, 0.0, 0.0, 1.0, 1.0, 1.0, 0.0, False)
+    comps[0].add_ljcenter(-0.1, 0.0, 0.0, 1.0, 1.0, 1.0, 0.0, False)
+    data = cubic_grid(n, [L, L, L], T, components=comps, seed=3)
+    q = rng.normal(size=(n, 4))
+    data.q = q / np.linalg.norm(q, axis=1, keepdims=True)
+
+    def pcfg():
+        return XMLConfig(
+            timestep=0.002, temperature=T, box=np.array([L, L, L]),
+            cutoff=2.5, lj_cutoff=2.5,
+        )
+
+    p_dense = ParallelMDSimulation(
+        pcfg(), n_devices=4, dtype=jnp.float64,
+        phase_space_data=data, ms_packed=False)
+    assert p_dense.kind == "slab"
+    gv_d = p_dense.run(steps=3, print_every=0)
+
+    p_pack = ParallelMDSimulation(
+        pcfg(), n_devices=4, dtype=jnp.float64,
+        phase_space_data=data, ms_packed=True)
+    assert p_pack.sim.cfg.ms_packed
+    gv_p = p_pack.run(steps=3, print_every=0)
+
+    np.testing.assert_allclose(
+        float(gv_p.upot), float(gv_d.upot), rtol=1e-11)
+    np.testing.assert_allclose(
+        float(gv_p.temperature), float(gv_d.temperature), rtol=1e-11)
+    np.testing.assert_allclose(
+        float(gv_p.pressure), float(gv_d.pressure), rtol=1e-10)
+
+    s_seq = MDSimulation(pcfg(), dtype=jnp.float64, force_mode="cells",
+                         phase_space_data=data)
+    gv_s = s_seq.run(steps=3, print_every=0)
+    np.testing.assert_allclose(
+        float(gv_p.upot), float(gv_s.upot), rtol=1e-8)

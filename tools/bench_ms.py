@@ -49,6 +49,7 @@ def log(msg):
 
 
 REF_CO2 = "/root/reference/examples/CO2/370K_15mol_l/CO2_370K_15mol_l.inp"
+REF_EOX = "/root/reference/examples/EOX/600K_15mol_l/EOX_600K_15mol_l.inp"
 
 
 def tile_phasespace(data, k):
@@ -87,6 +88,32 @@ def co2_scene(n_target):
     cfg_kw = dict(
         timestep=0.0667516,          # reference config.xml
         temperature=0.00117172223,
+        cutoff=33.0702,
+        lj_cutoff=33.0702,
+        eps_rf=1.0e10,
+    )
+    return data, cfg_kw
+
+
+def eox_scene(n_target):
+    """The reference EOX example (ethylene oxide: 3 LJ centers + 1
+    point dipole, /root/reference/examples/EOX/600K_15mol_l/: rc_LJ =
+    33.07 reduced, T = 0.0019, ReactionField eps = 1e10), equilibrated
+    2048-molecule .inp tiled kx per axis.  This is BASELINE.md's
+    dipole-body scene class: exercises the dipole-dipole loop body
+    (VectorizedCellProcessor.h:192-297) + reaction-field term at
+    scale."""
+    from ls1_mardyn_tpu.io.ascii_reader import read_inp
+
+    data = read_inp(REF_EOX)
+    n0 = len(data.mid)
+    k = max(1, round((n_target / n0) ** (1.0 / 3.0)))
+    data = tile_phasespace(data, k)
+    log("eox: %d molecules (tile %dx of %d), box %.1f" % (
+        len(data.mid), k, n0, data.box[0]))
+    cfg_kw = dict(
+        timestep=0.0667516,
+        temperature=0.0019000901,
         cutoff=33.0702,
         lj_cutoff=33.0702,
         eps_rf=1.0e10,
@@ -204,7 +231,7 @@ def measure(name, data, cfg_kw, steps, windows, budget):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("scene", nargs="?", default="both",
-                    choices=["co2", "h2o", "both"])
+                    choices=["co2", "h2o", "eox", "both", "all"])
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--windows", type=int, default=3)
@@ -213,9 +240,12 @@ def main():
     args = ap.parse_args()
 
     out = []
-    scenes = ["co2", "h2o"] if args.scene == "both" else [args.scene]
+    scenes = {"both": ["co2", "h2o"],
+              "all": ["co2", "h2o", "eox"]}.get(args.scene,
+                                                [args.scene])
+    mk = {"co2": co2_scene, "h2o": h2o_scene, "eox": eox_scene}
     for s in scenes:
-        data, kw = (co2_scene if s == "co2" else h2o_scene)(args.n)
+        data, kw = mk[s](args.n)
         try:
             out.append(measure(s, data, kw, args.steps, args.windows,
                                args.budget))

@@ -195,11 +195,12 @@ def main():
     print(json.dumps(out))
     if backend == "tpu":
         from tools.artifact import merge_artifact
-        name = "MUVT_EVAP.json" if scene == "evap" else "MUVT_SCALE.json"
         out = dict(out)
         out.setdefault("metric", "muvt at-scale run (scene=%s)" % scene)
-        merge_artifact(os.path.join(REPO, name), [out])
-        print("wrote (merged)", name)
+        # every scene merges into MUVT_SCALE.json (metric-keyed rows);
+        # the evaporation tier is what the BASELINE scene row demands
+        merge_artifact(os.path.join(REPO, "MUVT_SCALE.json"), [out])
+        print("wrote (merged) MUVT_SCALE.json")
     else:
         print("(not on TPU: artifact not written)")
 
