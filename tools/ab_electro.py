@@ -18,6 +18,8 @@ import os
 import sys
 import time
 
+SOLVERS_SEL = None  # --solvers pme,fmm bisection (worker-crash triage)
+
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -67,12 +69,16 @@ def measure(n_side):
         "fmm": FMMElectrostatics(box, table, pp, n_hint=n,
                                  dtype=jnp.float32, order=8),
     }
+    if SOLVERS_SEL is not None:
+        solvers = {k: v for k, v in solvers.items()
+                   if k in SOLVERS_SEL}
     # the direct k-space [N, K] matmul at N=1e6 needs ~2.6e5 k-vectors
     # for this box: ~1e12 MACs and a worker-killing footprint -- that
     # size is exactly what PME exists for, so cap the direct solver
     import numpy as _np
     n_kvec_est = 4.19 * ep.kmax ** 3 / 2
-    if n * n_kvec_est <= 5e12:
+    if n * n_kvec_est <= 5e12 and (SOLVERS_SEL is None
+                                   or "ewald" in SOLVERS_SEL):
         solvers = {"ewald": EwaldSolver(box, ep, dtype=jnp.float32),
                    **solvers}
     else:
@@ -97,9 +103,10 @@ def measure(n_side):
                 u, F = f(mol, pp)
             float(u)
             times[k].append((time.perf_counter() - t0) / inner)
-    refk = "ewald" if "ewald" in out else "pme"
-    ref = out[refk]
-    scale = np.abs(ref).max()
+    refk = "ewald" if "ewald" in out else (
+        "pme" if "pme" in out else None)
+    ref = out.get(refk) if refk else None
+    scale = np.abs(ref).max() if ref is not None else 1.0
     rec = {"n_side": n_side, "n_sites": n, "box": float(box[0]),
            "ewald_kmax": int(ep.kmax), "pme_grid": list(pe.grid),
            "solvers": {}}
@@ -110,7 +117,7 @@ def measure(n_side):
     # erfc real-space force on a charge-only component table via the N^2
     # oracle and add the k-space force: that is the product Ewald total.
     f_total_ref = None
-    if "fmm" in out and n <= 120_000:
+    if "fmm" in out and refk is not None and n <= 120_000:
         from ls1_mardyn_tpu.models.oracle import compute_forces_n2_jit
 
         alpha = float((ep if refk == "ewald" else pe).alpha)
@@ -121,7 +128,11 @@ def measure(n_side):
             comps_q.append(c)
         table_q = ComponentTable(comps_q, cutoff=rc, lj_cutoff=rc)
         pp_q = PairParams.from_table(table_q, dtype=jnp.float32)
-        chunk = 128 if n > 20_000 else 0
+        # the N^2 oracle's per-chunk pair tensors are [chunk, N, ...]:
+        # an unchunked 10k^2 sweep is a 34 GB compile-time OOM on the
+        # 16 GB chip -- always chunk (largest divisor of n <= 128)
+        chunk = next((c for c in range(min(128, n), 0, -1)
+                      if n % c == 0), 0)
         fr, _ = compute_forces_n2_jit(
             mol, pp_q, jnp.asarray(box, jnp.float32),
             chunk=chunk, screen_alpha=alpha)
@@ -152,6 +163,8 @@ def measure(n_side):
                       f"{np.median(ts):8.2f} ms  (accuracy vs total "
                       f"Coulomb checked at smaller N)")
             continue
+        if ref is None:
+            continue
         rel = float(np.abs(out[k] - ref).max() / scale)
         urel = abs(u_out[k] - u_out[refk]) / max(abs(u_out[refk]), 1e-30)
         rec["solvers"][k].update({
@@ -177,6 +190,13 @@ def main():
         i = args.index("--json")
         json_out = args[i + 1]
         del args[i:i + 2]
+    solvers_sel = None
+    if "--solvers" in args:
+        i = args.index("--solvers")
+        solvers_sel = args[i + 1].split(",")
+        del args[i:i + 2]
+    global SOLVERS_SEL
+    SOLVERS_SEL = solvers_sel
     sides = [int(a) for a in args] or [22, 46, 100]
     import jax
 
