@@ -44,8 +44,16 @@ def test_parallel_nemd_plugins_run(tmp_path):
     cfg = _cfg(
         plugins=[
             ("Mirror", {"position": "22.0", "axis": "2", "direction": "1"}),
-            ("MettDeamon", {"interval": "5", "feedrate": "2",
-                            "feedwidth": "2.0", "cid": "1"}),
+            # reservoir-slab MettDeamon (reference schema): constant
+            # feed large enough to cross one bin width within the run
+            ("MettDeamon", {
+                "control": {"updatefreq": "10",
+                            "feed": {"init": "0.7", "direction": "1",
+                                     "method": "4"}},
+                "reservoir": {"width": "4.0", "binwidth": "2.0",
+                              "ins_percent": "1.0"},
+                "writefrequency": "5",
+            }),
             ("SpatialProfile", {"axis": "z", "bins": "16",
                                 "samplefrequency": "2"}),
             ("MaxCheck", {"interval": "5", "vmax": "50.0"}),
@@ -53,6 +61,15 @@ def test_parallel_nemd_plugins_run(tmp_path):
     )
     sim = ParallelMDSimulation(cfg, n_devices=P, dtype=jnp.float64)
     assert sim.kind == "slab"
+    # free some capacity through the gathered facade (the feeder
+    # inserts into slots freed by evaporation-sink deletions)
+    import dataclasses as dc
+
+    mol0 = sim.engine.mol
+    valid0 = np.asarray(mol0.valid).copy()
+    kill = np.flatnonzero(valid0)[: len(valid0) // 4]
+    valid0[kill] = False
+    sim.engine.mol = dc.replace(mol0, valid=jnp.asarray(valid0))
     gv = sim.run(steps=10, print_every=5)
     assert np.isfinite(float(gv.upot))
     assert np.isfinite(float(gv.temperature))

@@ -47,6 +47,7 @@ sys.path.insert(0, REPO)
 def main():
     n_target = int(float(sys.argv[1]) * 1e6) if len(sys.argv) > 1 else 10_500_000
     scene = sys.argv[2] if len(sys.argv) > 2 else "lj"
+    instances = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 
     import jax
     import jax.numpy as jnp
@@ -100,7 +101,7 @@ def main():
                     {
                         "mu": str(mu),
                         "componentid": "1",
-                        "instances": "8",
+                        "instances": str(instances),
                         "everyNTimesteps": "2",
                         "control": {
                             "lower": {"x": 0.0, "y": cv_lo_y, "z": 0.0},
