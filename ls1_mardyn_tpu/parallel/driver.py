@@ -53,6 +53,22 @@ def _factor3(n: int, dims):
     return best[1] if best else None
 
 
+
+
+def _cap_factor() -> float:
+    """Per-device molecule-capacity headroom factor (default 2x the
+    start count).  LS1_PAR_CAP_FACTOR trims it for HBM-bound at-scale
+    runs (the muVT N>=10M tier: 2x capacity costs ~2 GB of state +
+    aux at N=10.5M; GC insertion overflow is still detected and
+    re-spec'd)."""
+    import os
+
+    try:
+        return max(1.05, float(os.environ.get("LS1_PAR_CAP_FACTOR", 2.0)))
+    except ValueError:
+        return 2.0
+
+
 class _GatheredEngine:
     """`sim.engine`-compatible facade over the sharded state.
 
@@ -385,7 +401,8 @@ class ParallelMDSimulation:
         common = dict(
             cap=cap,
             box=tuple(float(b) for b in self.box),
-            n_local_cap=2 * max(n, 1) // n_devices + 256,
+            n_local_cap=int(_cap_factor() * max(n, 1)) // n_devices
+            + 256,
             migrate_cap=max(64, n // (8 * n_devices)),
             dt=config.timestep,
             target_temperature=float(base.engine.config.target_temperature),
@@ -447,7 +464,8 @@ class ParallelMDSimulation:
                     base.engine.config.temp_control_regions
                 ),
                 **{**common, "cap": cap3,
-                   "n_local_cap": 2 * max(n, 1) // n_devices + 256},
+                   "n_local_cap": int(_cap_factor() * max(n, 1))
+                   // n_devices + 256},
             )
             self.sim = Mesh3DSimulation(
                 mcfg, self.pp, extra_force_fns=self._site_force_fns,

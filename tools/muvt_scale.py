@@ -69,12 +69,11 @@ def main():
         # two-phase film + vapor (MkTcTSGenerator, the reference's
         # Evaporation/Adsorption scene class); GC control volume in
         # the vapor only, mu near saturation -> nonzero acceptance
-        # liq_frac 0.70: the 0.40-fraction film put 60% of the box at
-        # vapor density, and the resulting L=347 cell grid (2.6M cells
-        # at rc pitch) exhausted the v5e's HBM at N=10.5M; a thicker
-        # film keeps N >= 10M with a 290-edge box (1.5M cells) while
-        # the vapor slab + control volume stay macroscopic
-        rho_liq, rho_vap, liq_frac, mu = 0.60, 0.02, 0.70, -1.0
+        # liq_frac 0.80 (raised from 0.70 after the L=290 grid still
+        # exhausted HBM in the GC interval): N >= 10M in a ~279-edge
+        # box (1.37M rc-pitch cells); run with LS1_PAR_CAP_FACTOR=1.25
+        # to trim the 2x molecule-capacity headroom
+        rho_liq, rho_vap, liq_frac, mu = 0.60, 0.02, 0.80, -1.0
         rho_eff = rho_liq * liq_frac + rho_vap * (1 - liq_frac)
         L = (n_target / rho_eff) ** (1.0 / 3.0)
         rho = rho_eff
