@@ -194,8 +194,11 @@ def _ms_packed_kernel(
     # one-hot lanes the wrapper sums) must be zero, not garbage
     f_ref[0, 0, :, :] = jnp.zeros((NOUT, Wp), out_dtype)
 
-    # own row's molecule count: tbl[pz, py, nx+1] = cap + row_cnt
-    row_cnt = tbl_ref[pz, py, nx + 1] - cap
+    # own row's molecule count: tbl[., py, nx+1] = cap + row_cnt.
+    # NB in z_halo mode tbl rows are halo-offset (row 0 = halo-below),
+    # so THIS i row's table entry sits at pz + 1
+    pz_tbl = pz + jnp.int32(1) if z_halo else pz
+    row_cnt = tbl_ref[pz_tbl, py, nx + 1] - cap
     n_tiles = (row_cnt + TI - 1) // TI
 
     def tile(t, _):

@@ -218,6 +218,15 @@ def test_slab_packed_matches_dense(tmp_path):
     data = cubic_grid(n, [L, L, L], T, components=comps, seed=3)
     q = rng.normal(size=(n, 4))
     data.q = q / np.linalg.norm(q, axis=1, keepdims=True)
+    # z-INHOMOGENEOUS density WITHOUT overlaps: thin out the upper-z
+    # two thirds so per-row packed tile counts differ between
+    # neighboring z rows -- the regression class where the z_halo
+    # kernel read its own row count from the halo-offset table row
+    # (harmless when all rows have equal ceil(cnt/128))
+    keep = (data.r[:, 2] < L / 3.0) | (rng.random(n) < 0.35)
+    for f in ("mid", "cid", "r", "v", "q", "L"):
+        setattr(data, f, getattr(data, f)[keep])
+    n = int(keep.sum())
 
     def pcfg():
         return XMLConfig(
@@ -237,12 +246,13 @@ def test_slab_packed_matches_dense(tmp_path):
     assert p_pack.sim.cfg.ms_packed
     gv_p = p_pack.run(steps=3, print_every=0)
 
+    # (the pre-fix z_halo row-count bug showed at 1e-2-scale here)
     np.testing.assert_allclose(
-        float(gv_p.upot), float(gv_d.upot), rtol=1e-11)
+        float(gv_p.upot), float(gv_d.upot), rtol=1e-10)
     np.testing.assert_allclose(
-        float(gv_p.temperature), float(gv_d.temperature), rtol=1e-11)
+        float(gv_p.temperature), float(gv_d.temperature), rtol=1e-10)
     np.testing.assert_allclose(
-        float(gv_p.pressure), float(gv_d.pressure), rtol=1e-10)
+        float(gv_p.pressure), float(gv_d.pressure), rtol=1e-9)
 
     s_seq = MDSimulation(pcfg(), dtype=jnp.float64, force_mode="cells",
                          phase_space_data=data)
