@@ -634,7 +634,10 @@ class PallasMultiSitePackedPath(PallasMultiSitePath):
         self.Wp = -(-(nx * spec.cap) // TI) * TI
         self.Wjp = -(-((nx + 2 * HX) * spec.cap) // JW) * JW
 
-    def __call__(self, mol: MoleculeState):
+    def _build_views(self, mol: MoleculeState):
+        """Packed kernel inputs from the molecule state: returns
+        (tbl, r_i, r_j, bins, prefix) -- split out so phase profiling
+        (tools/ms_phases.py) can time the build vs the kernel."""
         spec = self.spec
         nx, ny, nz = spec.dims
         cap = spec.cap
@@ -720,6 +723,14 @@ class PallasMultiSitePackedPath(PallasMultiSitePath):
         r_i = jnp.moveaxis(g.reshape(nz, ny, Wp, Pb), -1, 2)
         r_j = jnp.moveaxis(gj.reshape(nz, ny, Wjp, Pb), -1, 2)
         tbl = tbl.reshape(nz, ny, nx + 3)
+        return tbl, r_i, r_j, bins, prefix
+
+    def __call__(self, mol: MoleculeState):
+        spec = self.spec
+        nx, ny, nz = spec.dims
+        cap = spec.cap
+        Wp, Wjp = self.Wp, self.Wjp
+        tbl, r_i, r_j, bins, prefix = self._build_views(mol)
 
         out, u6, uX, my_rf = multisite_cell_forces_packed(
             tbl,

@@ -106,30 +106,53 @@ def main():
     log("pack: %.1f ms" % out["phases_ms"]["pack"])
 
     # kernel only (planes prepared once)
-    g = pack_j()
-    Lx = spec.box[0]
-    shift_vec = jnp.zeros((P,), jnp.float32).at[0].set(Lx)
+    if getattr(fp, "packed", False):
+        from ls1_mardyn_tpu.ops.pallas_ms_packed import (
+            multisite_cell_forces_packed,
+        )
 
-    def halo(a):
-        pad = jnp.zeros(a.shape[:2] + ((HX - 1) * cap, P), a.dtype)
-        left = a[:, :, (nx - 1) * cap:, :] - shift_vec
-        right = a[:, :, :cap, :] + shift_vec
-        parts = [left, a, right]
-        if HX > 1:
-            parts = [pad] + parts + [pad]
-        return jnp.concatenate(parts, axis=2)
+        out["kernel_variant"] = "occupancy-packed"
+        build_j = jax.jit(fp._build_views)
+        out["phases_ms"]["build_views"] = _timeit(
+            lambda: build_j(mol)[1], sync)
+        log("build_views (bin+pack+compact): %.1f ms"
+            % out["phases_ms"]["build_views"])
+        tbl, r_i, r_j, _bins, _prefix = build_j(mol)
+        sync((tbl, r_i, r_j))
 
-    r_i = jnp.moveaxis(g, -1, 2)
-    r_j = jnp.moveaxis(halo(g), -1, 2)
-    sync((r_i, r_j))  # materialize before timing the kernel alone
+        def kern():
+            return multisite_cell_forces_packed(
+                tbl, r_i, r_j, nx=nx, ny=ny, nz=nz, cap=cap,
+                Wp=fp.Wp, Wjp=fp.Wjp, cell_plane=fp.cell_plane,
+                box=spec.box, rc2=fp.rc2, rc2_lj=fp.rc2_lj,
+                screen_alpha=fp.screen_alpha, meta=meta,
+                interpret=fp.interpret,
+            )[1]
+    else:
+        g = pack_j()
+        Lx = spec.box[0]
+        shift_vec = jnp.zeros((P,), jnp.float32).at[0].set(Lx)
 
-    def kern():
-        return multisite_cell_forces_pallas(
-            r_i, r_j, nx=nx, ny=ny, nz=nz, cap=cap, tx=tx,
-            box=spec.box, rc2=fp.rc2, rc2_lj=fp.rc2_lj,
-            screen_alpha=fp.screen_alpha, meta=meta,
-            interpret=fp.interpret, jw=fp.jw,
-        )[1]
+        def halo(a):
+            pad = jnp.zeros(a.shape[:2] + ((HX - 1) * cap, P), a.dtype)
+            left = a[:, :, (nx - 1) * cap:, :] - shift_vec
+            right = a[:, :, :cap, :] + shift_vec
+            parts = [left, a, right]
+            if HX > 1:
+                parts = [pad] + parts + [pad]
+            return jnp.concatenate(parts, axis=2)
+
+        r_i = jnp.moveaxis(g, -1, 2)
+        r_j = jnp.moveaxis(halo(g), -1, 2)
+        sync((r_i, r_j))  # materialize before timing the kernel alone
+
+        def kern():
+            return multisite_cell_forces_pallas(
+                r_i, r_j, nx=nx, ny=ny, nz=nz, cap=cap, tx=tx,
+                box=spec.box, rc2=fp.rc2, rc2_lj=fp.rc2_lj,
+                screen_alpha=fp.screen_alpha, meta=meta,
+                interpret=fp.interpret, jw=fp.jw,
+            )[1]
 
     out["phases_ms"]["kernel"] = _timeit(kern, sync)
     log("kernel: %.1f ms" % out["phases_ms"]["kernel"])
