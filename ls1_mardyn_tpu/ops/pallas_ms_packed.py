@@ -251,13 +251,19 @@ def _ms_packed_kernel(
                 b = ikey(cat, s)
                 return None if b is None else iread(b)
 
+            # pre-materialize i-side reads (loop constants); planes
+            # beyond P are truncated dead dip/quad blocks -- skip them
             for cat, ns in (("lj", NL), ("charge", NC), ("dip", ND),
                             ("quad", NQ)):
                 for s in range(ns):
-                    iget(cat, s)
+                    b = ikey(cat, s)
+                    if b is not None and b + 3 <= P:
+                        iread(b)
             for cat, ns in (("dip_e", ND), ("quad_e", NQ)):
                 for s in range(ns):
-                    iread(L[cat] + 3 * s)
+                    b = L[cat] + 3 * s
+                    if b + 3 <= P:
+                        iread(b)
 
             def chunk(k, is_center, jb, sy, sz):
                 """One [TI, JW] slab against neighbor row k at packed-j
@@ -536,6 +542,22 @@ def multisite_cell_forces_packed(
     return out, u6, uX, my_rf
 
 
+def live_plane_count(meta) -> int:
+    """Number of leading planes the kernel can actually read given the
+    coupling masks: trailing dipole/quadrupole plane blocks are dead
+    when every coupling touching them is zero (their loop bodies are
+    mask-pruned at trace time, so no iread/jread ever reaches them)."""
+    L = meta.layout
+    m = meta.masks
+    need_quad = any(np.any(m[k]) for k in ("cq", "qc", "qq", "qd", "dq"))
+    need_dip = any(np.any(m[k]) for k in ("cd", "dc", "dd", "qd", "dq"))
+    if need_quad:
+        return 5 + 3 * (meta.NL + meta.NC) + 6 * (meta.ND + meta.NQ)
+    if need_dip:
+        return L["quad"]  # everything through dip_e
+    return L["dip"]  # x y z w cid + lj + charge planes only
+
+
 def pack_dense_rows(g, nx: int, cap: int, Lx: float, cell_plane: int,
                     Wp: int, Wjp: int, make_j: bool = True):
     """Compact dense slot-layout rows into the packed kernel's layout.
@@ -624,12 +646,16 @@ class PallasMultiSitePackedPath(PallasMultiSitePath):
                  interpret: bool = False, screen_alpha: float = 0.0):
         super().__init__(table, spec, tx=1 if spec.dims[0] % 1 else 1,
                          interpret=interpret, screen_alpha=screen_alpha)
-        # packed-plane layout: one extra (float) cell-index plane in
-        # the pad region (or an extra 8-sublane tile when full)
-        p_used = 5 + 3 * (self.meta.NL + self.meta.NC) \
-            + 6 * (self.meta.ND + self.meta.NQ)
+        # packed-plane layout: the cell-index plane rides after the
+        # last LIVE plane.  Trailing dipole/quadrupole plane blocks
+        # whose couplings are all zero (e.g. the CO2 model's zeroed
+        # dipole+quad sites: 40 declared planes, 23 live) are
+        # truncated -- the kernel's unrolled loops never read them, so
+        # dropping them only shrinks the HBM buffers and the row
+        # build/DMA traffic.
+        p_used = live_plane_count(self.meta)
         self.cell_plane = p_used
-        self.Pb = max(self.meta.P, -(-(p_used + 1) // 8) * 8)
+        self.Pb = -(-(p_used + 1) // 8) * 8
         nx, ny, nz = spec.dims
         self.Wp = -(-(nx * spec.cap) // TI) * TI
         self.Wjp = -(-((nx + 2 * HX) * spec.cap) // JW) * JW
@@ -668,6 +694,8 @@ class PallasMultiSitePackedPath(PallasMultiSitePath):
         msafe = jnp.clip(msrc, 0, n - 1)
 
         packed = self._pack_planes(mol)  # [N, P_dense]
+        if packed.shape[1] > self.cell_plane:
+            packed = packed[:, : self.cell_plane]  # drop dead planes
         if packed.shape[1] < Pb:
             packed = jnp.concatenate(
                 [packed,

@@ -112,6 +112,8 @@ def _pair_physics(
 
     # LJ
     for sa in range(NL):
+        if not masks["lj"][sa].any():
+            continue
         dia = iget("lj", sa)
         for sb in range(NL):
             if not masks["lj"][sa, sb]:
@@ -151,6 +153,8 @@ def _pair_physics(
 
     # charge-charge
     for sa in range(NC):
+        if not masks["cc"][sa].any():
+            continue
         dia = iget("charge", sa)
         for sb in range(NC):
             if not masks["cc"][sa, sb]:
@@ -176,6 +180,8 @@ def _pair_physics(
 
     # charge_i x quad_j
     for sa in range(NC):
+        if not masks["cq"][sa].any():
+            continue
         dia = iget("charge", sa)
         for sb in range(NQ):
             if not masks["cq"][sa, sb]:
@@ -190,6 +196,8 @@ def _pair_physics(
 
     # charge_i x dip_j
     for sa in range(NC):
+        if not masks["cd"][sa].any():
+            continue
         dia = iget("charge", sa)
         for sb in range(ND):
             if not masks["cd"][sa, sb]:
@@ -204,6 +212,8 @@ def _pair_physics(
 
     # quad_i x charge_j (dr = charge - quad; i gets -f + m2)
     for sa in range(NQ):
+        if not masks["qc"][sa].any():
+            continue
         dia = iget("quad", sa)
         ei = iread(L["quad_e"] + 3 * sa)
         for sb in range(NC):
@@ -219,6 +229,8 @@ def _pair_physics(
 
     # quad_i x quad_j
     for sa in range(NQ):
+        if not masks["qq"][sa].any():
+            continue
         dia = iget("quad", sa)
         ei = iread(L["quad_e"] + 3 * sa)
         for sb in range(NQ):
@@ -234,6 +246,8 @@ def _pair_physics(
 
     # quad_i x dip_j (dr = dip - quad; i gets -f + m_quad)
     for sa in range(NQ):
+        if not masks["qd"][sa].any():
+            continue
         dia = iget("quad", sa)
         ei = iread(L["quad_e"] + 3 * sa)
         for sb in range(ND):
@@ -250,6 +264,8 @@ def _pair_physics(
 
     # dip_i x charge_j (dr = charge - dip; i gets -f + m_dip)
     for sa in range(ND):
+        if not masks["dc"][sa].any():
+            continue
         dia = iget("dip", sa)
         ei = iread(L["dip_e"] + 3 * sa)
         for sb in range(NC):
@@ -265,6 +281,8 @@ def _pair_physics(
 
     # dip_i x quad_j
     for sa in range(ND):
+        if not masks["dq"][sa].any():
+            continue
         dia = iget("dip", sa)
         ei = iread(L["dip_e"] + 3 * sa)
         for sb in range(NQ):
@@ -280,6 +298,8 @@ def _pair_physics(
 
     # dip_i x dip_j
     for sa in range(ND):
+        if not masks["dd"][sa].any():
+            continue
         dia = iget("dip", sa)
         ei = iread(L["dip_e"] + 3 * sa)
         for sb in range(ND):

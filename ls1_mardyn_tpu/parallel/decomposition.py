@@ -740,10 +740,15 @@ class SlabSimulation:
         safe = jnp.clip(idx, 0, mol.capacity - 1)
         ok = (idx >= 0) & mol.valid[safe]
         pack = self._pack_planes(mol)
-        # one spare plane for the packed kernel's cell index
+        # one spare plane for the packed kernel's cell index; trailing
+        # dead dipole/quad plane blocks truncated (live_plane_count)
+        from ls1_mardyn_tpu.ops.pallas_ms_packed import live_plane_count
+
         meta = cfg.ms_meta
-        p_used = 5 + 3 * (meta.NL + meta.NC) + 6 * (meta.ND + meta.NQ)
-        Pb = max(meta.P, -(-(p_used + 1) // 8) * 8)
+        p_used = live_plane_count(meta)
+        Pb = -(-(p_used + 1) // 8) * 8
+        if pack.shape[1] > p_used:
+            pack = pack[:, :p_used]
         if pack.shape[1] < Pb:
             pack = jnp.concatenate(
                 [pack,
