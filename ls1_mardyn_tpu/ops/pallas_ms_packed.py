@@ -13,10 +13,19 @@ from the lane geometry entirely:
     extra plane), so i-tiles are 128 dense occupied lanes instead of
     cap-padded cells;
   - the j side is the same packed row plus packed periodic-wrap halo
-    sections, laid out so the row's own molecules sit at a fixed +cap
-    offset (left halo at [cap-occ_last, cap), row at [cap, cap+cnt),
-    right halo after) -- self-pair exclusion stays one integer
-    comparison;
+    sections in a fixed HEAD region (right wrap halo FIRST at
+    [0, occ_first), left wrap halo right-aligned at 2*cap, then the
+    packed row verbatim at [2*cap, 2*cap+cnt)), so building the j view
+    costs one small [rows, cap] halo gather plus pure slices of the
+    packed i rows -- the earlier layout's full-width
+    take_along_axis gather ran at the TPU's ~1.8 GB/s gather rate and
+    dominated the per-step build (62 ms of the 283 ms build overhead
+    at CO2 N=1M, tools/probe_ms_build.py).  Right-halo-first makes the
+    wrap-edge tiles' head walk a single STATIC chunk at offset 0 when
+    cap <= 128, keeping every chunk offset in the main walk affine in
+    the loop index (dynamic-offset variants measured +11-21% kernel
+    time).  Self-pair exclusion stays one integer comparison (own row
+    at fixed +2*cap);
   - each i-tile derives its covering cell range [c_lo, c_hi] from the
     (authoritative, binning-produced) cell plane via a lane min/max,
     then walks a DYNAMIC number of 128-lane j chunks covering cells
@@ -85,18 +94,25 @@ def packed_lane_estimate(occ3, cap, sample_rows: int = 2048):
         if cnt == 0:
             used += 1
             continue
+        # head-halo layout: tbl = [2cap-occ_last, 2cap+prefix[0..nx-1],
+        # 2cap+cnt, occ_first] (right halo FIRST; see _build_views)
         start = np.concatenate(
-            [[cap - o[-1]], cap + prefix, [cap + cnt + o[0]]])
+            [[2 * cap - o[-1]], 2 * cap + prefix, [o[0]]])
         ntiles = -(-cnt // TI)
         for t in range(ntiles):
             lo = int(np.searchsorted(prefix, t * TI, "right") - 1)
             hi = int(np.searchsorted(
                 prefix, min((t + 1) * TI, cnt) - 1, "right") - 1)
             sw = start[lo]
-            ew = start[min(hi + 3, len(start) - 1)]
             base = (sw // JW) * JW
+            if hi >= nx - 1:
+                ew = 2 * cap + cnt  # mid walk stops at the row end
+                nch2 = min(-(-o[0] // JW), base // JW)
+            else:
+                ew = start[hi + 3]
+                nch2 = 0
             nch = -(-(ew - base) // JW)
-            lanes += 9 * TI * JW * nch
+            lanes += 9 * TI * JW * (nch + nch2)
         used += 1
     return lanes * (n_rows / max(used, 1))
 
@@ -194,11 +210,11 @@ def _ms_packed_kernel(
     # one-hot lanes the wrapper sums) must be zero, not garbage
     f_ref[0, 0, :, :] = jnp.zeros((NOUT, Wp), out_dtype)
 
-    # own row's molecule count: tbl[., py, nx+1] = cap + row_cnt.
+    # own row's molecule count: tbl[., py, nx+1] = 2*cap + row_cnt.
     # NB in z_halo mode tbl rows are halo-offset (row 0 = halo-below),
     # so THIS i row's table entry sits at pz + 1
     pz_tbl = pz + jnp.int32(1) if z_halo else pz
-    row_cnt = tbl_ref[pz_tbl, py, nx + 1] - cap
+    row_cnt = tbl_ref[pz_tbl, py, nx + 1] - 2 * cap
     n_tiles = (row_cnt + TI - 1) // TI
 
     def tile(t, _):
@@ -232,6 +248,11 @@ def _ms_packed_kernel(
             # [c_lo-1, c_hi+1]; tbl[c+1] = start(c)
             lo_idx = c_lo  # tbl index of start(c_lo - 1)
             hi_idx = c_hi + 3  # tbl index of end(c_hi + 1)
+            # c_hi+1 == nx is the wrap halo cell, which lives in the
+            # buffer HEAD ([cap, cap+occ_first)), not after the row:
+            # the contiguous walk then stops at the row end and a
+            # second bounded head walk covers the halo
+            wrap_hi = c_hi >= nx - 1
 
             L = layout
             icache = {}
@@ -301,8 +322,8 @@ def _ms_packed_kernel(
                 com2 = _dot(drm, drm)
                 ok = (wi * wj > 0.5).astype(out_dtype)
                 if is_center:
-                    # own row rides at +cap in the packed-j space
-                    ok = ok * (jb + jlc != off + ilc + cap).astype(
+                    # own row rides at +2*cap in the packed-j space
+                    ok = ok * (jb + jlc != off + ilc + 2 * cap).astype(
                         out_dtype
                     )
                 mlj = jnp.where(com2 < cut2lj, ok, 0.0)
@@ -394,16 +415,41 @@ def _ms_packed_kernel(
                     py + dy < 0, -by, jnp.where(py + dy >= ny, by, 0.0)
                 ).astype(out_dtype)
                 start_w = tbl_ref[zk, yk, lo_idx]
-                end_w = tbl_ref[zk, yk, hi_idx]
+                end_raw = tbl_ref[zk, yk, hi_idx]
+                end_mid = tbl_ref[zk, yk, nx + 1]  # 2*cap + row cnt
+                end_w = jnp.where(wrap_hi, end_mid, end_raw)
                 base = (start_w // JW) * JW
                 nch = (end_w - base + JW - 1) // JW
 
-                def body(c, carry, _k=k, _base=base, _sy=sy, _sz=sz):
-                    jb = pl.multiple_of(_base + c * JW, JW)
+                # head trips for the wrap halo (the right halo sits
+                # FIRST in the buffer, [0, occ_first), so end_raw =
+                # occ_first there -- at most ONE head chunk when
+                # cap <= JW).  nch2 <= base//JW keeps head chunks
+                # strictly below the contiguous walk's, so no pair is
+                # visited twice; head chunks the min() drops are
+                # already inside [base, end_w).  ONE loop serves both
+                # walks (iterations beyond nch remap to the head):
+                # a second fori_loop instantiates the whole chunk
+                # body twice per neighbor row, which measured +10-15%
+                # kernel time at the CO2 bench geometry even with a
+                # static head offset.
+                nch2 = jnp.where(
+                    wrap_hi,
+                    jnp.minimum((end_raw + JW - 1) // JW, base // JW),
+                    0,
+                )
+
+                def body(c, carry, _k=k, _base=base, _nch=nch,
+                         _sy=sy, _sz=sz):
+                    jb = pl.multiple_of(
+                        jnp.where(c < _nch, _base + c * JW,
+                                  (c - _nch) * JW),
+                        JW,
+                    )
                     vals = chunk(_k, _k == _CENTER, jb, _sy, _sz)
                     return tuple(a + v for a, v in zip(carry, vals))
 
-                acc = jax.lax.fori_loop(0, nch, body, acc)
+                acc = jax.lax.fori_loop(0, nch + nch2, body, acc)
 
             cols = acc[:9]
             u6_t, uX_t, rf_t = acc[9], acc[10], acc[11]
@@ -593,42 +639,44 @@ def pack_dense_rows(g, nx: int, cap: int, Lx: float, cell_plane: int,
 
     occ_last = occ[:, -1]
     occ_first = occ[:, 0]
+    # head-halo layout (see _build_views): right wrap halo FIRST at
+    # [0, occ_first), left wrap halo right-aligned at 2*cap, row
+    # verbatim at +2*cap; tbl[c+1] = start(c) for cells -1..nx-1,
+    # then end(nx-1) and end(nx)
     tbl = jnp.concatenate(
         [
-            (cap - occ_last)[:, None],
-            cap + prefix,
-            (cap + row_cnt)[:, None],
-            (cap + row_cnt + occ_first)[:, None],
+            (2 * cap - occ_last)[:, None],
+            2 * cap + prefix,
+            (2 * cap + row_cnt)[:, None],
+            occ_first[:, None],
         ],
         axis=1,
     ).astype(jnp.int32)
 
     gj = None
     if make_j:
-        jpos = jnp.arange(Wjp, dtype=jnp.int32)[None, :]
         rcb = row_cnt[:, None]
-        in_left = jpos < cap
-        in_mid = (jpos >= cap) & (jpos < cap + rcb)
-        jsrc = jnp.where(
-            in_left, jpos - cap + rcb,
-            jnp.where(in_mid, jpos - cap, jpos - cap - rcb),
-        )
-        jvalid = jnp.where(
-            in_left, jpos >= cap - occ_last[:, None],
-            jnp.where(in_mid, True,
-                      jpos - cap - rcb < occ_first[:, None]),
-        )
-        jvalid = jvalid & (jsrc >= 0) & (jsrc < Wp)
-        jsafe = jnp.clip(jsrc, 0, Wp - 1)
-        gj = jnp.where(
-            jvalid[..., None],
+        hpos = jnp.arange(cap, dtype=jnp.int32)[None, :]
+        rvalid = hpos < occ_first[:, None]
+        right = jnp.where(rvalid[..., None], gi[:, :cap], 0.0)
+        right = right.at[:, :, 0].add(
+            jnp.where(rvalid, Lx, 0.0).astype(dtype))
+        lsrc = hpos - cap + rcb
+        lvalid = (hpos >= cap - occ_last[:, None]) & (lsrc >= 0)
+        lsafe = jnp.clip(lsrc, 0, Wp - 1)
+        left = jnp.where(
+            lvalid[..., None],
             jnp.take_along_axis(
-                gi, jsafe[..., None].astype(jnp.int32), axis=1),
+                gi, lsafe[..., None].astype(jnp.int32), axis=1),
             0.0,
         )
-        shift = jnp.where(in_left, -Lx, jnp.where(in_mid, 0.0, Lx))
-        shift = jnp.where(jvalid, shift, 0.0).astype(dtype)
-        gj = gj.at[:, :, 0].add(shift)
+        left = left.at[:, :, 0].add(
+            jnp.where(lvalid, -Lx, 0.0).astype(dtype))
+        gj = jnp.concatenate([right, left, gi], axis=1)
+        if gj.shape[1] < Wjp:
+            gj = jnp.concatenate(
+                [gj, jnp.zeros((R, Wjp - gj.shape[1], P), dtype)],
+                axis=1)
     return gi, gj, tbl, prefix
 
 
@@ -658,7 +706,44 @@ class PallasMultiSitePackedPath(PallasMultiSitePath):
         self.Pb = -(-(p_used + 1) // 8) * 8
         nx, ny, nz = spec.dims
         self.Wp = -(-(nx * spec.cap) // TI) * TI
-        self.Wjp = -(-((nx + 2 * HX) * spec.cap) // JW) * JW
+        # head-halo j layout: [2*cap halo head | Wp packed row]
+        self.Wjp = -(-(2 * spec.cap + self.Wp) // JW) * JW
+
+    def _site_planes_packed(self, g9: jnp.ndarray):
+        """Site-offset plane blocks rotated in PACKED slot order from
+        the thin primary planes g9 [rows, W, 9] (x y z w cid q0..q3).
+        Returns the list of live category blocks in plane_layout order
+        (dead trailing dip/quad blocks are never computed)."""
+        from ls1_mardyn_tpu.models.quaternion import qrotate
+
+        meta = self.meta
+        dtype = g9.dtype
+        qv = g9[..., 5:9][..., None, :]  # [rows, W, 1, 4]
+        okv = g9[..., 3:4] > 0.5
+        cid = g9[..., 4]
+        K = meta.K
+        cols = []
+        p = 5
+        for key, ns in (("lj_pos", meta.NL), ("charge_pos", meta.NC),
+                        ("dip_pos", meta.ND), ("dip_e", meta.ND),
+                        ("quad_pos", meta.NQ), ("quad_e", meta.NQ)):
+            if ns == 0:
+                continue
+            if p >= self.cell_plane:
+                break  # dead trailing block (live_plane_count)
+            tblv = jnp.asarray(meta._geom[key], dtype)  # [K, ns, 3]
+            if K == 1:
+                pos = tblv[0]  # [ns, 3], broadcast over slots
+            else:
+                oh = jnp.stack(
+                    [(jnp.abs(cid - k) < 0.5).astype(dtype)
+                     for k in range(K)], axis=-1)  # [rows, W, K]
+                pos = jnp.einsum("rwk,ksd->rwsd", oh, tblv)
+            rot = qrotate(qv, pos)  # [rows, W, ns, 3]
+            rot = jnp.where(okv[..., None], rot, 0.0)
+            cols.append(rot.reshape(*g9.shape[:2], 3 * ns))
+            p += 3 * ns
+        return cols
 
     def _build_views(self, mol: MoleculeState):
         """Packed kernel inputs from the molecule state: returns
@@ -693,57 +778,74 @@ class PallasMultiSitePackedPath(PallasMultiSitePath):
         ok_p = ok_p & (msrc >= 0)
         msafe = jnp.clip(msrc, 0, n - 1)
 
-        packed = self._pack_planes(mol)  # [N, P_dense]
-        if packed.shape[1] > self.cell_plane:
-            packed = packed[:, : self.cell_plane]  # drop dead planes
-        if packed.shape[1] < Pb:
-            packed = jnp.concatenate(
-                [packed,
-                 jnp.zeros((n, Pb - packed.shape[1]), dtype)], axis=1)
-        g = jnp.where(ok_p[..., None], packed[msafe], 0.0)  # [rows,W,Pb]
+        # THIN gather: only the 9 primary planes (r, valid, cid, q)
+        # ride the slot gather; the site-offset planes are rotated
+        # AFTER packing, in packed order.  TPU gathers run at ~1.8
+        # GB/s regardless of locality, so moving 9 planes instead of
+        # Pb through the gather and paying the (cheap, VPU) qrotate on
+        # packed slots is a measured win (49 -> ~19 ms at CO2 N=1M,
+        # tools/probe_ms_build.py); the rotation math is identical
+        # op-for-op, so outputs are bit-identical to the dense build.
+        thin = jnp.concatenate(
+            [mol.r, mol.valid.astype(dtype)[:, None],
+             mol.cid.astype(dtype)[:, None], mol.q], axis=1)  # [N, 9]
+        g9 = jnp.where(ok_p[..., None], thin[msafe], 0.0)  # [rows,W,9]
+        cols = [g9[..., :5]] + self._site_planes_packed(g9)
         cellidx = jnp.where(ok_p, srcc // cap, 0)
-        g = g.at[:, :, self.cell_plane].set(cellidx.astype(dtype))
+        cols.append(cellidx.astype(dtype)[..., None])
+        if Pb > self.cell_plane + 1:
+            cols.append(jnp.zeros(
+                (g9.shape[0], W, Pb - self.cell_plane - 1), dtype))
+        g = jnp.concatenate(cols, axis=-1)  # [rows, W, Pb]
         if Wp > W:
             g = jnp.concatenate(
                 [g, jnp.zeros((g.shape[0], Wp - W, Pb), dtype)], axis=1)
 
-        # packed j rows: [left-wrap halo | row at +cap | right-wrap]
+        # packed j rows, head-halo layout: [right wrap halo at
+        # [0, occ_first) | left wrap halo right-aligned at 2*cap |
+        # the packed row VERBATIM at +2*cap].  Only the left halo
+        # needs a (small, [rows, cap]) gather; the right halo and the
+        # row itself are pure slices of g -- the full-width
+        # take_along_axis this replaces ran at the TPU's ~1.8 GB/s
+        # gather rate (tools/probe_ms_build.py).  Right halo FIRST so
+        # the kernel's wrap-tile head walk is a single chunk at a
+        # STATIC offset (occ_first <= cap <= JW).
         occ_last = occ[:, -1]
         occ_first = occ[:, 0]
-        jpos = jnp.arange(Wjp, dtype=jnp.int32)[None, :]  # [1, Wjp]
         rcb = row_cnt[:, None]
-        in_left = jpos < cap
-        in_mid = (jpos >= cap) & (jpos < cap + rcb)
-        jsrc = jnp.where(
-            in_left, jpos - cap + rcb,
-            jnp.where(in_mid, jpos - cap, jpos - cap - rcb),
-        )
-        jvalid = jnp.where(
-            in_left, jpos >= cap - occ_last[:, None],
-            jnp.where(in_mid, True,
-                      jpos - cap - rcb < occ_first[:, None]),
-        )
-        jvalid = jvalid & (jsrc >= 0) & (jsrc < Wp)
-        jsafe = jnp.clip(jsrc, 0, Wp - 1)
-        gj = jnp.where(
-            jvalid[..., None],
+        hpos = jnp.arange(cap, dtype=jnp.int32)[None, :]  # [1, cap]
+        rvalid = hpos < occ_first[:, None]  # cell 0 occupants
+        right = jnp.where(rvalid[..., None], g[:, :cap], 0.0)
+        right = right.at[:, :, 0].add(
+            jnp.where(rvalid, Lx, 0.0).astype(dtype))
+        lsrc = hpos - cap + rcb  # cell nx-1 occupants, right-aligned
+        lvalid = (hpos >= cap - occ_last[:, None]) & (lsrc >= 0)
+        lsafe = jnp.clip(lsrc, 0, Wp - 1)
+        left = jnp.where(
+            lvalid[..., None],
             jnp.take_along_axis(
-                g, jsafe[..., None].astype(jnp.int32), axis=1
+                g, lsafe[..., None].astype(jnp.int32), axis=1
             ),
             0.0,
         )
-        shift = jnp.where(in_left, -Lx, jnp.where(in_mid, 0.0, Lx))
-        shift = jnp.where(jvalid, shift, 0.0).astype(dtype)
-        gj = gj.at[:, :, 0].add(shift)
+        left = left.at[:, :, 0].add(
+            jnp.where(lvalid, -Lx, 0.0).astype(dtype))
+        gj = jnp.concatenate([right, left, g], axis=1)
+        if gj.shape[1] < Wjp:
+            gj = jnp.concatenate(
+                [gj,
+                 jnp.zeros((gj.shape[0], Wjp - gj.shape[1], Pb), dtype)],
+                axis=1)
 
         # packed cell-start table: tbl[c+1] = start(c) in j space for
-        # cells -1 .. nx+1 (wrap halos at the ends)
+        # cells -1 .. nx-1, then end(nx-1) and end(nx) (the wrap halo
+        # cell nx lives FIRST in the head, [0, occ_first))
         tbl = jnp.concatenate(
             [
-                (cap - occ_last)[:, None],
-                cap + prefix,
-                (cap + row_cnt)[:, None],
-                (cap + row_cnt + occ_first)[:, None],
+                (2 * cap - occ_last)[:, None],
+                2 * cap + prefix,
+                (2 * cap + row_cnt)[:, None],
+                occ_first[:, None],
             ],
             axis=1,
         ).astype(jnp.int32)

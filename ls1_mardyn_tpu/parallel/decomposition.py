@@ -774,7 +774,8 @@ class SlabSimulation:
         g_all = jnp.concatenate([halo_below, g, halo_above], axis=0)
 
         Wp = -(-W // TI) * TI
-        Wjp = -(-((nx + 2) * cap) // JW) * JW
+        # head-halo j layout: [2*cap halo head | Wp packed row]
+        Wjp = -(-(2 * cap + Wp) // JW) * JW
         R = (nzl + 2) * ny
         gi_all, gj_all, tbl, prefix = pack_dense_rows(
             g_all.reshape(R, W, Pb), nx, cap, float(cfg.box[0]),

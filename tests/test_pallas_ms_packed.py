@@ -142,6 +142,53 @@ def test_packed_matches_dense_inhomogeneous():
     )
 
 
+def test_packed_wrap_halo_matches_dense():
+    """Periodic-wrap stress for the head-halo packed-j layout: the
+    molecules are biased to the x faces of a 3x3x3 grid so wrap pairs
+    dominate, and the charges make any pair-set error visible in uX.
+    Covers the kernel's second (head) chunk walk for wrap-edge tiles
+    and its no-double-count guard (nch2 <= base//JW)."""
+    from ls1_mardyn_tpu.models.components import Component
+
+    rng = np.random.default_rng(7)
+    N, L, rc = 400, 9.5, 3.0
+    comps = []
+    for sign in (1.0, -1.0):
+        c = Component(cid=len(comps))
+        c.add_ljcenter(0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 0.0, False)
+        c.add_charge(0.1, 0.0, 0.0, 0.01, sign * 0.5)
+        c.add_charge(-0.1, 0.0, 0.0, 0.01, -sign * 0.5)
+        comps.append(c)
+    x = np.where(rng.random(N) < 0.5, rng.random(N) * 0.08 * L,
+                 L * (1 - rng.random(N) * 0.08))
+    r = np.stack([x, rng.random(N) * L, rng.random(N) * L], axis=1)
+    q = rng.normal(size=(N, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+    data = _psdata(comps, L, r, q)
+    mol, pp, table, box = build_scene(data, cutoff=rc)
+
+    spec = CellGridSpec.create(np.asarray(box), rc, cap=128)
+    assert spec.dims == (3, 3, 3)
+    dense = PallasMultiSitePath(table, spec, interpret=True)
+    packd = PallasMultiSitePackedPath(table, spec, interpret=True)
+    f_d, m_d, _ = jax.jit(dense.__call__)(mol)
+    f_p, m_p, ovf = jax.jit(packd.__call__)(mol)
+    assert not bool(ovf)
+
+    scale = np.abs(np.asarray(f_d.F)).max() + 1e-30
+    np.testing.assert_allclose(
+        np.asarray(f_p.F) / scale, np.asarray(f_d.F) / scale, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        float(m_p.upot_xpoles), float(m_d.upot_xpoles), rtol=1e-12,
+        atol=1e-14,
+    )
+    np.testing.assert_allclose(
+        float(m_p.upot), float(m_d.upot), rtol=1e-12, atol=1e-14
+    )
+
+
 def test_packed_screened_matches_dense():
     """Ewald real-space screening (the H2O/molten-salt production path)
     through the packed kernel."""
