@@ -604,15 +604,61 @@ def live_plane_count(meta) -> int:
     return L["dip"]  # x y z w cid + lj + charge planes only
 
 
+def site_planes_packed(meta, cell_plane: int, g9: jnp.ndarray):
+    """Site-offset plane blocks rotated in PACKED slot order from the
+    thin primary planes g9 [rows, W, 9] (x y z w cid q0..q3).  Returns
+    the list of live category blocks in plane_layout order (dead
+    trailing dip/quad blocks are never computed).  The rotation math
+    is op-for-op identical to the per-molecule site_offsets path, so
+    the produced planes are bit-identical to a dense pack+gather."""
+    from ls1_mardyn_tpu.models.quaternion import qrotate
+
+    dtype = g9.dtype
+    qv = g9[..., 5:9][..., None, :]  # [rows, W, 1, 4]
+    okv = g9[..., 3:4] > 0.5
+    cid = g9[..., 4]
+    K = meta.K
+    cols = []
+    p = 5
+    for key, ns in (("lj_pos", meta.NL), ("charge_pos", meta.NC),
+                    ("dip_pos", meta.ND), ("dip_e", meta.ND),
+                    ("quad_pos", meta.NQ), ("quad_e", meta.NQ)):
+        if ns == 0:
+            continue
+        if p >= cell_plane:
+            break  # dead trailing block (live_plane_count)
+        tblv = jnp.asarray(meta._geom[key], dtype)  # [K, ns, 3]
+        if K == 1:
+            pos = tblv[0]  # [ns, 3], broadcast over slots
+        else:
+            oh = jnp.stack(
+                [(jnp.abs(cid - k) < 0.5).astype(dtype)
+                 for k in range(K)], axis=-1)  # [rows, W, K]
+            pos = jnp.einsum("rwk,ksd->rwsd", oh, tblv)
+        rot = qrotate(qv, pos)  # [rows, W, ns, 3]
+        rot = jnp.where(okv[..., None], rot, 0.0)
+        cols.append(rot.reshape(*g9.shape[:2], 3 * ns))
+        p += 3 * ns
+    return cols
+
+
 def pack_dense_rows(g, nx: int, cap: int, Lx: float, cell_plane: int,
-                    Wp: int, Wjp: int, make_j: bool = True):
+                    Wp: int, Wjp: int, make_j: bool = True,
+                    expand=None, Pb: int = 0):
     """Compact dense slot-layout rows into the packed kernel's layout.
 
     g: [R, W=nx*cap, P] dense rows (validity plane at index 3, slot
     order = cell-major).  Everything is derived from the validity
     plane, so rows received from a halo exchange pack exactly like
     local rows.  Returns (gi [R, Wp, P], gj [R, Wjp, P] or None,
-    tbl [R, nx+3] int32, prefix [R, nx] int32)."""
+    tbl [R, nx+3] int32, prefix [R, nx] int32).
+
+    expand/Pb: THIN mode -- g carries only the 9 primary planes
+    (x y z w cid q0..q3); the compaction gather moves 9 planes instead
+    of Pb (TPU gathers run ~1.8 GB/s regardless of locality), then
+    expand(gi9) -> site plane blocks is called on the PACKED rows and
+    the full Pb-plane gi is assembled from slices (site_planes_packed
+    is the expander; bit-identical to packing dense rows)."""
     R, W, P = g.shape
     dtype = g.dtype
     filled = g[:, :, 3] > 0.5
@@ -632,7 +678,16 @@ def pack_dense_rows(g, nx: int, cap: int, Lx: float, cell_plane: int,
         0.0,
     )
     cellidx = jnp.where(ok, srcc // cap, 0)
-    gi = gi.at[:, :, cell_plane].set(cellidx.astype(dtype))
+    if expand is not None:
+        assert P == 9 and Pb > cell_plane, (P, Pb, cell_plane)
+        cols = [gi[..., :5]] + expand(gi)
+        cols.append(cellidx.astype(dtype)[..., None])
+        if Pb > cell_plane + 1:
+            cols.append(jnp.zeros((R, W, Pb - cell_plane - 1), dtype))
+        gi = jnp.concatenate(cols, axis=-1)
+        P = Pb
+    else:
+        gi = gi.at[:, :, cell_plane].set(cellidx.astype(dtype))
     if Wp > W:
         gi = jnp.concatenate(
             [gi, jnp.zeros((R, Wp - W, P), dtype)], axis=1)
@@ -710,40 +765,7 @@ class PallasMultiSitePackedPath(PallasMultiSitePath):
         self.Wjp = -(-(2 * spec.cap + self.Wp) // JW) * JW
 
     def _site_planes_packed(self, g9: jnp.ndarray):
-        """Site-offset plane blocks rotated in PACKED slot order from
-        the thin primary planes g9 [rows, W, 9] (x y z w cid q0..q3).
-        Returns the list of live category blocks in plane_layout order
-        (dead trailing dip/quad blocks are never computed)."""
-        from ls1_mardyn_tpu.models.quaternion import qrotate
-
-        meta = self.meta
-        dtype = g9.dtype
-        qv = g9[..., 5:9][..., None, :]  # [rows, W, 1, 4]
-        okv = g9[..., 3:4] > 0.5
-        cid = g9[..., 4]
-        K = meta.K
-        cols = []
-        p = 5
-        for key, ns in (("lj_pos", meta.NL), ("charge_pos", meta.NC),
-                        ("dip_pos", meta.ND), ("dip_e", meta.ND),
-                        ("quad_pos", meta.NQ), ("quad_e", meta.NQ)):
-            if ns == 0:
-                continue
-            if p >= self.cell_plane:
-                break  # dead trailing block (live_plane_count)
-            tblv = jnp.asarray(meta._geom[key], dtype)  # [K, ns, 3]
-            if K == 1:
-                pos = tblv[0]  # [ns, 3], broadcast over slots
-            else:
-                oh = jnp.stack(
-                    [(jnp.abs(cid - k) < 0.5).astype(dtype)
-                     for k in range(K)], axis=-1)  # [rows, W, K]
-                pos = jnp.einsum("rwk,ksd->rwsd", oh, tblv)
-            rot = qrotate(qv, pos)  # [rows, W, ns, 3]
-            rot = jnp.where(okv[..., None], rot, 0.0)
-            cols.append(rot.reshape(*g9.shape[:2], 3 * ns))
-            p += 3 * ns
-        return cols
+        return site_planes_packed(self.meta, self.cell_plane, g9)
 
     def _build_views(self, mol: MoleculeState):
         """Packed kernel inputs from the molecule state: returns

@@ -739,26 +739,26 @@ class SlabSimulation:
         idx = bins.slots.reshape(nzl, ny, W)
         safe = jnp.clip(idx, 0, mol.capacity - 1)
         ok = (idx >= 0) & mol.valid[safe]
-        pack = self._pack_planes(mol)
-        # one spare plane for the packed kernel's cell index; trailing
-        # dead dipole/quad plane blocks truncated (live_plane_count)
+        # THIN primary planes only (r, valid, cid, q) ride the slot
+        # gather and the halo exchange; site-offset planes are rotated
+        # after compaction in packed order (site_planes_packed --
+        # bit-identical math, ~2.7x less gather+ppermute traffic).
+        # One spare plane carries the packed kernel's cell index;
+        # trailing dead dipole/quad plane blocks are truncated
+        # (live_plane_count).
         from ls1_mardyn_tpu.ops.pallas_ms_packed import live_plane_count
 
         meta = cfg.ms_meta
         p_used = live_plane_count(meta)
         Pb = -(-(p_used + 1) // 8) * 8
-        if pack.shape[1] > p_used:
-            pack = pack[:, :p_used]
-        if pack.shape[1] < Pb:
-            pack = jnp.concatenate(
-                [pack,
-                 jnp.zeros((mol.capacity, Pb - pack.shape[1]), dtype)],
-                axis=1)
-        g = jnp.where(ok[..., None], pack[safe], 0.0)  # [nzl,ny,W,Pb]
+        thin = jnp.concatenate(
+            [mol.r, mol.valid.astype(dtype)[:, None],
+             mol.cid.astype(dtype)[:, None], mol.q], axis=1)  # [N, 9]
+        g = jnp.where(ok[..., None], thin[safe], 0.0)  # [nzl,ny,W,9]
 
         # raw z-halo rows (global periodic shift on the wrapping link)
         Lz = cfg.box[2]
-        zshift = jnp.zeros((Pb,), dtype).at[2].set(Lz)
+        zshift = jnp.zeros((9,), dtype).at[2].set(Lz)
         perm_up = [(i, (i + 1) % Pn) for i in range(Pn)]
         perm_dn = [(i, (i - 1) % Pn) for i in range(Pn)]
         halo_below = jax.lax.ppermute(g[-1:], AXIS, perm_up)
@@ -777,9 +777,16 @@ class SlabSimulation:
         # head-halo j layout: [2*cap halo head | Wp packed row]
         Wjp = -(-(2 * cap + Wp) // JW) * JW
         R = (nzl + 2) * ny
+        from functools import partial
+
+        from ls1_mardyn_tpu.ops.pallas_ms_packed import (
+            site_planes_packed,
+        )
+
         gi_all, gj_all, tbl, prefix = pack_dense_rows(
-            g_all.reshape(R, W, Pb), nx, cap, float(cfg.box[0]),
+            g_all.reshape(R, W, 9), nx, cap, float(cfg.box[0]),
             p_used, Wp, Wjp,
+            expand=partial(site_planes_packed, meta, p_used), Pb=Pb,
         )
         r_i = jnp.moveaxis(
             gi_all.reshape(nzl + 2, ny, Wp, Pb)[1:-1], -1, 2)
