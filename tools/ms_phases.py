@@ -176,7 +176,9 @@ def main():
     print(json.dumps(out), flush=True)
     if args.json:
         from tools.artifact import merge_artifact
-        out.setdefault("metric", "multi-site phase breakdown")
+        out.setdefault("metric",
+                       "multi-site phase breakdown (%s)"
+                       % args.scene)
         merge_artifact(args.json, [out])
 
 
